@@ -1,0 +1,26 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness's synthetic parquet tables (TESTDATA.md).
+  *
+  * Plain parquet scans: Catalyst pushes filters/projections into the scan,
+  * so callers should NOT cache or materialize here — each query's plan
+  * decides what is actually read.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings")
+}
