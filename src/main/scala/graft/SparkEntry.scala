@@ -18,11 +18,37 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _)
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_join_agg" -> (Relational.q2JoinAgg _),
+    "q3_topk" -> (Relational.q3TopK _),
+    "q4_semi_join" -> (Relational.q4SemiJoin _),
+    "q5_anti_join" -> (Relational.q5AntiJoin _),
+    "q6_filter_agg" -> (Relational.q6FilterAgg _),
+    "q7_window" -> (Relational.q7Window _),
+    "q8_setops" -> (Relational.q8SetOps _),
+    "q10_merge_upsert" -> (MergeQueries.qMergeUpsert _),
+    "q11_merge_guarded" -> (MergeQueries.qMergeGuarded _),
+    "q12_merge_insertonly" -> (MergeQueries.qMergeInsertOnly _),
+    "q13_group_replace" -> (MergeQueries.qGroupReplace _),
+    "q14_delete_ids" -> (MergeQueries.qDeleteIds _),
+    "q15_dedup_lastwins" -> (MergeQueries.qDedupLastWins _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql
+    "q1_agg" -> Relational.q1AggSql,
+    "q2_join_agg" -> Relational.q2JoinAggSql,
+    "q3_topk" -> Relational.q3TopKSql,
+    "q4_semi_join" -> Relational.q4SemiJoinSql,
+    "q5_anti_join" -> Relational.q5AntiJoinSql,
+    "q6_filter_agg" -> Relational.q6FilterAggSql,
+    "q7_window" -> Relational.q7WindowSql,
+    "q8_setops" -> Relational.q8SetOpsSql,
+    "q10_merge_upsert" -> MergeQueries.qMergeUpsertSql,
+    "q11_merge_guarded" -> MergeQueries.qMergeGuardedSql,
+    "q12_merge_insertonly" -> MergeQueries.qMergeInsertOnlySql,
+    "q13_group_replace" -> MergeQueries.qGroupReplaceSql,
+    "q14_delete_ids" -> MergeQueries.qDeleteIdsSql,
+    "q15_dedup_lastwins" -> MergeQueries.qDedupLastWinsSql
   )
 }

@@ -19,7 +19,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos long via the
+    * legacy conf and convert to a microsecond timestamp (floor-truncated,
+    * matching DuckDB's `date_trunc('microseconds', ts)`).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      // integer `div`, not `/` — double division loses precision at 1.7e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
