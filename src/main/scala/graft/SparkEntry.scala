@@ -31,7 +31,18 @@ object SparkEntry {
     "q12_merge_insertonly" -> (MergeQueries.qMergeInsertOnly _),
     "q13_group_replace" -> (MergeQueries.qGroupReplace _),
     "q14_delete_ids" -> (MergeQueries.qDeleteIds _),
-    "q15_dedup_lastwins" -> (MergeQueries.qDedupLastWins _)
+    "q15_dedup_lastwins" -> (MergeQueries.qDedupLastWins _),
+    "q20_text_stats" -> (TextQueries.qTextStats _),
+    "q21_term_freq" -> (TextQueries.qTermFreq _),
+    "q22_exact_dedup" -> (TextQueries.qExactDedup _),
+    "q23_doc_quality" -> (TextQueries.qDocQuality _),
+    "q25_minhash_pairs" -> (TextQueries.qMinHashPairs _),
+    "q26_simhash_pairs" -> (TextQueries.qSimHashPairs _),
+    "q27_ngram_jaccard" -> (TextQueries.qNgramJaccard _),
+    "q28_fingerprint" -> (TextQueries.qFingerprint _),
+    "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
+    "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
+    "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
@@ -49,6 +60,11 @@ object SparkEntry {
     "q12_merge_insertonly" -> MergeQueries.qMergeInsertOnlySql,
     "q13_group_replace" -> MergeQueries.qGroupReplaceSql,
     "q14_delete_ids" -> MergeQueries.qDeleteIdsSql,
-    "q15_dedup_lastwins" -> MergeQueries.qDedupLastWinsSql
+    "q15_dedup_lastwins" -> MergeQueries.qDedupLastWinsSql,
+    "q20_text_stats" -> TextQueries.qTextStatsSql,
+    "q21_term_freq" -> TextQueries.qTermFreqSql,
+    "q22_exact_dedup" -> TextQueries.qExactDedupSql,
+    "q23_doc_quality" -> TextQueries.qDocQualitySql,
+    "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql
   )
 }

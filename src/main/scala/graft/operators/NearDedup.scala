@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale (SURVEY §7.5):
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Design for 100 TB: no pairwise O(n²) stage ever materializes — LSH
+  * banding shuffles each doc `bands` times on (band, bandHash) so only
+  * colliding docs meet, then exact Jaccard runs on the candidate pairs
+  * only. All per-doc math is expression-tree (codegen) over arrays;
+  * signatures are `bands × rowsPerBand` longs, tiny next to the text.
+  */
+object NearDedup {
+
+  /** Mersenne-31 prime: 32-bit minhash keeps a*x+b < 2^62, so the
+    * expression can never trip Spark's ANSI long-overflow check.
+    */
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic (a, b) coefficient pairs for the k hash permutations
+    * h_i(x) = ((a_i * x + b_i) mod p); fixed seed for reproducibility.
+    */
+  private def coefficients(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature of a text column as array<bigint>, built from
+    * word-`shingleSize`-gram shingles hashed with xxhash64.
+    * Pure expression tree: nested higher-order functions, no UDF.
+    */
+  def minHashSignature(
+      text: Column,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      seed: Long = 42L
+  ): Column = {
+    val shingleHashes =
+      transform(TextFunctions.wordNgrams(text, shingleSize), s => xxhash64(s))
+    val coeffs = coefficients(numHashes, seed)
+    array(coeffs.map { case (a, b) =>
+      array_min(
+        transform(
+          shingleHashes,
+          x =>
+            // (a*x + b) mod p with x masked to 31 bits: max product is
+            // (2^31-2)*(2^31-1) < 2^62 — overflow-free under ANSI mode
+            pmod(lit(a) * (x.bitwiseAND(lit(MersennePrime))) + lit(b),
+              lit(MersennePrime))
+        )
+      )
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding over the MinHash signature.
+    *
+    * Input: df with an `idCol` and `textCol`. Output: (id_a, id_b,
+    * jaccard_est) with id_a < id_b, deduplicated; `jaccard_est` is the
+    * signature-agreement fraction. Shuffles on (band, bandHash) — the
+    * only join key — so cost is bands × |docs| rows, never |docs|².
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignature(col(textCol), numHashes, shingleSize, seed)
+    val withSig = df.select(col(idCol).as("__id"), sig.as("__sig"))
+
+    val banded = withSig
+      .select(
+        col("__id"),
+        col("__sig"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              struct(
+                b.as("band"),
+                xxhash64(concat_ws(",",
+                  slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+                  .as("bandHash")
+              )
+          )
+        ).as("__b")
+      )
+      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bandHash"))
+
+    val left = banded.select(
+      col("band"), col("bandHash"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val right = banded.select(
+      col("band"), col("bandHash"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+
+    left
+      .join(right, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => a === b), x => x)).cast("double") /
+          lit(numHashes.toDouble)).as("jaccard_est")
+      )
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns —
+    * verification stage for LSH candidates, or standalone on small
+    * candidate sets. Expression-only (array_intersect/array_union on
+    * distinct shingle sets).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextFunctions.wordNgrams(a, n))
+    val sb = array_distinct(TextFunctions.wordNgrams(b, n))
+    val inter = size(array_intersect(sa, sb))
+    val union = size(array_union(sa, sb))
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** 64-bit SimHash of the shingle multiset. One UDF per doc over the
+    * already-hashed shingle array (the bit-vote loop has no builtin
+    * equivalent); everything around it stays codegen.
+    */
+  private val simHashUdf = udf { (hashes: Seq[Long]) =>
+    if (hashes == null || hashes.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      hashes.foreach { h =>
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) {
+        if (votes(i) > 0) out |= (1L << i)
+        i += 1
+      }
+      out
+    }
+  }
+
+  def simHash(text: Column, shingleSize: Int = 3): Column =
+    simHashUdf(transform(TextFunctions.wordNgrams(text, shingleSize),
+      s => xxhash64(s)))
+
+  /** Hamming distance between two 64-bit simhashes (bit_count of XOR). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: docs whose simhashes agree on one of
+    * `tables` bit-blocks (classic Charikar partitioning — guarantees
+    * recall for hamming distance < tables). Same banding-join shape as
+    * MinHash: shuffle on (block, blockBits), never O(n²).
+    */
+  def simHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tables: Int = 4,
+      maxHamming: Int = 8,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val bitsPerBlock = 64 / tables
+    val withSig = df.select(col(idCol).as("__id"),
+      simHash(col(textCol), shingleSize).as("__sh"))
+    // block array built in Scala so shiftright gets literal counts
+    val blocks = (0 until tables).map { b =>
+      struct(
+        lit(b).as("block"),
+        shiftrightunsigned(col("__sh"), b * bitsPerBlock)
+          .bitwiseAND(lit((1L << bitsPerBlock) - 1))
+          .as("blockBits")
+      )
+    }
+    val blocked = withSig
+      .select(col("__id"), col("__sh"), explode(array(blocks: _*)).as("__blk"))
+      .select(col("__id"), col("__sh"), col("__blk.block"),
+        col("__blk.blockBits"))
+
+    val left = blocked.select(col("block"), col("blockBits"),
+      col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val right = blocked.select(col("block"), col("blockBits"),
+      col("__id").as("id_b"), col("__sh").as("sh_b"))
+    left
+      .join(right, Seq("block", "blockBits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

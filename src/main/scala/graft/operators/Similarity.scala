@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (SURVEY §7.5).
+  *
+  * All vector math is expression-tree (`zip_with`/`aggregate` in double
+  * precision) — codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two array<double>/array<float> columns, folded in
+    * array order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact top-k neighbors of every query vector against the corpus.
+    *
+    * Queries are broadcast (the small side by contract); the corpus
+    * streams through one partitioned pass — cost |corpus| × |queries|
+    * FLOPs but never a shuffled cross product of the corpus with itself.
+    * Ranking window partitions by query id only, so the shuffle key count
+    * equals |queries|.
+    *
+    * Output: (query id, rank 1..k, neighbor id, cosine) with a
+    * deterministic (cosine desc, neighbor asc) tie-break.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"))
+    val paired = c.crossJoin(broadcast(q))
+    val filtered =
+      if (excludeSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+      else paired
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    filtered
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine")
+      )
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic random hyperplanes for LSH bucketing. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^planes-1) for a vector:
+    * bit i = sign(v · h_i). Vectors in the same bucket are likely
+    * cosine-close; with `planes` small the corpus shards into 2^planes
+    * partitions that can be searched independently.
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 8,
+      seed: Long = 42L): Column = {
+    val hs = hyperplanes(dim, planes, seed)
+    hs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (h, i)) =>
+      val hCol = array(h.map(lit): _*)
+      acc + when(dot(vec, hCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket (plus all
+    * hamming-1 neighbor buckets — multi-probe, which multiplies recall at
+    * the cost of `planes` extra probe rows per QUERY, not per corpus row),
+    * ranked by exact cosine within the probed buckets. Each corpus row is
+    * hashed once and shuffled once on the bucket id; recall < 1 by
+    * construction (asserted against the exact baseline in SimilaritySpec).
+    */
+  def annTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"),
+      lshBucket(col(corpusVec), dim, planes, seed).as("__bucket"))
+    val qBase = queries.select(
+      col(queryId).as("query_id"),
+      col(queryVec).as("__qv"),
+      lshBucket(col(queryVec), dim, planes, seed).as("__b0"))
+    val probes: Column =
+      if (multiProbe)
+        array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
+      else array(lit(0L))
+    val q = qBase
+      .select(col("query_id"), col("__qv"),
+        explode(transform(probes, m => col("__b0").bitwiseXOR(m)))
+          .as("__bucket"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      // a (query, neighbor) pair can meet in several probed buckets
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

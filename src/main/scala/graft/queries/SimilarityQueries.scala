@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.operators.Similarity
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table. */
+object SimilarityQueries {
+
+  /** q30 — exact brute-force cosine top-5 for every vector (self
+    * excluded). Output is (query_id, rank, neighbor_id) only — the float
+    * similarity itself is engine-rounding-sensitive, the ranking is not
+    * (ties broken by neighbor_id).
+    */
+  def qCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  val qCosineTopKSql: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |      c.vec_id ASC) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
+
+  /** q31 — LSH-bucketed approximate top-5 (rows-only: bucketing depends
+    * on engine-seeded hyperplanes; recall vs the exact baseline is
+    * asserted in SimilaritySpec).
+    */
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .annTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, planes = 6)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** q32 — centroid of each label's vectors (mean pooling via exact
+    * decimal-free integer-position aggregation is impossible for floats,
+    * so this is rows-only-adjacent: we emit counts plus the first two
+    * centroid components rounded; full float parity is covered by the
+    * top-k ranking query instead). Kept oracle-free.
+    */
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    emb
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(
+        col("label"),
+        col("n"),
+        array((0 until dim).map(i => col(s"s$i") / col("n")): _*)
+          .as("centroid")
+      )
+      .orderBy("label")
+  }
+}

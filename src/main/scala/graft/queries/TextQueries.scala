@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.NearDedup
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over the `documents` table
+  * (SURVEY §7.5: token counting, quality scoring, fingerprinting,
+  * exact + near dedup).
+  */
+object TextQueries {
+
+  /** q20 — corpus stats per language: doc counts, token totals, length
+    * averages. Tokenization = whitespace split of trimmed text on both
+    * engines.
+    */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars")
+      )
+      .withColumn(
+        "avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double")
+      )
+      .orderBy("lang")
+
+  val qTextStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q21 — global term frequencies via explode, top-20 by (count desc,
+    * term asc).
+    */
+  def qTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(20)
+
+  val qTermFreqSql: String =
+    """SELECT term, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents)
+      |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""".stripMargin
+
+  /** q22 — exact dedup by content hash. The corpus has no exact dups, so
+    * the input is documents ∪ a deterministic mutated copy (every 5th doc
+    * re-keyed), and the dedup groups on md5(text) keeping the lowest id —
+    * the hash-groupBy dedup shape that scales to any corpus size.
+    */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val copies = docs
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs
+      .unionByName(copies)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies")
+      )
+  }
+
+  val qExactDedupSql: String =
+    """WITH input AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM input GROUP BY md5(text)""".stripMargin
+
+  /** q23 — per-doc quality metrics: token count, vocabulary size,
+    * type-token ratio, mean token length. Integer-derived doubles only
+    * (deterministic divisions).
+    */
+  def qDocQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct"),
+        typeTokenRatio(col("text")).as("ttr"),
+        meanTokenLength(col("text")).as("mean_tok_len")
+      )
+
+  val qDocQualitySql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ttr,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |      x -> length(x))) AS DOUBLE)
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_tok_len
+      |FROM documents""".stripMargin
+
+  /** q25 — MinHash+LSH near-dup candidate pairs (no SQL oracle: LSH
+    * banding is not expressible in DuckDB; correctness is covered by
+    * NearDedupSpec's exact-Jaccard cross-check). Input is seeded with
+    * exact copies so recall is observable.
+    */
+  def qMinHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val copies = docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    NearDedup
+      .minHashCandidates(docs.unionByName(copies), "doc_id", "text")
+      .filter(col("jaccard_est") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q26 — SimHash near-dup candidates with hamming distance. */
+  def qSimHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val copies = docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    NearDedup
+      .simHashCandidates(docs.unionByName(copies), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q27 — n-gram Jaccard on deterministic candidate pairs (adjacent doc
+    * ids), exact verification stage of the near-dup pipeline.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = Tables.documents(spark, dir)
+      .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("text").as("text_b"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        NearDedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+  }
+
+  /** q28 — per-doc fingerprint + heuristic language id (rows-only: both
+    * use engine-specific hashing/profiles; unit-tested in ScalaTest).
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        langId(col("text")).as("lang_pred"),
+        subwordCount(col("text")).as("n_subwords")
+      )
+}

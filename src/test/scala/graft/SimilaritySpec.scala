@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0)
+    ).toDF("a", "b", "expected")
+    df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("bruteForceTopK ranks nearest first with deterministic ties") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 3)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("annTopK results are a subset of valid neighbors, ranked correctly") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ann = Similarity
+      .annTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, planes = 4)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"ANN recall@5 too low: $recall")
+    info(s"ANN recall@5 vs exact baseline: $recall")
+  }
+
+  test("lshBucket is deterministic and within range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val buckets = emb
+      .select(Similarity.lshBucket(col("embedding"), 64, planes = 6).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 64))
+    assert(buckets.length > 1, "all vectors hashed to one bucket")
+  }
+}
