@@ -42,7 +42,12 @@ object SparkEntry {
     "q28_fingerprint" -> (TextQueries.qFingerprint _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
-    "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _)
+    "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _),
+    "q40_deid_scalars" -> (DeidQueries.qDeidScalars _),
+    "q41_checksum" -> (DeidQueries.qChecksum _),
+    "q42_check_system" -> (DeidQueries.qCheckSystem _),
+    "q43_partial_dates" -> (DeidQueries.qPartialDates _),
+    "q44_anon_ids" -> (DeidQueries.qAnonIds _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
@@ -65,6 +70,10 @@ object SparkEntry {
     "q21_term_freq" -> TextQueries.qTermFreqSql,
     "q22_exact_dedup" -> TextQueries.qExactDedupSql,
     "q23_doc_quality" -> TextQueries.qDocQualitySql,
-    "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql
+    "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
+    "q40_deid_scalars" -> DeidQueries.qDeidScalarsSql,
+    "q41_checksum" -> DeidQueries.qChecksumSql,
+    "q42_check_system" -> DeidQueries.qCheckSystemSql,
+    "q43_partial_dates" -> DeidQueries.qPartialDatesSql
   )
 }

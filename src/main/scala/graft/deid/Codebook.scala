@@ -1,0 +1,84 @@
+package graft.deid
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.SecureRandom
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.functions.HmacSha256Hex
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Codebook: salt management + pseudonymous ID generation.
+  *
+  * The reference persists `codebook.json` {version, codebook_id, id_salt}
+  * in the PHI dir and derives every fake ID as HMAC-SHA256(salt, realId)
+  * (cumulus_etl/deid/codebook.py:104-217). Patient/Encounter mappings are
+  * additionally cached for reversibility — in Spark that write-side-effect
+  * becomes a side-output DataFrame ([[mappingTable]]) the caller persists,
+  * instead of mutated shared state (SURVEY §7.4 risk 3).
+  */
+final case class Codebook(codebookId: String, saltHex: String) {
+
+  def salt: Array[Byte] =
+    saltHex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** F1: fake ID for an id column — pure keyed hash, any resource type. */
+  def fakeId(id: Column): Column = HmacSha256Hex(salt, id)
+
+  /** F2: anonymize "Type/id" reference strings. */
+  def anonRef(ref: Column): Column =
+    graft.functions.DeidFunctions.anonRef(salt, ref)
+
+  /** Reversibility side-output for Patient/Encounter: the distinct
+    * (resourceType, realId, fakeId) mapping rows this batch produced.
+    * Caller merges it into the persisted mapping table (the Spark-native
+    * equivalent of codebook-cached-mappings.json).
+    */
+  def mappingTable(df: DataFrame, idCol: String,
+      resourceType: String): DataFrame =
+    df.select(
+        lit(resourceType).as("resource_type"),
+        col(idCol).as("real_id"),
+        fakeId(col(idCol)).as("fake_id")
+      )
+      .distinct()
+}
+
+object Codebook {
+  private val mapper = new ObjectMapper()
+
+  /** Deterministic codebook for tests/golden runs (pinned salt). */
+  def withSalt(saltHex: String): Codebook =
+    Codebook("00000000-0000-0000-0000-000000000000", saltHex)
+
+  /** Load codebook.json from `dir`, creating (and persisting) a fresh
+    * 32-byte salt + id when absent — mirroring the reference's lifecycle.
+    */
+  def loadOrCreate(dir: String): Codebook = {
+    val path = Paths.get(dir, "codebook.json")
+    if (Files.exists(path)) {
+      val node = mapper.readTree(Files.readAllBytes(path))
+      Codebook(node.get("codebook_id").asText(),
+        node.get("id_salt").asText())
+    } else {
+      val bytes = new Array[Byte](32)
+      new SecureRandom().nextBytes(bytes)
+      val cb = Codebook(UUID.randomUUID().toString,
+        bytes.map("%02x".format(_)).mkString)
+      save(path, cb)
+      cb
+    }
+  }
+
+  private def save(path: Path, cb: Codebook): Unit = {
+    Files.createDirectories(path.getParent)
+    val root = mapper.createObjectNode()
+    root.put("version", 1)
+    root.put("codebook_id", cb.codebookId)
+    root.put("id_salt", cb.saltHex)
+    Files.write(path, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+  }
+}
