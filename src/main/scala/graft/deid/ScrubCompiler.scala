@@ -1,0 +1,200 @@
+package graft.deid
+
+import graft.functions.DeidFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles (scrub policy × resource schema) into a nested Column
+  * projection — the engine's core custom operator (SURVEY §2.3 P1-P3).
+  *
+  * The reference walks each resource dict row-by-row in Python
+  * (deid/scrubber.py:117-306); here the same allow-list semantics become
+  * ONE generated `select` per resource type: unknown fields vanish via
+  * projection (which also lets Catalyst prune the parquet/JSON scan),
+  * per-leaf actions are builtin expressions or the HMAC expression, and
+  * array elements are handled with higher-order functions — all inside
+  * whole-stage codegen, no row UDF.
+  *
+  * Rejection semantics (P3): rows with unknown modifierExtensions (FHIR:
+  * modifiers change meaning — scrubber.py:351-372) or no resourceType are
+  * filtered out, via a compiled boolean alongside the projection.
+  *
+  * v1 gaps vs the reference, documented: conditional sub-schemas
+  * ("Identifier;system=..."), primitive `_field` extensions, and the
+  * masked data-absent-reason sibling extension are not yet emitted.
+  */
+object ScrubCompiler {
+
+  /** Per-node compiled form: a projector and a reject predicate, both as
+    * Column→Column so they compose inside array lambdas.
+    */
+  private case class Node(
+      project: Column => Column,
+      reject: Column => Column
+  )
+
+  private val noReject: Column => Column = _ => lit(false)
+
+  def scrub(
+      df: DataFrame,
+      resourceType: String,
+      codebook: Codebook,
+      policy: ScrubPolicy = DefaultScrubPolicy.policy,
+      nlpMode: Boolean = false
+  ): DataFrame = {
+    val ctx = Ctx(policy, codebook, nlpMode)
+    val rules = policy.resolve(resourceType)
+    val fieldNodes = df.schema.fields.toSeq.flatMap { f =>
+      compileField(resourceType, f, rules, ctx).map(f -> _)
+    }
+    val rejectCond = fieldNodes
+      .map { case (f, n) => n.reject(col(f.name)) }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    df.filter(col("resourceType") === lit(resourceType))
+      .filter(!rejectCond)
+      .select(fieldNodes.map { case (f, n) =>
+        n.project(col(f.name)).as(f.name)
+      }: _*)
+  }
+
+  private case class Ctx(
+      policy: ScrubPolicy,
+      codebook: Codebook,
+      nlpMode: Boolean
+  )
+
+  /** Compile one named struct type against its policy. */
+  private def compileStruct(
+      typeName: String,
+      schema: StructType,
+      ctx: Ctx
+  ): Node = {
+    val rules = ctx.policy.resolve(typeName)
+    val fieldNodes: Seq[(StructField, Node)] = schema.fields.toSeq.flatMap {
+      f => compileField(typeName, f, rules, ctx).map(f -> _)
+    }
+    val project: Column => Column = { input =>
+      if (fieldNodes.isEmpty) lit(null)
+      else {
+        val members = fieldNodes.map { case (f, n) =>
+          n.project(input.getField(f.name)).as(f.name)
+        }
+        val s = struct(members: _*)
+        val anyNotNull = fieldNodes
+          .map { case (f, n) => n.project(input.getField(f.name)).isNotNull }
+          .reduce(_ || _)
+        when(input.isNull || !anyNotNull, lit(null)).otherwise(s)
+      }
+    }
+    val reject: Column => Column = { input =>
+      val rejects = fieldNodes.map { case (f, n) =>
+        input.isNotNull && n.reject(input.getField(f.name))
+      }
+      if (rejects.isEmpty) lit(false) else rejects.reduce(_ || _)
+    }
+    Node(project, reject)
+  }
+
+  /** Compile one field under its parent type's resolved rules; None =
+    * field not in the allow-list → dropped.
+    */
+  private def compileField(
+      parentType: String,
+      field: StructField,
+      rules: Map[String, Rule.Rule],
+      ctx: Ctx
+  ): Option[Node] = {
+    import Rule._
+    val isModifier = field.name == "modifierExtension"
+    val isExtension = field.name == "extension" || isModifier
+    rules.get(field.name) match {
+      case None => None
+      case Some(rule) if isExtension =>
+        Some(compileExtensions(field, isModifier, ctx))
+      case Some(TypeRef(t)) =>
+        field.dataType match {
+          case st: StructType =>
+            Some(compileStruct(t, st, ctx))
+          case ArrayType(st: StructType, _) =>
+            val elem = compileStruct(t, st, ctx)
+            Some(arrayNode(elem))
+          case _ =>
+            // schema/policy disagree (e.g. policy expects an element but
+            // data is a primitive): drop, like the reference's warn+skip
+            None
+        }
+      case Some(leaf) =>
+        field.dataType match {
+          case ArrayType(dt, _) =>
+            val elem = leafNode(leaf, dt, ctx)
+            Some(arrayNode(elem))
+          case dt => Some(leafNode(leaf, dt, ctx))
+        }
+    }
+  }
+
+  /** Extension arrays: unknown urls dropped (counted upstream via P2's
+    * census query); unknown modifierExtension urls reject the resource.
+    */
+  private def compileExtensions(
+      field: StructField,
+      isModifier: Boolean,
+      ctx: Ctx
+  ): Node = {
+    val allowed =
+      if (isModifier) ctx.policy.allowedModifierExtensions
+      else ctx.policy.allowedExtensions
+    val allowedArr = array(allowed.toSeq.sorted.map(lit): _*)
+    field.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val elem = compileStruct("Extension", st, ctx)
+        val project: Column => Column = { arr =>
+          val kept = filter(arr,
+            e => array_contains(allowedArr, e.getField("url")))
+          val projected = transform(kept, e => elem.project(e))
+          val nonNull = filter(projected, x => x.isNotNull)
+          when(arr.isNull || size(nonNull) === 0, lit(null))
+            .otherwise(nonNull)
+        }
+        val reject: Column => Column = { arr =>
+          if (isModifier)
+            arr.isNotNull && exists(arr,
+              e => !array_contains(allowedArr, e.getField("url")))
+          else lit(false)
+        }
+        Node(project, reject)
+      case _ => Node(_ => lit(null), noReject)
+    }
+  }
+
+  private def arrayNode(elem: Node): Node = Node(
+    project = { arr =>
+      val projected = transform(arr, e => elem.project(e))
+      val nonNull = filter(projected, x => x.isNotNull)
+      when(arr.isNull || size(nonNull) === 0, lit(null)).otherwise(nonNull)
+    },
+    reject = { arr => arr.isNotNull && exists(arr, e => elem.reject(e)) }
+  )
+
+  /** Leaf actions (SURVEY §2.4). Strings get the trim/empty-null cleanup
+    * (F8) regardless of action, mirroring scrubber.py:236-243.
+    */
+  private def leafNode(rule: Rule.Rule, dt: DataType, ctx: Ctx): Node = {
+    import Rule._
+    val project: Column => Column = rule match {
+      case Val | Philter =>
+        c => if (dt == StringType) DeidFunctions.cleanString(c) else c
+      case Year => c => DeidFunctions.yearOf(DeidFunctions.cleanString(c))
+      case Zip => c => DeidFunctions.zipGeneralize(DeidFunctions.cleanString(c))
+      case AnonId => c => ctx.codebook.fakeId(DeidFunctions.cleanString(c))
+      case AnonRef => c => ctx.codebook.anonRef(DeidFunctions.cleanString(c))
+      case Mask => _ => lit(null).cast(dt)
+      case MaskNote =>
+        if (ctx.nlpMode) c => c else _ => lit(null).cast(dt)
+      case TypeRef(_) => c => c // unreachable; handled in compileField
+    }
+    Node(project, noReject)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** FHIR bulk-export NDJSON scanning (SURVEY §2.1 S1/S2/S5).
+  *
+  * The reference streams files row-by-row and types each file by its
+  * first row's resourceType (loaders/fhir/ndjson_loader.py:31-38,
+  * common.py:129-168). Spark-first: one `spark.read.json` per resource
+  * type over the whole directory (executors read the files directly —
+  * the reference's local staging copy S3 is unnecessary), with the
+  * resourceType mismatch filter applied as a cheap predicate.
+  */
+object NdjsonSource {
+
+  /** Detect which resource types exist in a directory by sampling the
+    * first line of each .ndjson file — driver-side planning (S2), cheap
+    * because it never reads past line 1.
+    */
+  def detectResources(spark: SparkSession, dir: String): Set[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) return Set.empty
+    val files = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".ndjson") ||
+        s.getPath.getName.endsWith(".jsonl")))
+    files.flatMap { s =>
+      val in = fs.open(s.getPath)
+      try {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Option(reader.readLine()).flatMap { line =>
+          "\"resourceType\"\\s*:\\s*\"([A-Za-z]+)\"".r
+            .findFirstMatchIn(line).map(_.group(1))
+        }
+      } finally in.close()
+    }.toSet
+  }
+
+  /** Read every row of one resource type from a bulk-export dir.
+    * With an explicit schema the JSON scan prunes to exactly the
+    * policy-needed columns; rows of other types are filtered (the
+    * reference warns & skips them — common.py:150-161).
+    */
+  def readResource(
+      spark: SparkSession,
+      dir: String,
+      resourceType: String,
+      schema: Option[StructType] = None
+  ): DataFrame = {
+    val reader = spark.read
+    val withSchema = schema.fold(reader)(reader.schema)
+    withSchema
+      .json(s"$dir/*.ndjson")
+      .filter(col("resourceType") === lit(resourceType))
+  }
+
+  /** S5: deleted-ids bundles — FHIR transaction Bundles under deleted/
+    * whose DELETE entries name "Type/id" URLs; returns (resourceType, id)
+    * rows (loaders/fhir/ndjson_loader.py:92-114).
+    */
+  def readDeletedIds(spark: SparkSession, dir: String): DataFrame = {
+    val bundles = spark.read.json(s"$dir/*.ndjson")
+    bundles
+      .filter(col("resourceType") === "Bundle" && col("type") === "transaction")
+      .select(explode(col("entry")).as("entry"))
+      .select(col("entry.request.method").as("method"),
+        col("entry.request.url").as("url"))
+      .filter(col("method") === "DELETE")
+      .select(
+        substring_index(col("url"), "/", 1).as("resource_type"),
+        substring_index(col("url"), "/", -1).as("id")
+      )
+  }
+
+  /** S4: bulk-export log — find the last kickoff's export group and the
+    * completion transactionTime (loaders/fhir/export_log.py:38-109).
+    * Tiny file: collected to the driver as run metadata.
+    */
+  def parseExportLog(spark: SparkSession, logPath: String):
+      Option[(String, String)] = {
+    val rows = spark.read.json(logPath)
+    if (!rows.columns.contains("eventId")) return None
+    val kickoff = rows
+      .filter(col("eventId") === "kickoff")
+      .orderBy(col("timestamp").desc)
+      .select(col("eventDetail.exportUrl"))
+      .collect()
+      .headOption
+      .map(_.getString(0))
+    val completeTime = rows
+      .filter(col("eventId") === "status_complete")
+      .orderBy(col("timestamp").desc)
+      .select(col("eventDetail.transactionTime"))
+      .collect()
+      .headOption
+      .map(_.getString(0))
+    for (url <- kickoff; t <- completeTime) yield {
+      // group name = path segment before $export, e.g. .../Group/G1/$export
+      val group = "/Group/([^/]+)/".r
+        .findFirstMatchIn(url).map(_.group(1)).getOrElse("")
+      (group, t)
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.deid.{Codebook, ScrubCompiler}
+import graft.sources.NdjsonSource
+import org.apache.spark.sql.functions._
+
+/** End-to-end scrubber behavior over self-authored FHIR R4 rows (shapes
+  * follow the public FHIR spec; values invented here).
+  */
+class ScrubberSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val cb = Codebook.withSalt("42" * 32)
+
+  private def hashOf(s: String): String =
+    Seq(s).toDF("x").select(cb.fakeId(col("x"))).head().getString(0)
+
+  private val patients = Seq(
+    """{"resourceType":"Patient","id":"pat1","gender":"female","birthDate":"1982-07-15","name":[{"family":"Smith","given":["Jane"]}],"telecom":[{"system":"phone","value":"555-1234"}],"address":[{"city":"Boston","state":"MA","postalCode":"02115","line":["1 Main St"]}],"managingOrganization":{"reference":"Organization/org1"}}""",
+    """{"resourceType":"Patient","id":"pat2","gender":"male","birthDate":"1990-01-02","address":[{"state":"NH","postalCode":"03601"}]}""",
+    """{"resourceType":"Patient","id":"pat3","gender":"other","modifierExtension":[{"url":"http://example.com/sneaky","valueString":"changes-meaning"}]}"""
+  )
+
+  test("scrub: allow-list projection, generalization, hashing, rejection") {
+    val df = spark.read.json(patients.toDS())
+    val out = ScrubCompiler.scrub(df, "Patient", cb)
+
+    // pat3 rejected for its unknown modifierExtension
+    assert(out.count() === 2)
+    // dropped fields are gone from the schema entirely
+    val cols = out.columns.toSet
+    assert(!cols.contains("name") && !cols.contains("telecom"))
+    assert(cols.contains("id") && cols.contains("address"))
+
+    val rows = out.orderBy("gender").collect()
+    val jane = rows(0) // female
+    assert(jane.getAs[String]("id") === hashOf("pat1"))
+    assert(jane.getAs[String]("birthDate") === "1982")
+    val addr = jane.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("address").head
+    assert(addr.getAs[String]("postalCode") === "02100")
+    assert(addr.getAs[String]("state") === "MA")
+    // address.city / line are not in the allow-list
+    assert(!addr.schema.fieldNames.contains("city"))
+    val managingOrg: org.apache.spark.sql.Row =
+      jane.getAs[org.apache.spark.sql.Row]("managingOrganization")
+    assert(managingOrg.getAs[String]("reference") ===
+      s"Organization/${hashOf("org1")}")
+
+    val pat2 = rows(1) // male; restricted zip prefix 036 → 00000
+    val addr2 = pat2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("address").head
+    assert(addr2.getAs[String]("postalCode") === "00000")
+  }
+
+  test("scrub: unknown extensions dropped, allowed ones kept") {
+    val rows = Seq(
+      """{"resourceType":"Patient","id":"p1","extension":[{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":"F"},{"url":"http://example.com/secret","valueString":"phi"}]}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val out = ScrubCompiler.scrub(df, "Patient", cb).head()
+    val exts = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("extension")
+    assert(exts.length === 1)
+    assert(exts.head.getAs[String]("url").contains("us-core-birthsex"))
+    assert(exts.head.getAs[String]("valueCode") === "F")
+  }
+
+  test("scrub: observation values keep codes, mask free text") {
+    val rows = Seq(
+      """{"resourceType":"Observation","id":"obs1","status":"final","code":{"coding":[{"system":"http://loinc.org","code":"8867-4","display":"Heart rate"}],"text":"  HR  "},"subject":{"reference":"Patient/pat1"},"valueQuantity":{"value":72,"unit":"beats/min"},"valueString":"free text PHI"}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val out = ScrubCompiler.scrub(df, "Observation", cb).head()
+    val code = out.getAs[org.apache.spark.sql.Row]("code")
+    assert(code.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")
+      .head.getAs[String]("code") === "8867-4")
+    // Philter leaf keeps text but cleans whitespace
+    assert(code.getAs[String]("text") === "HR")
+    assert(out.getAs[String]("valueString") === null) // Mask
+    assert(out.getAs[org.apache.spark.sql.Row]("subject")
+      .getAs[String]("reference") === s"Patient/${hashOf("pat1")}")
+  }
+
+  test("empty structs prune to null, empty strings to null") {
+    val rows = Seq(
+      """{"resourceType":"Observation","id":"o1","status":"","valueQuantity":{"value":null,"unit":null}}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val out = ScrubCompiler.scrub(df, "Observation", cb).head()
+    assert(out.getAs[String]("status") === null)
+    assert(out.getAs[Any]("valueQuantity") === null)
+  }
+
+  test("ndjson source: detection, typed read, deleted ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ndjson").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "Patient.ndjson"),
+      patients.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "mixed.ndjson"),
+      """{"resourceType":"Observation","id":"obsX","status":"final"}"""
+        .getBytes("UTF-8"))
+    assert(NdjsonSource.detectResources(spark, dir) ===
+      Set("Patient", "Observation"))
+    assert(NdjsonSource.readResource(spark, dir, "Patient").count() === 3)
+    assert(NdjsonSource.readResource(spark, dir, "Observation").count() === 1)
+
+    val delDir = java.nio.file.Files.createTempDirectory("deleted").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(delDir, "deleted.ndjson"),
+      """{"resourceType":"Bundle","type":"transaction","entry":[{"request":{"method":"DELETE","url":"Patient/p9"}},{"request":{"method":"DELETE","url":"Observation/o9"}},{"request":{"method":"GET","url":"Patient/keep"}}]}"""
+        .getBytes("UTF-8"))
+    val deleted = NdjsonSource.readDeletedIds(spark, delDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(deleted === Set(("Patient", "p9"), ("Observation", "o9")))
+  }
+
+  test("export log parsing extracts group and transaction time") {
+    val dir = java.nio.file.Files.createTempDirectory("log").toString
+    val log = java.nio.file.Paths.get(dir, "log.ndjson")
+    java.nio.file.Files.write(log, Seq(
+      """{"eventId":"kickoff","timestamp":"2024-01-01T00:00:00Z","eventDetail":{"exportUrl":"https://fhir.example.com/Group/cohort-a/$export"}}""",
+      """{"eventId":"status_complete","timestamp":"2024-01-01T01:00:00Z","eventDetail":{"transactionTime":"2024-01-01T00:59:00Z"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    assert(NdjsonSource.parseExportLog(spark, log.toString) ===
+      Some(("cohort-a", "2024-01-01T00:59:00Z")))
+  }
+}
