@@ -1,0 +1,162 @@
+package graft.etl
+
+import graft.deid.{Codebook, DefaultScrubPolicy, ScrubCompiler, ScrubPolicy}
+import graft.operators.MergeOps
+import graft.operators.MergeOps.MergeSpec
+import graft.sinks.GraftTable
+import graft.sources.NdjsonSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end ETL flow (SURVEY §3.1): per resource task,
+  * read NDJSON → scrub → dedup (last-wins) → merge into the output
+  * table → completion bookkeeping — each stage one of the already-tested
+  * operators; this driver only sequences them.
+  */
+object EtlPipeline {
+
+  /** One per-resource task (the reference's task classes,
+    * etl/tasks/task_factory.py:48-80, collapsed to configuration).
+    */
+  final case class EtlTask(
+      resourceType: String,
+      tableName: String,
+      groupField: Option[String] = None,
+      updateExisting: Boolean = true
+  ) {
+    def mergeSpec: MergeSpec = MergeSpec(
+      keys = Seq("id"),
+      updateExisting = updateExisting,
+      guardField = None,
+      groupField = groupField
+    )
+  }
+
+  val DefaultTasks: Seq[EtlTask] = Seq(
+    // Patient & Encounter first, mirroring the reference's ordering (O6)
+    EtlTask("Patient", "patient"),
+    EtlTask("Encounter", "encounter"),
+    EtlTask("Condition", "condition"),
+    EtlTask("Observation", "observation"),
+    EtlTask("DocumentReference", "documentreference")
+  )
+
+  final case class TaskResult(
+      table: String,
+      attempted: Boolean,
+      rows: Long
+  )
+
+  /** Run the pipeline: returns per-task summaries (A7-style). */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      phiDir: String,
+      tasks: Seq[EtlTask] = DefaultTasks,
+      policy: ScrubPolicy = DefaultScrubPolicy.policy,
+      groupName: String = "",
+      exportTime: String = ""
+  ): Seq[TaskResult] = {
+    val codebook = Codebook.loadOrCreate(phiDir)
+    val available = NdjsonSource.detectResources(spark, inputDir)
+
+    val results = tasks.map { task =>
+      if (!available.contains(task.resourceType)) {
+        TaskResult(task.tableName, attempted = false, rows = 0)
+      } else {
+        val raw = NdjsonSource.readResource(spark, inputDir,
+          task.resourceType)
+        val scrubbed = ScrubCompiler.scrub(raw, task.resourceType,
+          codebook, policy)
+        // A1: last-wins on id in input order
+        val deduped = MergeOps.dedupLastWins(
+          scrubbed.withColumn("__seq", monotonically_increasing_id()),
+          Seq("id"),
+          Seq(col("__seq"))
+        ).drop("__seq")
+
+        val table = GraftTable(spark, s"$outputDir/${task.tableName}",
+          task.mergeSpec)
+        table.merge(deduped)
+
+        // Patient/Encounter reversibility side-output (SURVEY §7.4.3)
+        if (task.resourceType == "Patient" ||
+          task.resourceType == "Encounter") {
+          val mapping = codebook.mappingTable(
+            raw.filter(col("resourceType") === task.resourceType),
+            "id", task.resourceType)
+          GraftTable(spark, s"$phiDir/codebook-mappings",
+            MergeSpec(Seq("resource_type", "real_id"))).merge(mapping)
+        }
+
+        val n = table.read().count()
+        Completion.recordTable(spark, outputDir, task.tableName,
+          groupName, exportTime)
+        TaskResult(task.tableName, attempted = true, rows = n)
+      }
+    }
+
+    // deleted-ids bundles (S5 → K3)
+    val deletedDir = s"$inputDir/deleted"
+    if (Files.exists(java.nio.file.Paths.get(deletedDir))) {
+      val deleted = NdjsonSource.readDeletedIds(spark, deletedDir).cache()
+      tasks.foreach { task =>
+        val ids = deleted
+          .filter(col("resource_type") === task.resourceType)
+          .select(codebook.fakeId(col("id")).as("id"))
+        val table = GraftTable(spark, s"$outputDir/${task.tableName}",
+          task.mergeSpec)
+        if (table.exists) table.deleteIds(ids)
+      }
+      deleted.unpersist()
+    }
+    results
+  }
+
+  private object Files {
+    def exists(p: java.nio.file.Path): Boolean =
+      java.nio.file.Files.exists(p)
+  }
+}
+
+/** Completion-tracking tables (SURVEY §2.2 K9; completion/schema.py:12-75:
+  * all-string columns by design so NDJSON replay round-trips).
+  */
+object Completion {
+
+  def recordTable(
+      spark: SparkSession,
+      outputDir: String,
+      tableName: String,
+      groupName: String,
+      exportTime: String
+  ): Unit = {
+    import spark.implicits._
+    val etlTime = java.time.Instant.now().toString
+    val row = Seq((tableName, groupName, exportTime, etlTime))
+      .toDF("table_name", "group_name", "export_time", "etl_time")
+    GraftTable(spark, s"$outputDir/etl__completion",
+      MergeSpec(Seq("table_name", "group_name", "export_time"),
+        updateExisting = false)).merge(row)
+  }
+
+  /** Encounter completion fan-out (J7): one row per encounter, insert-only
+    * so the first export time wins (etl/tasks/basic_tasks.py:36-68).
+    */
+  def recordEncounters(
+      spark: SparkSession,
+      outputDir: String,
+      encounterIds: DataFrame,
+      groupName: String,
+      exportTime: String
+  ): Unit = {
+    val rows = encounterIds
+      .select(col(encounterIds.columns.head).as("encounter_id"))
+      .withColumn("group_name", lit(groupName))
+      .withColumn("export_time", lit(exportTime))
+    GraftTable(spark, s"$outputDir/etl__completion_encounters",
+      MergeSpec(Seq("encounter_id", "group_name"),
+        updateExisting = false)).merge(rows)
+  }
+}

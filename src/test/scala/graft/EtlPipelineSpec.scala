@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.etl.EtlPipeline
+import graft.operators.MergeOps.MergeSpec
+import graft.sinks.{GraftTable, NdjsonSink}
+import org.apache.spark.sql.functions._
+
+class EtlPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("GraftTable: merge/read/delete/optimize/vacuum lifecycle") {
+    val path = tmp("gt")
+    val t = GraftTable(spark, path, MergeSpec(Seq("id")))
+    assert(!t.exists)
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.read().count() === 2)
+    t.merge(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+    val afterUpsert = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(afterUpsert.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    t.deleteIds(Seq(1L).toDF("id"))
+    assert(t.read().count() === 2)
+    t.optimize()
+    t.vacuum()
+    assert(t.read().count() === 2)
+    // only the live version dir remains
+    val versions = Files.list(Paths.get(path)).toArray
+      .map(_.toString.split("/").last).filter(_.startsWith("v"))
+    assert(versions.length === 1)
+  }
+
+  test("NdjsonSink: batch-indexed sparse files with sidecars, resume") {
+    val dir = tmp("ndj")
+    val df = Seq(("a", Some(1)), ("b", None)).toDF("id", "x")
+    val f0 = NdjsonSink.writeBatch(df, dir, "patient",
+      groups = Seq("g1"), deleted = Seq("dead1"))
+    assert(f0.endsWith("patient.000.ndjson"))
+    val lines = Files.readAllLines(Paths.get(f0))
+    assert(lines.size() === 2)
+    // sparse: null x omitted
+    assert(lines.toArray.exists(_.toString === """{"id":"b"}"""))
+    val meta = new String(Files.readAllBytes(
+      Paths.get(dir, "patient.000.meta")), "UTF-8")
+    assert(meta.contains("g1") && meta.contains("dead1"))
+    val f1 = NdjsonSink.writeBatch(df, dir, "patient")
+    assert(f1.endsWith("patient.001.ndjson"))
+  }
+
+  test("ETL pipeline: scrub+dedup+merge end-to-end, idempotent rerun") {
+    val input = tmp("etl-in")
+    val output = tmp("etl-out")
+    val phi = tmp("etl-phi")
+    Files.write(Paths.get(input, "Patient.ndjson"), Seq(
+      """{"resourceType":"Patient","id":"p1","gender":"female","birthDate":"1982-07-15"}""",
+      """{"resourceType":"Patient","id":"p2","gender":"male","birthDate":"1990-01-02"}""",
+      """{"resourceType":"Patient","id":"p2","gender":"male","birthDate":"1991-12-31"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(input, "Observation.ndjson"), Seq(
+      """{"resourceType":"Observation","id":"o1","status":"final","subject":{"reference":"Patient/p1"}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val results = EtlPipeline.run(spark, input, output, phi,
+      groupName = "g1", exportTime = "2024-01-01T00:00:00Z")
+    val byTable = results.map(r => r.table -> r).toMap
+    assert(byTable("patient").rows === 2) // p2 deduped last-wins
+    assert(byTable("observation").rows === 1)
+    assert(!byTable("condition").attempted) // no input present
+
+    // last-wins: p2 kept the LATER row (birthDate 1991 → year)
+    val patients = GraftTable(spark, s"$output/patient",
+      MergeSpec(Seq("id"))).read()
+    val years = patients.select("birthDate").collect()
+      .map(_.getString(0)).toSet
+    assert(years === Set("1982", "1991"))
+    // ids are hashed
+    assert(patients.select("id").collect()
+      .forall(_.getString(0).matches("[0-9a-f]{64}")))
+
+    // codebook mapping side-output exists with real→fake rows
+    val mapping = GraftTable(spark, s"$phi/codebook-mappings",
+      MergeSpec(Seq("resource_type", "real_id"))).read()
+    assert(mapping.filter(col("resource_type") === "Patient").count() === 2)
+
+    // idempotent rerun: same outputs, no duplicates
+    EtlPipeline.run(spark, input, output, phi,
+      groupName = "g1", exportTime = "2024-01-01T00:00:00Z")
+    assert(GraftTable(spark, s"$output/patient",
+      MergeSpec(Seq("id"))).read().count() === 2)
+
+    // completion rows recorded once per (table, group, export)
+    val completion = GraftTable(spark, s"$output/etl__completion",
+      MergeSpec(Seq("table_name", "group_name", "export_time"))).read()
+    assert(completion.filter(col("table_name") === "patient").count() === 1)
+  }
+
+  test("ETL pipeline: deleted-id bundles remove rows via hashed ids") {
+    val input = tmp("etl2-in")
+    val output = tmp("etl2-out")
+    val phi = tmp("etl2-phi")
+    Files.write(Paths.get(input, "Patient.ndjson"), Seq(
+      """{"resourceType":"Patient","id":"p1","gender":"female"}""",
+      """{"resourceType":"Patient","id":"p2","gender":"male"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(input, "deleted"))
+    Files.write(Paths.get(input, "deleted", "deleted.ndjson"),
+      """{"resourceType":"Bundle","type":"transaction","entry":[{"request":{"method":"DELETE","url":"Patient/p1"}}]}"""
+        .getBytes("UTF-8"))
+    EtlPipeline.run(spark, input, output, phi)
+    val patients = GraftTable(spark, s"$output/patient",
+      MergeSpec(Seq("id"))).read()
+    assert(patients.count() === 1)
+  }
+}
