@@ -47,7 +47,10 @@ object SparkEntry {
     "q41_checksum" -> (DeidQueries.qChecksum _),
     "q42_check_system" -> (DeidQueries.qCheckSystem _),
     "q43_partial_dates" -> (DeidQueries.qPartialDates _),
-    "q44_anon_ids" -> (DeidQueries.qAnonIds _)
+    "q44_anon_ids" -> (DeidQueries.qAnonIds _),
+    "q50_window_agg" -> (StreamQueries.qWindowAgg _),
+    "q51_sessions" -> (StreamQueries.qSessions _),
+    "q52_event_deltas" -> (StreamQueries.qEventDeltas _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
@@ -74,6 +77,9 @@ object SparkEntry {
     "q40_deid_scalars" -> DeidQueries.qDeidScalarsSql,
     "q41_checksum" -> DeidQueries.qChecksumSql,
     "q42_check_system" -> DeidQueries.qCheckSystemSql,
-    "q43_partial_dates" -> DeidQueries.qPartialDatesSql
+    "q43_partial_dates" -> DeidQueries.qPartialDatesSql,
+    "q50_window_agg" -> StreamQueries.qWindowAggSql,
+    "q51_sessions" -> StreamQueries.qSessionsSql,
+    "q52_event_deltas" -> StreamQueries.qEventDeltasSql
   )
 }

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch forms of the streaming operators over `events` (SURVEY §2.9) —
+  * the same transforms EventStreams runs incrementally, so the DuckDB
+  * oracle checks both.
+  */
+object StreamQueries {
+
+  /** q50 — tumbling 1-hour windows per event_type. */
+  def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedAgg(Tables.events(spark, dir))
+
+  val qWindowAggSql: String =
+    """SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS wstart,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q51 — session windows (30-minute gap) per user via Spark's native
+    * session_window; a new session starts when the gap is ≥ 30 minutes
+    * (session extends while ts < previous end).
+    */
+  def qSessions(spark: SparkSession, dir: String): DataFrame =
+    EventStreams
+      .sessionAgg(Tables.events(spark, dir))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events")
+      )
+
+  val qSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(COUNT(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id""".stripMargin
+
+  /** q52 — event-time lag analytics: per (user, event order) deltas —
+    * the window-function shape streaming pipelines use for gap
+    * detection; also exercises JSON extraction from the props column.
+    */
+  def qEventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (unix_micros(col("ts")) -
+          coalesce(unix_micros(lag(col("ts"), 1).over(w)),
+            unix_micros(col("ts"))))
+          .as("micros_since_prev")
+      )
+  }
+
+  val qEventDeltasSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, props,
+      |    date_trunc('microseconds', ts) AS ts
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(COALESCE(
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)),
+      |    0) AS BIGINT) AS micros_since_prev
+      |FROM e""".stripMargin
+}

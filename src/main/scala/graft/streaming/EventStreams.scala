@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the events stream (SURVEY §2.9:
+  * the reference is batch-with-incremental-merge; the Spark-native
+  * evolution is watermarked streaming with the SAME transforms, so the
+  * batch queries in [[graft.queries.StreamQueries]] and these streaming
+  * versions share logic).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation: count + exact sum per (window,
+    * event_type). Works on a batch OR streaming DataFrame — in streaming
+    * mode add [[withWatermark]] upstream and the plan becomes an
+    * incremental stateful agg.
+    */
+  def windowedAgg(events: DataFrame, windowLength: String = "1 hour")
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("total_value")
+      )
+      .select(
+        col("window.start").as("wstart"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+
+  /** Streaming variant with a watermark (late events beyond `lateness`
+    * are dropped; state for closed windows is evicted — the scale knob
+    * for unbounded streams).
+    */
+  def windowedAggStream(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "2 hours"
+  ): DataFrame =
+    windowedAgg(events.withWatermark("ts", lateness), windowLength)
+
+  /** Native session windows: activity sessions with a 30-minute gap per
+    * user (batch mode; in streaming the same expression works with a
+    * watermark).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+
+  // --- custom stateful operator: session tracking via state store ------
+
+  final case class Event(user_id: Long, ts: Timestamp)
+  final case class SessionState(count: Long, lastTs: Long)
+  final case class SessionSummary(user_id: Long, n_sessions: Long)
+
+  /** flatMapGroupsWithState-based session counter — the
+    * KeyValueGroupedDataset custom-state surface (§2.10): counts
+    * per-user sessions with a 30-minute gap, emitting on timeout. Used
+    * by StreamingSpec to prove parity with [[sessionAgg]].
+    */
+  def statefulSessionCount(
+      events: Dataset[Event],
+      gapMinutes: Long = 30
+  ): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (userId, rows, state: GroupState[SessionState]) =>
+        // batch-mode semantics: all rows for the key arrive at once
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var sessions = 0L
+        var lastTs = Long.MinValue
+        sorted.foreach { e =>
+          if (lastTs == Long.MinValue || e.ts.getTime - lastTs >= gapMs)
+            sessions += 1
+          lastTs = e.ts.getTime
+        }
+        state.update(SessionState(sessions, lastTs))
+        Iterator.single(SessionSummary(userId, sessions))
+      }
+  }
+
+  /** Run a streaming query over a parquet directory with
+    * Trigger.AvailableNow and collect the result via a memory sink —
+    * the harness used by StreamingSpec to execute the REAL streaming
+    * engine (micro-batches, state store, watermarks) to completion.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      transformed: DataFrame,
+      queryName: String
+  ): DataFrame = {
+    val q = transformed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.EventStreams
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Runs the REAL streaming engine (micro-batch, state store, watermark)
+  * via Trigger.AvailableNow over the sf0.001 events and asserts parity
+  * with the batch forms of the same transforms.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    // stage events through our µs-normalized reader (streaming needs a
+    // plain parquet dir with a Spark-readable schema)
+    val dir = Files.createTempDirectory("events-stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed agg with watermark matches batch result") {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      EventStreams.windowedAggStream(stream),
+      "win_agg_test"
+    )
+    val batch = EventStreams.windowedAgg(spark.read.parquet(eventsDir))
+
+    // Append mode only emits windows the watermark has passed: windows
+    // inside the final lateness horizon stay open when the stream ends.
+    val maxTs = spark.read.parquet(eventsDir)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(
+      maxTs.getTime - 3 * 3600 * 1000) // window len + lateness margin
+
+    val s = streamed.orderBy("wstart", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val b = batch.orderBy("wstart", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(s.nonEmpty)
+    val sClosed = s.filter(_._1.before(horizon)).toSeq
+    val bClosed = b.filter(_._1.before(horizon)).toSeq
+    assert(sClosed === bClosed)
+    // and everything streamed agrees with batch (no wrong aggregates)
+    assert(s.toSet.subsetOf(b.toSet))
+  }
+
+  test("flatMapGroupsWithState session count matches session_window") {
+    val events = spark.read.parquet(eventsDir)
+      .select(col("user_id"), col("ts"))
+      .as[EventStreams.Event]
+    val stateful = EventStreams.statefulSessionCount(events)
+      .collect().map(s => s.user_id -> s.n_sessions).toMap
+    val viaWindow = EventStreams.sessionAgg(spark.read.parquet(eventsDir))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateful.nonEmpty)
+    assert(stateful === viaWindow)
+  }
+}
