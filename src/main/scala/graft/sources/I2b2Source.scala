@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** i2b2 legacy CSV source → FHIR rows (SURVEY §2.1 S6-S8).
+  *
+  * The reference streams dimension CSVs row-by-row through per-record
+  * Python transforms (loaders/i2b2/extract.py:13-53,
+  * transform.py:22-392); here each dimension is one CSV scan plus a
+  * declarative select — code lookups become broadcast literal maps via
+  * `element_at(typedLit(map))`, date chopping is substring, and the
+  * in-file first-wins dedup (S8, loader.py:114-139) is dropDuplicates.
+  */
+object I2b2Source {
+
+  /** FHIR administrative gender (transform.py: FHIR_GENDER; unknown
+    * codes → "other").
+    */
+  private val genderMap = typedlit(Map("F" -> "female", "M" -> "male",
+    "U" -> "unknown"))
+
+  /** CDC race + ethnicity codings (external_mappings.py:7-26). */
+  private val cdcOid = "urn:oid:2.16.840.1.113883.6.238"
+  private val nullFlavor =
+    "http://terminology.hl7.org/CodeSystem/v3-NullFlavor"
+  private val raceMap = typedlit(Map(
+    "White" -> s"$cdcOid|2106-3",
+    "Black or African American" -> s"$cdcOid|2054-5",
+    "American Indian or Alaska Native" -> s"$cdcOid|1002-5",
+    "Asian" -> s"$cdcOid|2028-9",
+    "Native Hawaiian or Other Pacific Islander" -> s"$cdcOid|2076-8",
+    "Other" -> s"$cdcOid|2131-1",
+    "Declined to Answer" -> s"$nullFlavor|ASKU",
+    "Unable to Answer" -> s"$nullFlavor|ASKU",
+    "Unknown" -> s"$nullFlavor|UNK"
+  ))
+  private val ethnicityMap = typedlit(Map(
+    "Hispanic or Latino" -> s"$cdcOid|2135-2",
+    "Not Hispanic or Latino" -> s"$cdcOid|2186-5",
+    "Declined to Answer" -> s"$nullFlavor|ASKU",
+    "Unable to Answer" -> s"$nullFlavor|ASKU",
+    "Unknown" -> s"$nullFlavor|UNK"
+  ))
+
+  /** SNOMED lab-result qualifiers (external_mappings.py:56-61). */
+  private val snomedLabMap = typedlit(Map(
+    "positive" -> "10828004",
+    "negative" -> "260385009",
+    "absent" -> "272519000"
+  ))
+
+  private def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S8: first-wins in-file dedup (later duplicate ids are export echos;
+    * contrast with the ETL-side LAST-wins dedup A1).
+    */
+  def dedupFirstWins(df: DataFrame, idCol: String): DataFrame =
+    df.dropDuplicates(idCol)
+
+  /** patient_dimension.csv → FHIR Patient rows (transform.py:22-86). */
+  def patients(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "PATIENT_NUM")
+    val raceKey = element_at(raceMap, col("RACE_CD"))
+    val ethKey = element_at(ethnicityMap, col("RACE_CD"))
+    def extFor(key: org.apache.spark.sql.Column, url: String) =
+      when(key.isNotNull,
+        struct(
+          lit(url).as("url"),
+          array(struct(
+            lit("ombCategory").as("url"),
+            struct(
+              split_part(key, lit("|"), lit(1)).as("system"),
+              split_part(key, lit("|"), lit(2)).as("code"),
+              col("RACE_CD").as("display")
+            ).as("valueCoding")
+          )).as("extension")
+        ))
+    raw.select(
+      lit("Patient").as("resourceType"),
+      col("PATIENT_NUM").as("id"),
+      when(col("BIRTH_DATE").isNotNull,
+        substring(col("BIRTH_DATE"), 1, 10)).as("birthDate"),
+      when(col("DEATH_DATE").isNotNull,
+        substring(col("DEATH_DATE"), 1, 10)).as("deceasedDateTime"),
+      when(col("SEX_CD").isNotNull,
+        coalesce(element_at(genderMap, col("SEX_CD")), lit("other")))
+        .as("gender"),
+      when(col("ZIP_CD").isNotNull,
+        array(struct(lit("US").as("country"),
+          col("ZIP_CD").as("postalCode")))).as("address"),
+      filter(array(extFor(raceKey,
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"),
+        extFor(ethKey,
+          "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity")),
+        e => e.isNotNull).as("extension")
+    )
+  }
+
+  /** visit_dimension.csv → FHIR Encounter rows (transform.py:87-123). */
+  def encounters(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "ENCOUNTER_NUM")
+    raw.select(
+      lit("Encounter").as("resourceType"),
+      col("ENCOUNTER_NUM").as("id"),
+      lit("finished").as("status"),
+      struct(
+        concat(lit("Patient/"), col("PATIENT_NUM")).as("reference")
+      ).as("subject"),
+      struct(
+        when(col("START_DATE").isNotNull,
+          substring(col("START_DATE"), 1, 10)).as("start"),
+        when(col("END_DATE").isNotNull,
+          substring(col("END_DATE"), 1, 10)).as("end")
+      ).as("period")
+    )
+  }
+
+  /** observation_fact lab CSV → FHIR Observation rows with SNOMED
+    * result interpretation (transform.py:124-165).
+    */
+  def labObservations(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    val resultCode = element_at(snomedLabMap, lower(col("TVAL_CHAR")))
+    raw.select(
+      lit("Observation").as("resourceType"),
+      col("INSTANCE_NUM").as("id"),
+      lit("final").as("status"),
+      struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
+        .as("subject"),
+      struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
+        .as("reference")).as("encounter"),
+      when(col("START_DATE").isNotNull,
+        substring(col("START_DATE"), 1, 10)).as("effectiveDateTime"),
+      struct(array(struct(
+        lit("http://loinc.org").as("system"),
+        col("CONCEPT_CD").as("code")
+      )).as("coding")).as("code"),
+      when(resultCode.isNotNull,
+        struct(array(struct(
+          lit("http://snomed.info/sct").as("system"),
+          resultCode.as("code"),
+          col("TVAL_CHAR").as("display")
+        )).as("coding"))).as("valueCodeableConcept")
+    )
+  }
+}
