@@ -74,8 +74,26 @@ object NearDedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignature(col(textCol), numHashes, shingleSize, seed)
-    val withSig = df.select(col(idCol).as("__id"), sig.as("__sig"))
+    // Signature via explode + one hash-aggregate with numHashes MIN
+    // columns: each shingle is hashed exactly once, all permutations run
+    // as codegen'd agg expressions with map-side partial combine — ONE
+    // shuffle on the doc id. (The nested-transform array form recomputes
+    // the shingle array per permutation: 60× slower at sf0.1.)
+    val exploded = df.select(
+      col(idCol).as("__id"),
+      explode(transform(TextFunctions.wordNgrams(col(textCol), shingleSize),
+        s => xxhash64(s))).as("__x")
+    )
+    val coeffs = coefficients(numHashes, seed)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * (col("__x").bitwiseAND(lit(MersennePrime))) + lit(b),
+        lit(MersennePrime))).as(s"__h$i")
+    }
+    val withSig = exploded
+      .groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
 
     val banded = withSig
       .select(
