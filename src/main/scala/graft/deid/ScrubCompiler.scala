@@ -44,19 +44,42 @@ object ScrubCompiler {
       nlpMode: Boolean = false
   ): DataFrame = {
     val ctx = Ctx(policy, codebook, nlpMode)
-    val rules = policy.resolve(resourceType)
-    val fieldNodes = df.schema.fields.toSeq.flatMap { f =>
-      compileField(resourceType, f, rules, ctx).map(f -> _)
-    }
-    val rejectCond = fieldNodes
-      .map { case (f, n) => n.reject(col(f.name)) }
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
+    val node = compileStruct(resourceType, df.schema, ctx)
+    val rowCol = struct(df.columns.map(col): _*)
     df.filter(col("resourceType") === lit(resourceType))
-      .filter(!rejectCond)
-      .select(fieldNodes.map { case (f, n) =>
-        n.project(col(f.name)).as(f.name)
-      }: _*)
+      .filter(!node.reject(rowCol))
+      .select(node.project(rowCol).as("__row"))
+      .filter(col("__row").isNotNull)
+      .select(col("__row.*"))
+  }
+
+  /** P2/A4: census of extension urls the policy drops — the side-output
+    * report the reference prints at the end of a run
+    * (deid/scrubber.py:94-102,343-349). One distributed count, no
+    * mutation of the main flow.
+    */
+  def extensionCensus(
+      df: DataFrame,
+      resourceType: String,
+      policy: ScrubPolicy = DefaultScrubPolicy.policy
+  ): DataFrame = {
+    val cols = df.columns.toSet
+    val sources = Seq("extension", "modifierExtension").filter(cols)
+    val allowed = array(
+      policy.allowedExtensions.toSeq.sorted.map(lit): _*)
+    val perCol = sources.map { c =>
+      df.select(explode(col(c)).as("__e"))
+        .select(col("__e.url").as("url"))
+        .filter(!array_contains(allowed, col("url")))
+    }
+    perCol
+      .reduceOption(_ unionByName _)
+      .getOrElse(df.sparkSession.emptyDataFrame
+        .withColumn("url", lit(null).cast("string")))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .withColumn("resource_type", lit(resourceType))
+      .select("resource_type", "url", "n_dropped")
   }
 
   private case class Ctx(
@@ -75,15 +98,21 @@ object ScrubCompiler {
     val fieldNodes: Seq[(StructField, Node)] = schema.fields.toSeq.flatMap {
       f => compileField(typeName, f, rules, ctx).map(f -> _)
     }
+    val maskedSiblings = maskedSiblingFields(typeName, schema, rules, ctx)
     val project: Column => Column = { input =>
-      if (fieldNodes.isEmpty) lit(null)
+      if (fieldNodes.isEmpty && maskedSiblings.isEmpty) lit(null)
       else {
         val members = fieldNodes.map { case (f, n) =>
           n.project(input.getField(f.name)).as(f.name)
+        } ++ maskedSiblings.map { name =>
+          when(input.getField(name).isNotNull,
+            struct(DeidFunctions.maskedExtension.as("extension")))
+            .as(s"_$name")
         }
         val s = struct(members: _*)
-        val anyNotNull = fieldNodes
+        val anyNotNull = (fieldNodes
           .map { case (f, n) => n.project(input.getField(f.name)).isNotNull }
+          ++ maskedSiblings.map(name => input.getField(name).isNotNull))
           .reduce(_ || _)
         when(input.isNull || !anyNotNull, lit(null)).otherwise(s)
       }
@@ -96,6 +125,22 @@ object ScrubCompiler {
     }
     Node(project, reject)
   }
+
+  /** F5: masked primitive leaves get a sibling `_field` carrying the
+    * data-absent-reason extension (scrubber.py:320-335). MaskNote only
+    * masks outside NLP mode.
+    */
+  private def maskedSiblingFields(
+      typeName: String,
+      schema: StructType,
+      rules: Map[String, Rule.Rule],
+      ctx: Ctx
+  ): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if rules.get(f.name).contains(Rule.Mask) => f.name
+      case f if rules.get(f.name).contains(Rule.MaskNote) &&
+        !ctx.nlpMode => f.name
+    }
 
   /** Compile one field under its parent type's resolved rules; None =
     * field not in the allow-list → dropped.

@@ -60,6 +60,13 @@ object EtlPipeline {
   ): Seq[TaskResult] = {
     val codebook = Codebook.loadOrCreate(phiDir)
     val available = NdjsonSource.detectResources(spark, inputDir)
+    JobConfig.write(outputDir, Map(
+      "input_dir" -> inputDir,
+      "group_name" -> groupName,
+      "export_time" -> exportTime,
+      "codebook_id" -> codebook.codebookId,
+      "tasks" -> tasks.map(_.tableName).mkString(",")
+    ))
 
     val results = tasks.map { task =>
       if (!available.contains(task.resourceType)) {
@@ -93,6 +100,11 @@ object EtlPipeline {
         val n = table.read().count()
         Completion.recordTable(spark, outputDir, task.tableName,
           groupName, exportTime)
+        // J7: Encounter rows fan out into the per-encounter completion
+        // table as well (etl/tasks/basic_tasks.py:36-68)
+        if (task.resourceType == "Encounter")
+          Completion.recordEncounters(spark, outputDir,
+            deduped.select("id"), groupName, exportTime)
         TaskResult(task.tableName, attempted = true, rows = n)
       }
     }
@@ -118,6 +130,50 @@ object EtlPipeline {
     def exists(p: java.nio.file.Path): Boolean =
       java.nio.file.Files.exists(p)
   }
+}
+
+/** K10: frozen run configuration under OUTPUT/JobConfig/{timestamp}/
+  * (etl/config.py:71-133) — run provenance for later `convert`s.
+  */
+object JobConfig {
+  def write(outputDir: String, entries: Map[String, String]): String = {
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd__HH.mm.ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val dir = java.nio.file.Paths.get(outputDir, "JobConfig", ts)
+    java.nio.file.Files.createDirectories(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    entries.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    java.nio.file.Files.write(dir.resolve("job_config.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    dir.toString
+  }
+
+  /** O5: most recent JobConfig dir (reverse-sorted timestamps). */
+  def latest(outputDir: String): Option[String] = {
+    val base = java.nio.file.Paths.get(outputDir, "JobConfig")
+    if (!java.nio.file.Files.exists(base)) None
+    else {
+      val dirs = java.nio.file.Files.list(base).toArray
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      dirs.sorted(Ordering.String.reverse).headOption
+        .map(d => base.resolve(d).toString)
+    }
+  }
+}
+
+/** K8: quarantine sink — failed/unprocessable rows appended as
+  * batch-indexed NDJSON under {errorsDir}/{task}/
+  * (etl/tasks/base.py:356-364).
+  */
+object ErrorSink {
+  def quarantine(df: org.apache.spark.sql.DataFrame, errorsDir: String,
+      task: String): Option[String] =
+    if (df.isEmpty) None
+    else Some(graft.sinks.NdjsonSink.writeBatch(df,
+      s"$errorsDir/$task", "write-error"))
 }
 
 /** Completion-tracking tables (SURVEY §2.2 K9; completion/schema.py:12-75:

@@ -98,6 +98,38 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(completion.filter(col("table_name") === "patient").count() === 1)
   }
 
+  test("encounter runs fan out into the per-encounter completion table") {
+    val input = tmp("enc-in")
+    val output = tmp("enc-out")
+    val phi = tmp("enc-phi")
+    Files.write(Paths.get(input, "Encounter.ndjson"), Seq(
+      """{"resourceType":"Encounter","id":"e1","status":"finished"}""",
+      """{"resourceType":"Encounter","id":"e2","status":"finished"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    EtlPipeline.run(spark, input, output, phi,
+      groupName = "g1", exportTime = "2024-02-02T00:00:00Z")
+    val enc = GraftTable(spark, s"$output/etl__completion_encounters",
+      MergeSpec(Seq("encounter_id", "group_name"))).read()
+    assert(enc.count() === 2)
+    assert(enc.select("group_name").distinct().head().getString(0) === "g1")
+    // JobConfig provenance written and discoverable
+    val latest = graft.etl.JobConfig.latest(output)
+    assert(latest.isDefined)
+    val cfg = new String(Files.readAllBytes(
+      Paths.get(latest.get, "job_config.json")), "UTF-8")
+    assert(cfg.contains("\"group_name\" : \"g1\""))
+  }
+
+  test("error sink quarantines bad rows as indexed ndjson") {
+    val errors = tmp("errs")
+    val bad = Seq(("d9", "no text")).toDF("id", "reason")
+    val path = graft.etl.ErrorSink.quarantine(bad, errors, "nlp_task")
+    assert(path.isDefined)
+    assert(path.get.endsWith("write-error.000.ndjson"))
+    assert(graft.etl.ErrorSink.quarantine(
+      spark.emptyDataFrame, errors, "nlp_task").isEmpty)
+  }
+
   test("ETL pipeline: deleted-id bundles remove rows via hashed ids") {
     val input = tmp("etl2-in")
     val output = tmp("etl2-out")

@@ -79,6 +79,36 @@ class ScrubberSpec extends SparkSpecBase {
       .getAs[String]("reference") === s"Patient/${hashOf("pat1")}")
   }
 
+  test("masked fields gain a data-absent-reason sibling extension") {
+    val rows = Seq(
+      """{"resourceType":"Observation","id":"obs1","status":"final","valueString":"free text PHI"}""",
+      """{"resourceType":"Observation","id":"obs2","status":"final"}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val out = ScrubCompiler.scrub(df, "Observation", cb)
+    assert(out.columns.contains("_valueString"))
+    val byStatusCount = out.collect().map { r =>
+      Option(r.getAs[org.apache.spark.sql.Row]("_valueString"))
+    }
+    // obs1 had a value → masked marker present; obs2 didn't → null
+    assert(byStatusCount.count(_.isDefined) === 1)
+    val marker = byStatusCount.flatten.head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("extension").head
+    assert(marker.getAs[String]("url").endsWith("data-absent-reason"))
+    assert(marker.getAs[String]("valueCode") === "masked")
+  }
+
+  test("extension census counts dropped urls") {
+    val rows = Seq(
+      """{"resourceType":"Patient","id":"p1","extension":[{"url":"http://example.com/a","valueString":"x"},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":"F"}]}""",
+      """{"resourceType":"Patient","id":"p2","extension":[{"url":"http://example.com/a","valueString":"y"}]}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val census = ScrubCompiler.extensionCensus(df, "Patient")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(census === Map("http://example.com/a" -> 2L))
+  }
+
   test("empty structs prune to null, empty strings to null") {
     val rows = Seq(
       """{"resourceType":"Observation","id":"o1","status":"","valueQuantity":{"value":null,"unit":null}}"""
