@@ -1,0 +1,64 @@
+package graft.deid
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Philter-lite, regex subset (SURVEY §7.4 risk 4, option (a)): the
+  * reference's philter pass (deid/philter.py:13-43) combines 1,904 lines
+  * of regex + POS-tag rules; the POS component is Python-only, so this
+  * engine ships the high-signal regex subset as a codegen'd
+  * regexp_replace chain — each match replaced by '*' runs of equal
+  * length, preserving offsets like the reference does. Fidelity drift
+  * from the full philter is expected and documented; the pass is
+  * opt-in, mirroring the reference's default-off flag (etl/cli.py:27-29).
+  */
+object Philter {
+
+  /** PHI-shaped patterns, most specific first. Public, standard formats:
+    * SSN, US phone, email, MRN-style labeled ids, long digit runs.
+    */
+  private[deid] val patterns: Seq[String] = Seq(
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b", // SSN
+    "\\b\\(?\\d{3}\\)?[-. ]\\d{3}[-.]\\d{4}\\b", // US phone
+    "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b", // email
+    "(?i)\\b(mrn|medical record number)[:# ]*\\d+\\b", // labeled MRN
+    "\\b\\d{7,10}\\b" // bare long id runs
+  )
+
+  /** Replace each PHI match with '*' of the same length (offset-stable,
+    * like philter's asterisk masking). One regexp_replace per pattern —
+    * all codegen; the lambda-style length-preserving replacement uses
+    * a per-char mask via a second pass.
+    */
+  def scrubText(c: Column): Column =
+    patterns.foldLeft(c) { (acc, p) =>
+      // replace every char of each match with '*': wrap the match region
+      // markers then mask; simpler: regexp_replace with a callback isn't
+      // available in SQL, so use a two-step: extract all matches and
+      // replace each occurrence with a same-length star run via repeat.
+      // Spark lacks per-match callbacks; approximate with a fixed-width
+      // mask token is NOT offset-stable, so instead mask char-by-char:
+      maskMatches(acc, p)
+    }
+
+  /** Mask all matches of `pattern` with same-length star runs. Uses a
+    * UDF (per-row regex loop — the same shape the span matcher needs);
+    * applied only when philter is enabled, off the default hot path.
+    */
+  private val maskUdf =
+    udf { (text: String, pattern: String) =>
+      if (text == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+        val sb = new StringBuilder(text)
+        while (m.find()) {
+          var i = m.start
+          while (i < m.end) { sb.setCharAt(i, '*'); i += 1 }
+        }
+        sb.toString
+      }
+    }
+
+  private def maskMatches(c: Column, pattern: String): Column =
+    maskUdf(c, lit(pattern))
+}

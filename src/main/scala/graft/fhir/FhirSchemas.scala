@@ -1,0 +1,248 @@
+package graft.fhir
+
+import org.apache.spark.sql.types._
+
+/** Spec-derived wide StructTypes for the engine's resource set — the
+  * equivalent of the reference's external `cumulus-fhir-support` schema
+  * catalog (SURVEY §1.2, §7.4 risk 1): reading NDJSON with an explicit
+  * schema pins column sets independent of which fields a given export
+  * happens to exercise ("push schema changes up so downstream SQL can be
+  * dumber", etl/tasks/base.py:139-144), and lets the JSON scan prune.
+  *
+  * Field shapes follow the public FHIR R4 spec (hl7.org/fhir/R4),
+  * depth-bounded like the reference's catalog.
+  */
+object FhirSchemas {
+
+  private val extensionType: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("valueCode", StringType),
+    StructField("valueString", StringType),
+    StructField("valueCoding", StructType(Seq(
+      StructField("system", StringType),
+      StructField("code", StringType),
+      StructField("display", StringType)
+    ))),
+    // one bounded level of nested extension (us-core race/ethnicity use it)
+    StructField("extension", ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("valueCode", StringType),
+      StructField("valueString", StringType),
+      StructField("valueCoding", StructType(Seq(
+        StructField("system", StringType),
+        StructField("code", StringType),
+        StructField("display", StringType)
+      )))
+    ))))
+  ))
+
+  private val codingType = StructType(Seq(
+    StructField("system", StringType),
+    StructField("version", StringType),
+    StructField("code", StringType),
+    StructField("display", StringType),
+    StructField("userSelected", BooleanType)
+  ))
+
+  private val codeableConceptType = StructType(Seq(
+    StructField("coding", ArrayType(codingType)),
+    StructField("text", StringType)
+  ))
+
+  private val referenceType = StructType(Seq(
+    StructField("reference", StringType),
+    StructField("type", StringType),
+    StructField("display", StringType)
+  ))
+
+  private val periodType = StructType(Seq(
+    StructField("start", StringType),
+    StructField("end", StringType)
+  ))
+
+  private val quantityType = StructType(Seq(
+    StructField("value", DoubleType),
+    StructField("comparator", StringType),
+    StructField("unit", StringType),
+    StructField("system", StringType),
+    StructField("code", StringType)
+  ))
+
+  private val identifierType = StructType(Seq(
+    StructField("use", StringType),
+    StructField("system", StringType),
+    StructField("value", StringType),
+    StructField("type", codeableConceptType)
+  ))
+
+  private val metaType = StructType(Seq(
+    StructField("lastUpdated", StringType),
+    StructField("profile", ArrayType(StringType)),
+    StructField("source", StringType),
+    StructField("versionId", StringType)
+  ))
+
+  private val addressType = StructType(Seq(
+    StructField("use", StringType),
+    StructField("type", StringType),
+    StructField("line", ArrayType(StringType)),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("postalCode", StringType),
+    StructField("country", StringType)
+  ))
+
+  private val humanNameType = StructType(Seq(
+    StructField("use", StringType),
+    StructField("text", StringType),
+    StructField("family", StringType),
+    StructField("given", ArrayType(StringType))
+  ))
+
+  private val attachmentType = StructType(Seq(
+    StructField("contentType", StringType),
+    StructField("language", StringType),
+    StructField("data", StringType),
+    StructField("url", StringType),
+    StructField("size", LongType),
+    StructField("creation", StringType)
+  ))
+
+  private def resourceBase(fields: StructField*): StructType =
+    StructType(Seq(
+      StructField("resourceType", StringType),
+      StructField("id", StringType),
+      StructField("meta", metaType),
+      StructField("implicitRules", StringType),
+      StructField("language", StringType),
+      StructField("extension", ArrayType(extensionType)),
+      StructField("modifierExtension", ArrayType(extensionType))
+    ) ++ fields)
+
+  val patient: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("active", BooleanType),
+    StructField("name", ArrayType(humanNameType)),
+    StructField("gender", StringType),
+    StructField("birthDate", StringType),
+    StructField("deceasedBoolean", BooleanType),
+    StructField("deceasedDateTime", StringType),
+    StructField("address", ArrayType(addressType)),
+    StructField("maritalStatus", codeableConceptType),
+    StructField("multipleBirthBoolean", BooleanType),
+    StructField("multipleBirthInteger", IntegerType),
+    StructField("generalPractitioner", ArrayType(referenceType)),
+    StructField("managingOrganization", referenceType)
+  )
+
+  val encounter: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("status", StringType),
+    StructField("class", codingType),
+    StructField("type", ArrayType(codeableConceptType)),
+    StructField("serviceType", codeableConceptType),
+    StructField("priority", codeableConceptType),
+    StructField("subject", referenceType),
+    StructField("period", periodType),
+    StructField("reasonCode", ArrayType(codeableConceptType)),
+    StructField("serviceProvider", referenceType)
+  )
+
+  val observation: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("basedOn", ArrayType(referenceType)),
+    StructField("partOf", ArrayType(referenceType)),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("code", codeableConceptType),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("effectiveDateTime", StringType),
+    StructField("effectivePeriod", periodType),
+    StructField("issued", StringType),
+    StructField("performer", ArrayType(referenceType)),
+    StructField("valueQuantity", quantityType),
+    StructField("valueCodeableConcept", codeableConceptType),
+    StructField("valueString", StringType),
+    StructField("valueBoolean", BooleanType),
+    StructField("valueDateTime", StringType),
+    StructField("dataAbsentReason", codeableConceptType),
+    StructField("interpretation", ArrayType(codeableConceptType)),
+    StructField("bodySite", codeableConceptType),
+    StructField("method", codeableConceptType)
+  )
+
+  val condition: StructType = resourceBase(
+    StructField("clinicalStatus", codeableConceptType),
+    StructField("verificationStatus", codeableConceptType),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("severity", codeableConceptType),
+    StructField("code", codeableConceptType),
+    StructField("bodySite", ArrayType(codeableConceptType)),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("onsetDateTime", StringType),
+    StructField("abatementDateTime", StringType),
+    StructField("recordedDate", StringType)
+  )
+
+  val documentReference: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("docStatus", StringType),
+    StructField("type", codeableConceptType),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("subject", referenceType),
+    StructField("date", StringType),
+    StructField("author", ArrayType(referenceType)),
+    StructField("custodian", referenceType),
+    StructField("context", StructType(Seq(
+      StructField("encounter", ArrayType(referenceType)),
+      StructField("period", periodType),
+      StructField("facilityType", codeableConceptType),
+      StructField("practiceSetting", codeableConceptType)
+    ))),
+    StructField("content", ArrayType(StructType(Seq(
+      StructField("attachment", attachmentType),
+      StructField("format", codingType)
+    ))))
+  )
+
+  /** Catalog lookup; None → caller falls back to schema inference. */
+  def forResource(resourceType: String): Option[StructType] =
+    resourceType match {
+      case "Patient" => Some(patient)
+      case "Encounter" => Some(encounter)
+      case "Observation" => Some(observation)
+      case "Condition" => Some(condition)
+      case "DocumentReference" => Some(documentReference)
+      case _ => None
+    }
+
+  /** K7 (schema half): StructType → Athena/Hive DDL column clauses
+    * (formats/nlp.py:95-135 handles exactly these types).
+    */
+  def toAthenaDdl(schema: StructType, tableName: String,
+      location: String): String = {
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "STRING"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case DoubleType | FloatType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case ArrayType(e, _) => s"ARRAY<${sqlType(e)}>"
+      case st: StructType =>
+        st.fields.map(f => s"${f.name}: ${sqlType(f.dataType)}")
+          .mkString("STRUCT<", ", ", ">")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type $other")
+    }
+    val cols = schema.fields
+      .map(f => s"  `${f.name}` ${sqlType(f.dataType)}")
+      .mkString(",\n")
+    s"""CREATE EXTERNAL TABLE IF NOT EXISTS `$tableName` (
+       |$cols
+       |)
+       |STORED AS PARQUET
+       |LOCATION '$location'""".stripMargin
+  }
+}
