@@ -88,23 +88,79 @@ object Similarity {
       k: Int,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val q = queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("__qv"))
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("__cv"))
-    val paired = c.crossJoin(broadcast(q))
-    val filtered =
-      if (excludeSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
-      else paired
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // queries are the small side by contract: collected once, normalized,
+    // and broadcast as primitive arrays
+    val qData: Array[(Long, Array[Float], Double)] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    val bc = spark.sparkContext.broadcast(qData)
+
+    // one streaming pass over the corpus; per (partition, query) a
+    // bounded heap keeps only k candidates, so the shuffle into the
+    // final ranking carries partitions×|queries|×k rows instead of
+    // |corpus|×|queries| — the difference between 320k and 4M rows at
+    // sf0.1, and between feasible and not at 100 TB.
+    val partials = corpus
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = bc.value
+        // worst-first ordering: smaller cosine first; ties prefer LARGER
+        // neighbor id first so eviction keeps the smaller id
+        implicit val worstFirst: Ordering[(Double, Long)] =
+          Ordering.fromLessThan { (a, b) =>
+            a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+          }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            worstFirst.reverse))
+        rows.foreach { case (cid, cv) =>
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) {
+            cn += cv(i).toDouble * cv(i).toDouble; i += 1
+          }
+          val cNorm = math.sqrt(cn)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv, qNorm) = qs(qi)
+            if (!(excludeSelf && qid == cid)) {
+              var d = 0.0
+              var j = 0
+              val n = math.min(cv.length, qv.length)
+              while (j < n) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
+              val denom = cNorm * qNorm
+              val cos = if (denom == 0.0) 0.0 else d / denom
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cos, cid))
+              else if (worstFirst.gt((cos, cid), h.head)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (cos, cid) => (qid, cid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    filtered
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine")
-      )
+    partials
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
