@@ -48,6 +48,11 @@ object SparkEntry {
     "q42_check_system" -> (DeidQueries.qCheckSystem _),
     "q43_partial_dates" -> (DeidQueries.qPartialDates _),
     "q44_anon_ids" -> (DeidQueries.qAnonIds _),
+    "q9_shipping_priority" -> (Relational.q9ShippingPriority _),
+    "q33_media_pipeline" -> (NoteQueries.qMediaPipeline _),
+    "q60_note_select" -> (NoteQueries.qNoteSelect _),
+    "q61_group_notes" -> (NoteQueries.qGroupNotes _),
+    "q62_sample_notes" -> (NoteQueries.qSampleNotes _),
     "q50_window_agg" -> (StreamQueries.qWindowAgg _),
     "q51_sessions" -> (StreamQueries.qSessions _),
     "q52_event_deltas" -> (StreamQueries.qEventDeltas _)
@@ -78,6 +83,9 @@ object SparkEntry {
     "q41_checksum" -> DeidQueries.qChecksumSql,
     "q42_check_system" -> DeidQueries.qCheckSystemSql,
     "q43_partial_dates" -> DeidQueries.qPartialDatesSql,
+    "q9_shipping_priority" -> Relational.q9ShippingPrioritySql,
+    "q60_note_select" -> NoteQueries.qNoteSelectSql,
+    "q61_group_notes" -> NoteQueries.qGroupNotesSql,
     "q50_window_agg" -> StreamQueries.qWindowAggSql,
     "q51_sessions" -> StreamQueries.qSessionsSql,
     "q52_event_deltas" -> StreamQueries.qEventDeltasSql

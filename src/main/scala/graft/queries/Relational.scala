@@ -179,6 +179,42 @@ object Relational {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
       |FROM orders""".stripMargin
 
+  /** q9_shipping_priority — TPC-H Q3 shape: selective filters on both
+    * sides of a 3-way join, aggregation, then top-10 — the classic
+    * join-order + TakeOrdered plan.
+    */
+  def q9ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+  }
+
+  val q9ShippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
   /** q8_setops — INTERSECT / EXCEPT (SURVEY §2.8): customers buying in
     * both price bands vs only the high band.
     */
