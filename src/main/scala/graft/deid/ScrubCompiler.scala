@@ -110,11 +110,17 @@ object ScrubCompiler {
             .as(s"_$name")
         }
         val s = struct(members: _*)
-        val anyNotNull = (fieldNodes
-          .map { case (f, n) => n.project(input.getField(f.name)).isNotNull }
-          ++ maskedSiblings.map(name => input.getField(name).isNotNull))
+        // Empty-struct pruning keyed on the INPUT fields, not the
+        // projected members: every leaf/child projector is
+        // null-preserving, so all-inputs-null ⇒ all-members-null, and
+        // re-evaluating the member projections here would double the
+        // expression tree at every nesting level (exponential blowup —
+        // the wide FHIR schemas made analysis hang before this change).
+        val anyInputSet = (fieldNodes.map { case (f, _) =>
+          input.getField(f.name).isNotNull
+        } ++ maskedSiblings.map(name => input.getField(name).isNotNull))
           .reduce(_ || _)
-        when(input.isNull || !anyNotNull, lit(null)).otherwise(s)
+        when(input.isNull || !anyInputSet, lit(null)).otherwise(s)
       }
     }
     val reject: Column => Column = { input =>

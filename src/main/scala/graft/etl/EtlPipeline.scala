@@ -56,7 +56,8 @@ object EtlPipeline {
       tasks: Seq[EtlTask] = DefaultTasks,
       policy: ScrubPolicy = DefaultScrubPolicy.policy,
       groupName: String = "",
-      exportTime: String = ""
+      exportTime: String = "",
+      nlpMode: Boolean = false
   ): Seq[TaskResult] = {
     val codebook = Codebook.loadOrCreate(phiDir)
     val available = NdjsonSource.detectResources(spark, inputDir)
@@ -73,9 +74,12 @@ object EtlPipeline {
         TaskResult(task.tableName, attempted = false, rows = 0)
       } else {
         val raw = NdjsonSource.readResource(spark, inputDir,
-          task.resourceType)
+          task.resourceType,
+          graft.fhir.FhirSchemas.forResource(task.resourceType))
+        // nlpMode keeps note text (mask-note leaves), mirroring the
+        // reference's prepare_pipeline(nlp=True) (etl/pipeline.py:213-215)
         val scrubbed = ScrubCompiler.scrub(raw, task.resourceType,
-          codebook, policy)
+          codebook, policy, nlpMode)
         // A1: last-wins on id in input order
         val deduped = MergeOps.dedupLastWins(
           scrubbed.withColumn("__seq", monotonically_increasing_id()),

@@ -121,6 +121,112 @@ object I2b2Source {
     )
   }
 
+  /** diagnosis observation facts → FHIR Condition rows with the ICD/
+    * SNOMED system-prefix split (transform.py:195-243).
+    */
+  def conditions(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    val sysPrefix = split_part(col("CONCEPT_CD"), lit(":"), lit(1))
+    val bareCode = split_part(col("CONCEPT_CD"), lit(":"), lit(2))
+    val systemMap = typedlit(Map(
+      "ICD10" -> "http://hl7.org/fhir/sid/icd-10-cm",
+      "ICD-10" -> "http://hl7.org/fhir/sid/icd-10-cm",
+      "ICD10PROC" -> "http://hl7.org/fhir/sid/icd-10-pcs",
+      "ICD9" -> "http://hl7.org/fhir/sid/icd-9-cm",
+      "ICD-9" -> "http://hl7.org/fhir/sid/icd-9-cm",
+      "ICD9PROC" -> "http://hl7.org/fhir/sid/icd-9-pcs",
+      "SNOMED" -> "http://snomed.info/sct",
+      "SNOMED-CT" -> "http://snomed.info/sct",
+      "SNOMEDCT" -> "http://snomed.info/sct",
+      "SCT" -> "http://snomed.info/sct"
+    ))
+    val mappedSys = element_at(systemMap, sysPrefix)
+    val system = coalesce(mappedSys,
+      lit("http://cumulus.smarthealthit.org/i2b2"))
+    val code = when(mappedSys.isNotNull, bareCode)
+      .otherwise(col("CONCEPT_CD"))
+    def concept(c: org.apache.spark.sql.Column,
+        sys: org.apache.spark.sql.Column) =
+      struct(array(struct(sys.as("system"), c.as("code"))).as("coding"))
+    raw.select(
+      lit("Condition").as("resourceType"),
+      col("INSTANCE_NUM").as("id"),
+      struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
+        .as("subject"),
+      struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
+        .as("reference")).as("encounter"),
+      when(col("START_DATE").isNotNull,
+        substring(col("START_DATE"), 1, 10)).as("recordedDate"),
+      concept(lit("active"),
+        lit("http://terminology.hl7.org/CodeSystem/condition-clinical"))
+        .as("clinicalStatus"),
+      concept(lit("unconfirmed"),
+        lit("http://terminology.hl7.org/CodeSystem/condition-ver-status"))
+        .as("verificationStatus"),
+      concept(code, system).as("code")
+    )
+  }
+
+  /** medication observation facts → FHIR MedicationRequest rows
+    * (transform.py:246-265).
+    */
+  def medicationRequests(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    raw.select(
+      lit("MedicationRequest").as("resourceType"),
+      col("INSTANCE_NUM").as("id"),
+      lit("unknown").as("status"),
+      lit("order").as("intent"),
+      struct(array(struct(
+        lit("http://cumulus.smarthealthit.org/i2b2").as("system"),
+        col("CONCEPT_CD").as("code"),
+        col("CONCEPT_CD").as("display")
+      )).as("coding")).as("medicationCodeableConcept"),
+      struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
+        .as("subject"),
+      struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
+        .as("reference")).as("encounter"),
+      when(col("START_DATE").isNotNull,
+        substring(col("START_DATE"), 1, 10)).as("authoredOn")
+    )
+  }
+
+  /** note observation facts → FHIR DocumentReference rows with the note
+    * blob base64-encoded into an inline text attachment
+    * (transform.py:275-317; the "¿" line-feed artifact is blanked like
+    * the reference does).
+    */
+  def documentReferences(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    val blob = regexp_replace(coalesce(col("OBSERVATION_BLOB"), lit("")),
+      "¿", " ")
+    raw.select(
+      lit("DocumentReference").as("resourceType"),
+      col("INSTANCE_NUM").as("id"),
+      lit("current").as("status"),
+      struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
+        .as("subject"),
+      struct(
+        array(struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
+          .as("reference"))).as("encounter"),
+        struct(
+          when(col("START_DATE").isNotNull,
+            substring(col("START_DATE"), 1, 10)).as("start"),
+          when(col("END_DATE").isNotNull,
+            substring(col("END_DATE"), 1, 10)).as("end")
+        ).as("period")
+      ).as("context"),
+      struct(array(struct(
+        lit("http://cumulus.smarthealthit.org/i2b2").as("system"),
+        col("CONCEPT_CD").as("code")
+      )).as("coding"), col("TVAL_CHAR").as("text")).as("type"),
+      array(struct(struct(
+        lit("text/plain").as("contentType"),
+        base64(encode(blob, "UTF-8")).as("data")
+      ).as("attachment"))).as("content")
+    )
+  }
+
   /** observation_fact lab CSV → FHIR Observation rows with SNOMED
     * result interpretation (transform.py:124-165).
     */

@@ -71,6 +71,53 @@ class I2b2SourceSpec extends SparkSpecBase {
     assert(i2.getAs[Any]("valueCodeableConcept") === null) // unmapped
   }
 
+  test("diagnosis facts → Condition with ICD system split") {
+    val path = write(dir, "observation_fact_diagnosis.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE",
+      "d1,p1,e1,ICD10:J45.40,2021-01-02 03:04:05",
+      "d2,p1,e1,LOCAL-WEIRD,2021-01-03 00:00:00"
+    ))
+    val out = I2b2Source.conditions(spark, path)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val c1 = out("d1").getAs[org.apache.spark.sql.Row]("code")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding").head
+    assert(c1.getAs[String]("system") === "http://hl7.org/fhir/sid/icd-10-cm")
+    assert(c1.getAs[String]("code") === "J45.40")
+    val c2 = out("d2").getAs[org.apache.spark.sql.Row]("code")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding").head
+    assert(c2.getAs[String]("system") ===
+      "http://cumulus.smarthealthit.org/i2b2")
+    assert(c2.getAs[String]("code") === "LOCAL-WEIRD")
+  }
+
+  test("med + note facts → MedicationRequest and DocumentReference") {
+    val medPath = write(dir, "observation_fact_meds.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE",
+      "m1,p1,e1,MED:12345,2021-02-03 00:00:00"
+    ))
+    val med = I2b2Source.medicationRequests(spark, medPath).head()
+    assert(med.getAs[String]("status") === "unknown")
+    assert(med.getAs[String]("authoredOn") === "2021-02-03")
+
+    val notePath = write(dir, "observation_fact_notes.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE,END_DATE,TVAL_CHAR,OBSERVATION_BLOB",
+      "n1,p1,e1,NOTE:123,2021-03-04 00:00:00,2021-03-04 01:00:00,Progress note,The¿note text"
+    ))
+    val doc = I2b2Source.documentReferences(spark, notePath).head()
+    val att = doc
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("content")
+      .head.getAs[org.apache.spark.sql.Row]("attachment")
+    assert(att.getAs[String]("contentType") === "text/plain")
+    val decoded = new String(
+      java.util.Base64.getDecoder.decode(att.getAs[String]("data")),
+      "UTF-8")
+    assert(decoded === "The note text") // ¿ artifact blanked
+    // and the note text extractor reads it back (P7 round trip)
+    val texts = I2b2Source.documentReferences(spark, notePath)
+      .select(graft.nlp.NoteOps.noteText(col("content")).as("t"))
+    assert(texts.head().getString(0) === "The note text")
+  }
+
   test("i2b2 patients flow into the scrubber like NDJSON ones") {
     val path = write(dir, "patient_dimension2.csv", Seq(
       "PATIENT_NUM,BIRTH_DATE,DEATH_DATE,SEX_CD,RACE_CD,ZIP_CD",
