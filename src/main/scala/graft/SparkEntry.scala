@@ -78,6 +78,7 @@ object SparkEntry {
     "q21_term_freq" -> TextQueries.qTermFreqSql,
     "q22_exact_dedup" -> TextQueries.qExactDedupSql,
     "q23_doc_quality" -> TextQueries.qDocQualitySql,
+    "q27_ngram_jaccard" -> TextQueries.qNgramJaccardSql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q40_deid_scalars" -> DeidQueries.qDeidScalarsSql,
     "q41_checksum" -> DeidQueries.qChecksumSql,

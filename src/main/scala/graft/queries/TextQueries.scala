@@ -139,19 +139,44 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** q27 — n-gram Jaccard on deterministic candidate pairs (adjacent doc
-    * ids), exact verification stage of the near-dup pipeline.
+  /** q27 — exact n-gram Jaccard, the verification stage of the near-dup
+    * pipeline: each doc scored against its own 60%-token prefix (a
+    * deterministic near-duplicate both engines construct identically),
+    * exercising shingle building + set overlap with meaningful values.
     */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = Tables.documents(spark, dir)
-      .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
-        col("text").as("text_b"))
-    a.join(b, Seq("id_a"))
-      .select(col("id_a"), col("id_b"),
-        NearDedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val prefix = concat_ws(" ",
+      slice(toks, lit(1),
+        greatest(floor(size(toks) * 0.6), lit(1)).cast("int")))
+    docs.select(
+      col("doc_id"),
+      NearDedup.ngramJaccard(col("text"), prefix).as("jaccard")
+    )
   }
+
+  val qNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t,
+      |    t[1:CAST(greatest(floor(len(t) * 0.6), 1) AS INT)] AS p
+      |  FROM toks),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS ga,
+      |    list_distinct(list_transform(range(1, greatest(len(p) - 2, 1) + 1),
+      |      i -> array_to_string(p[i:i+2], ' '))) AS gb
+      |  FROM pairs)
+      |SELECT doc_id,
+      |  CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 0.0
+      |       ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      |            / CAST(len(list_distinct(list_concat(ga, gb))) AS DOUBLE)
+      |  END AS jaccard
+      |FROM grams""".stripMargin
 
   /** q28 — per-doc fingerprint + heuristic language id (rows-only: both
     * use engine-specific hashing/profiles; unit-tested in ScalaTest).
