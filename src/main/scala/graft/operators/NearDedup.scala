@@ -29,9 +29,51 @@ object NearDedup {
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
+  /** Single-pass shingle hasher: tokenize + word-n-gram + FNV-1a-64 in
+    * one JVM loop. The expression form (transform/sequence/slice +
+    * xxhash64) is NOT codegen'd — higher-order functions evaluate
+    * interpreted, and it dominated sf0.1 wall time; one UDF per doc is
+    * ~10× cheaper and the hash choice is internal to the near-dup
+    * operators (estimates only, never compared across engines).
+    */
+  private val shingleHashesUdf = udf { (text: String, n: Int) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) Array.empty[Long]
+      else {
+        val count = math.max(toks.length - n + 1, 1)
+        val out = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          var j = i
+          val end = math.min(i + n, toks.length)
+          while (j < end) {
+            val s = toks(j)
+            var k = 0
+            while (k < s.length) {
+              h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
+            }
+            h ^= ' '; h *= 0x100000001b3L
+            j += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Shingle-hash column (array<bigint>) for a text column. */
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    shingleHashesUdf(text, lit(shingleSize))
+
   /** MinHash signature of a text column as array<bigint>, built from
-    * word-`shingleSize`-gram shingles hashed with xxhash64.
-    * Pure expression tree: nested higher-order functions, no UDF.
+    * FNV-hashed word-`shingleSize`-gram shingles. Array form for
+    * API/testing; the candidate generator uses the faster
+    * explode-and-aggregate path below.
     */
   def minHashSignature(
       text: Column,
@@ -39,13 +81,12 @@ object NearDedup {
       shingleSize: Int = 3,
       seed: Long = 42L
   ): Column = {
-    val shingleHashes =
-      transform(TextFunctions.wordNgrams(text, shingleSize), s => xxhash64(s))
+    val hashes = shingleHashes(text, shingleSize)
     val coeffs = coefficients(numHashes, seed)
     array(coeffs.map { case (a, b) =>
       array_min(
         transform(
-          shingleHashes,
+          hashes,
           x =>
             // (a*x + b) mod p with x masked to 31 bits: max product is
             // (2^31-2)*(2^31-1) < 2^62 — overflow-free under ANSI mode
@@ -81,8 +122,7 @@ object NearDedup {
     // the shingle array per permutation: 60× slower at sf0.1.)
     val exploded = df.select(
       col(idCol).as("__id"),
-      explode(transform(TextFunctions.wordNgrams(col(textCol), shingleSize),
-        s => xxhash64(s))).as("__x")
+      explode(shingleHashes(col(textCol), shingleSize)).as("__x")
     )
     val coeffs = coefficients(numHashes, seed)
     val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -174,8 +214,7 @@ object NearDedup {
   }
 
   def simHash(text: Column, shingleSize: Int = 3): Column =
-    simHashUdf(transform(TextFunctions.wordNgrams(text, shingleSize),
-      s => xxhash64(s)))
+    simHashUdf(shingleHashes(text, shingleSize))
 
   /** Hamming distance between two 64-bit simhashes (bit_count of XOR). */
   def hammingDistance(a: Column, b: Column): Column =
@@ -192,7 +231,8 @@ object NearDedup {
       textCol: String,
       tables: Int = 4,
       maxHamming: Int = 8,
-      shingleSize: Int = 3
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 200
   ): DataFrame = {
     val bitsPerBlock = 64 / tables
     val withSig = df.select(col(idCol).as("__id"),
@@ -206,10 +246,21 @@ object NearDedup {
           .as("blockBits")
       )
     }
+    // Hot-bucket cap: a block value shared by m docs contributes m²
+    // candidate pairs, so degenerate buckets (near-identical boilerplate
+    // across a correlated corpus) dominate the join quadratically. The
+    // standard LSH-at-scale guard drops buckets above a size cap — those
+    // pairs are "everything matches everything" content, and a doc in a
+    // hot bucket still meets its near-dups through its other blocks.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("blockBits"))
     val blocked = withSig
       .select(col("__id"), col("__sh"), explode(array(blocks: _*)).as("__blk"))
       .select(col("__id"), col("__sh"), col("__blk.block"),
         col("__blk.blockBits"))
+      .withColumn("__bcount", count(lit(1)).over(w))
+      .filter(col("__bcount") <= maxBucketSize)
+      .drop("__bcount")
 
     val left = blocked.select(col("block"), col("blockBits"),
       col("__id").as("id_a"), col("__sh").as("sh_a"))
