@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose hot keys overwhelm single tasks.
+  *
+  * AQE's skew-join split (enabled in GraftSession) handles most cases at
+  * runtime; explicit salting remains the tool when one build-side key is
+  * so hot that even split shuffle blocks can't balance (e.g. a null-ish
+  * default id owning 30% of a 100 TB table).
+  */
+object SkewOps {
+
+  /** Salted inner equi-join: the skewed (probe) side gets a random salt
+    * in [0, saltFactor); the compact (build) side is exploded
+    * `saltFactor`× so every salted key finds its partner. Correct for
+    * inner/left joins on unique build keys; cost: build side rows ×
+    * saltFactor — keep the build side the small one.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      build: DataFrame,
+      key: String,
+      saltFactor: Int = 8,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val saltedLeft = skewed.withColumn(
+      "__salt",
+      (pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(saltFactor)))
+        .cast("int")
+    )
+    val explodedRight = build
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(saltFactor - 1))))
+    val out = saltedLeft.join(explodedRight,
+      Seq(key, "__salt"), joinType)
+    out.drop("__salt")
+  }
+
+  /** Top-n heavy-hitter keys with their share — the diagnostic that
+    * decides whether salting is warranted (run on a sample at scale).
+    */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10)
+      : DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") / lit(total))
+      .orderBy(col("n").desc)
+      .limit(topN)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.fhir.SchemaWidening
+import graft.operators.SkewOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SkewAndSchemaSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join result on skewed data") {
+    // 90% of rows share one hot key
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
+        .as("k"), col("id").as("payload"))
+    val dim = Seq((1L, "hot"), (20L, "cold"), (30L, "other"))
+      .toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k")).agg(
+      count(lit(1)), sum("payload")).head()
+    val salted = SkewOps.saltedJoin(skewed, dim, "k", saltFactor = 8)
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(plain === salted)
+  }
+
+  test("keySkewProfile surfaces the heavy hitter") {
+    val skewed = spark.range(1000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
+        .as("k"))
+    val top = SkewOps.keySkewProfile(skewed, "k", topN = 1).head()
+    assert(top.getLong(0) === 1L)
+    assert(top.getDouble(2) > 0.8)
+  }
+
+  test("schema widening appends observed fields, keeps catalog types") {
+    val catalog = StructType(Seq(
+      StructField("id", StringType),
+      StructField("nested", StructType(Seq(
+        StructField("a", StringType)))),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("x", StringType)))))
+    ))
+    val observed = StructType(Seq(
+      StructField("id", LongType), // conflict → catalog wins
+      StructField("nested", StructType(Seq(
+        StructField("a", StringType),
+        StructField("b", DoubleType)))), // new nested field
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("x", StringType),
+        StructField("y", BooleanType))))),
+      StructField("extra", StringType) // new top-level
+    ))
+    val widened = SchemaWidening.widen(catalog, observed)
+    assert(widened("id").dataType === StringType)
+    assert(widened("nested").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("a", "b"))
+    assert(widened("arr").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq
+      === Seq("x", "y"))
+    assert(widened.fieldNames.contains("extra"))
+  }
+
+  test("widened schema round-trips through a real read + scrub") {
+    val dir = java.nio.file.Files.createTempDirectory("widen").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "Patient.ndjson"),
+      """{"resourceType":"Patient","id":"p1","gender":"female","customField":"site-specific"}"""
+        .getBytes("UTF-8"))
+    val observed = spark.read.json(s"$dir/Patient.ndjson").schema
+    val widened = SchemaWidening.widen(
+      graft.fhir.FhirSchemas.patient, observed)
+    val df = graft.sources.NdjsonSource.readResource(
+      spark, dir, "Patient", Some(widened))
+    assert(df.columns.contains("customField")) // observed survives
+    assert(df.columns.contains("birthDate")) // catalog survives
+    val cb = graft.deid.Codebook.withSalt("42" * 32)
+    val out = graft.deid.ScrubCompiler.scrub(df, "Patient", cb)
+    assert(!out.columns.contains("customField")) // and policy drops it
+  }
+}
