@@ -49,6 +49,10 @@ object SparkEntry {
     "q43_partial_dates" -> (DeidQueries.qPartialDates _),
     "q44_anon_ids" -> (DeidQueries.qAnonIds _),
     "q9_shipping_priority" -> (Relational.q9ShippingPriority _),
+    "q16_outer_join" -> (Relational2.q16OuterJoin _),
+    "q17_small_qty" -> (Relational2.q17SmallQty _),
+    "q18_having" -> (Relational2.q18Having _),
+    "q19_subqueries" -> (Relational2.q19Subqueries _),
     "q33_media_pipeline" -> (NoteQueries.qMediaPipeline _),
     "q60_note_select" -> (NoteQueries.qNoteSelect _),
     "q61_group_notes" -> (NoteQueries.qGroupNotes _),
@@ -85,6 +89,10 @@ object SparkEntry {
     "q42_check_system" -> DeidQueries.qCheckSystemSql,
     "q43_partial_dates" -> DeidQueries.qPartialDatesSql,
     "q9_shipping_priority" -> Relational.q9ShippingPrioritySql,
+    "q16_outer_join" -> Relational2.q16OuterJoinSql,
+    "q17_small_qty" -> Relational2.q17SmallQtySql,
+    "q18_having" -> Relational2.q18HavingSql,
+    "q19_subqueries" -> Relational2.q19SubqueriesSql,
     "q60_note_select" -> NoteQueries.qNoteSelectSql,
     "q61_group_notes" -> NoteQueries.qGroupNotesSql,
     "q50_window_agg" -> StreamQueries.qWindowAggSql,

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second wave of relational plan shapes: outer joins, correlated
+  * subqueries, HAVING, conditional + distinct aggregation.
+  */
+object Relational2 {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** q16 — FULL OUTER join with null-side aggregation: per-nation
+    * supplier/customer presence (nations can lack either side).
+    */
+  def q16OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    s.join(c, Seq("nationkey"), "full_outer")
+      .select(
+        col("nationkey").cast("int").as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers")
+      )
+  }
+
+  val q16OuterJoinSql: String =
+    """WITH s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |           FROM supplier GROUP BY 1),
+      |     c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      |           FROM customer GROUP BY 1)
+      |SELECT CAST(COALESCE(s.nationkey, c.nationkey) AS INT) AS nationkey,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(n_customers, 0) AS n_customers
+      |FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey""".stripMargin
+
+  /** q17 — TPC-H Q17 shape: correlated scalar aggregate (per-part
+    * average quantity) filtering the fact table. Catalyst rewrites the
+    * correlation into an aggregate + join; the decimal discipline keeps
+    * the avg threshold bit-identical.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li
+      .groupBy(col("l_partkey").as("p_key"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, li("l_partkey") === avgQty("p_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_small")
+      )
+  }
+
+  val q17SmallQtySql: String =
+    """WITH avgq AS (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+      |      / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_small
+      |FROM lineitem JOIN avgq ON l_partkey = p_key
+      |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
+
+  /** q18 — GROUP BY computed key + HAVING + conditional aggregation:
+    * order-year stats for years with enough volume, with a
+    * filtered-count (high-value orders) per group.
+    */
+  def q18Having(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L))
+          .as("n_big"),
+        countDistinct(col("o_custkey")).as("n_customers")
+      )
+      .filter(col("n_orders") >= 100)
+      .orderBy(col("order_year"))
+
+  val q18HavingSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY 1 HAVING COUNT(*) >= 100
+      |ORDER BY order_year""".stripMargin
+
+  /** q19 — EXISTS-correlated anti pattern + scalar subquery in SELECT:
+    * parts never ordered below retail price, with the global average
+    * retail price alongside (scalar subquery).
+    */
+  def q19Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val discounted = li
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .filter(col("l_extendedprice") / col("l_quantity") <
+        col("p_retailprice"))
+      .select(col("p_partkey").as("bad_key"))
+      .distinct()
+    val globalAvg = p
+      .agg((dsum(col("p_retailprice")) / count(lit(1))).as("avg_retail"))
+    p.join(discounted, p("p_partkey") === discounted("bad_key"),
+        "left_anti")
+      .crossJoin(globalAvg)
+      .select(col("p_partkey"), col("p_retailprice"), col("avg_retail"))
+  }
+
+  val q19SubqueriesSql: String =
+    """SELECT p_partkey, p_retailprice,
+      |  (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+      |     / COUNT(*) FROM part) AS avg_retail
+      |FROM part
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey
+      |    AND l_extendedprice / l_quantity < p_retailprice)""".stripMargin
+}
