@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_fingerprint" -> (TextQueries.qFingerprint _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
+    "q34_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _),
     "q40_deid_scalars" -> (DeidQueries.qDeidScalars _),
     "q41_checksum" -> (DeidQueries.qChecksum _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q23_doc_quality" -> TextQueries.qDocQualitySql,
     "q27_ngram_jaccard" -> TextQueries.qNgramJaccardSql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
+    "q34_embed_neardup" -> SimilarityQueries.qEmbedNearDupSql,
     "q40_deid_scalars" -> DeidQueries.qDeidScalarsSql,
     "q41_checksum" -> DeidQueries.qChecksumSql,
     "q42_check_system" -> DeidQueries.qCheckSystemSql,

@@ -32,6 +32,30 @@ object SimilarityQueries {
       |  WHERE q.vec_id <> c.vec_id)
       |WHERE rank <= 5""".stripMargin
 
+  /** q34 — embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine ≥ 0.4, ids only (threshold membership is float-stable at
+    * this data's similarity gaps; both engines compute in double).
+    * Exact form for the oracle; the bucketed path (q31) is the
+    * approximate scale variant of the same operator.
+    */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.4)
+      .select("id_a", "id_b")
+  }
+
+  val qEmbedNearDupSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_cosine_similarity(
+      |        a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+
   /** q31 — LSH-bucketed approximate top-5 (rows-only: bucketing depends
     * on engine-seeded hyperplanes; recall vs the exact baseline is
     * asserted in SimilaritySpec).
