@@ -166,6 +166,57 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** All (a < b) pairs with cosine ≥ tau — the exact embedding-near-dup
+    * operator. The full vector set is broadcast as primitive arrays and
+    * each partition streams its rows against it (n²/2 dot products
+    * spread across tasks, no materialized cross join). For corpora too
+    * big to broadcast, use [[annTopK]]'s bucketed path instead.
+    */
+  def cosinePairsAbove(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all: Array[(Long, Array[Float], Double)] = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    val bc = spark.sparkContext.broadcast(all)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val others = bc.value
+        rows.flatMap { case (ida, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) {
+            na += va(i).toDouble * va(i).toDouble; i += 1
+          }
+          val aNorm = math.sqrt(na)
+          others.iterator.filter(_._1 > ida).flatMap {
+            case (idb, vb, bNorm) =>
+              var d = 0.0
+              var j = 0
+              val n = math.min(va.length, vb.length)
+              while (j < n) { d += va(j).toDouble * vb(j).toDouble; j += 1 }
+              val denom = aNorm * bNorm
+              val cos = if (denom == 0.0) 0.0 else d / denom
+              if (cos >= tau) Some((ida, idb)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** Deterministic random hyperplanes for LSH bucketing. */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -38,16 +38,9 @@ object SimilarityQueries {
     * Exact form for the oracle; the bucketed path (q31) is the
     * approximate scale variant of the same operator.
     */
-  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-    val b = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
-    a.crossJoin(broadcast(b))
-      .filter(col("id_a") < col("id_b"))
-      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.4)
-      .select("id_a", "id_b")
-  }
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsAbove(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", tau = 0.4)
 
   val qEmbedNearDupSql: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b
