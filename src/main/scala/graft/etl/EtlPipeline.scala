@@ -76,6 +76,13 @@ object EtlPipeline {
         val raw = NdjsonSource.readResource(spark, inputDir,
           task.resourceType,
           graft.fhir.FhirSchemas.forResource(task.resourceType))
+        // P2/A4: dropped-extension census side-output (the report the
+        // reference prints at run end, persisted as a mergeable table)
+        val census = ScrubCompiler.extensionCensus(raw,
+          task.resourceType, policy)
+        if (!census.isEmpty)
+          GraftTable(spark, s"$outputDir/etl__extension_census",
+            MergeSpec(Seq("resource_type", "url"))).merge(census)
         // nlpMode keeps note text (mask-note leaves), mirroring the
         // reference's prepare_pipeline(nlp=True) (etl/pipeline.py:213-215)
         val scrubbed = ScrubCompiler.scrub(raw, task.resourceType,

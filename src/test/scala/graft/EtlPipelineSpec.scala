@@ -120,6 +120,22 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(cfg.contains("\"group_name\" : \"g1\""))
   }
 
+  test("dropped-extension census lands in its side-output table") {
+    val input = tmp("cen-in")
+    val output = tmp("cen-out")
+    val phi = tmp("cen-phi")
+    Files.write(Paths.get(input, "Patient.ndjson"), Seq(
+      """{"resourceType":"Patient","id":"p1","extension":[{"url":"http://example.com/secret","valueString":"x"}]}""",
+      """{"resourceType":"Patient","id":"p2","extension":[{"url":"http://example.com/secret","valueString":"y"}]}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    EtlPipeline.run(spark, input, output, phi)
+    val census = GraftTable(spark, s"$output/etl__extension_census",
+      MergeSpec(Seq("resource_type", "url"))).read().collect()
+    assert(census.length === 1)
+    assert(census.head.getAs[String]("url") === "http://example.com/secret")
+    assert(census.head.getAs[Long]("n_dropped") === 2L)
+  }
+
   test("error sink quarantines bad rows as indexed ndjson") {
     val errors = tmp("errs")
     val bad = Seq(("d9", "no text")).toDF("id", "reason")
