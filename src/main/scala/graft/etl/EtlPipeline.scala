@@ -44,8 +44,13 @@ object EtlPipeline {
   final case class TaskResult(
       table: String,
       attempted: Boolean,
-      rows: Long
-  )
+      rows: Long,
+      rowsRead: Long = 0L,
+      rowsScrubbed: Long = 0L
+  ) {
+    /** A5/A7: rejection funnel — rows dropped by scrub policy. */
+    def rowsRejected: Long = rowsRead - rowsScrubbed
+  }
 
   /** Run the pipeline: returns per-task summaries (A7-style). */
   def run(
@@ -83,13 +88,19 @@ object EtlPipeline {
         if (!census.isEmpty)
           GraftTable(spark, s"$outputDir/etl__extension_census",
             MergeSpec(Seq("resource_type", "url"))).merge(census)
+        // A5: funnel metrics ride the merge action via observe() —
+        // no extra jobs for the seen/scrubbed counts
+        val readObs = org.apache.spark.sql.Observation()
+        val scrubObs = org.apache.spark.sql.Observation()
         // nlpMode keeps note text (mask-note leaves), mirroring the
         // reference's prepare_pipeline(nlp=True) (etl/pipeline.py:213-215)
-        val scrubbed = ScrubCompiler.scrub(raw, task.resourceType,
-          codebook, policy, nlpMode)
+        val scrubbed = ScrubCompiler.scrub(
+          raw.observe(readObs, count(lit(1)).as("n")),
+          task.resourceType, codebook, policy, nlpMode)
         // A1: last-wins on id in input order
         val deduped = MergeOps.dedupLastWins(
-          scrubbed.withColumn("__seq", monotonically_increasing_id()),
+          scrubbed.observe(scrubObs, count(lit(1)).as("n"))
+            .withColumn("__seq", monotonically_increasing_id()),
           Seq("id"),
           Seq(col("__seq"))
         ).drop("__seq")
@@ -116,7 +127,9 @@ object EtlPipeline {
         if (task.resourceType == "Encounter")
           Completion.recordEncounters(spark, outputDir,
             deduped.select("id"), groupName, exportTime)
-        TaskResult(task.tableName, attempted = true, rows = n)
+        TaskResult(task.tableName, attempted = true, rows = n,
+          rowsRead = readObs.get("n").asInstanceOf[Long],
+          rowsScrubbed = scrubObs.get("n").asInstanceOf[Long])
       }
     }
 

@@ -38,6 +38,33 @@ final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
       throw new IllegalStateException(s"GraftTable $path has no data yet")
   }
 
+  /** Time travel: read a specific historical version (available until
+    * [[vacuum]] drops it) — the reference's tests read Delta tables
+    * with time travel the same way (tests/utils.py:188-210).
+    */
+  def readVersion(version: Int): DataFrame = {
+    val dir = Paths.get(path, s"v$version")
+    if (!Files.exists(dir))
+      throw new IllegalArgumentException(
+        s"version $version of $path does not exist (vacuumed?)")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** All retained version numbers, oldest first. */
+  def versions: Seq[Int] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          out += n.drop(1).toInt
+      }
+      out.sorted.toSeq
+    }
+  }
+
   /** K1/J1-J3: merge a batch in. First write creates the table. */
   def merge(updates: DataFrame): Unit = currentVersion match {
     case None => publish(updates)

@@ -70,6 +70,10 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(byTable("patient").rows === 2) // p2 deduped last-wins
     assert(byTable("observation").rows === 1)
     assert(!byTable("condition").attempted) // no input present
+    // A5 funnel via observe(): 3 read, none rejected, dedup to 2
+    assert(byTable("patient").rowsRead === 3)
+    assert(byTable("patient").rowsScrubbed === 3)
+    assert(byTable("patient").rowsRejected === 0)
 
     // last-wins: p2 kept the LATER row (birthDate 1991 → year)
     val patients = GraftTable(spark, s"$output/patient",
