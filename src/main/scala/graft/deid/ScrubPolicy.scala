@@ -221,6 +221,68 @@ object DefaultScrubPolicy {
         "size" -> Val,
         "creation" -> Val
       )),
+      "MedicationRequest" -> ElementPolicy(Some("DomainResource"), Map(
+        "status" -> Val,
+        "statusReason" -> CC,
+        "intent" -> Val,
+        "category" -> CC,
+        "priority" -> Val,
+        "reportedBoolean" -> Val,
+        "medicationCodeableConcept" -> CC,
+        "medicationReference" -> Ref,
+        "subject" -> Ref,
+        "encounter" -> Ref,
+        "authoredOn" -> Val,
+        "requester" -> Ref,
+        "reasonCode" -> CC,
+        "courseOfTherapyType" -> CC
+      )),
+      "Procedure" -> ElementPolicy(Some("DomainResource"), Map(
+        "status" -> Val,
+        "statusReason" -> CC,
+        "category" -> CC,
+        "code" -> CC,
+        "subject" -> Ref,
+        "encounter" -> Ref,
+        "performedDateTime" -> Val,
+        "performedPeriod" -> TypeRef("Period"),
+        "recorder" -> Ref,
+        "performer" -> TypeRef("ProcedurePerformer"),
+        "reasonCode" -> CC,
+        "bodySite" -> CC,
+        "outcome" -> CC
+      )),
+      "ProcedurePerformer" -> ElementPolicy(Some("Element"), Map(
+        "function" -> CC,
+        "actor" -> Ref
+      )),
+      "Immunization" -> ElementPolicy(Some("DomainResource"), Map(
+        "status" -> Val,
+        "statusReason" -> CC,
+        "vaccineCode" -> CC,
+        "patient" -> Ref,
+        "encounter" -> Ref,
+        "occurrenceDateTime" -> Val,
+        "primarySource" -> Val,
+        "site" -> CC,
+        "route" -> CC,
+        "doseQuantity" -> TypeRef("Quantity")
+      )),
+      "AllergyIntolerance" -> ElementPolicy(Some("DomainResource"), Map(
+        "clinicalStatus" -> CC,
+        "verificationStatus" -> CC,
+        "type" -> Val,
+        "category" -> Val,
+        "criticality" -> Val,
+        "code" -> CC,
+        "patient" -> Ref,
+        "encounter" -> Ref,
+        "onsetDateTime" -> Val,
+        "recordedDate" -> Val,
+        "recorder" -> Ref,
+        "asserter" -> Ref,
+        "lastOccurrence" -> Val
+      )),
       "Extension" -> ElementPolicy(None, Map(
         "url" -> Val,
         "valueCode" -> Val,

@@ -38,7 +38,11 @@ object EtlPipeline {
     EtlTask("Encounter", "encounter"),
     EtlTask("Condition", "condition"),
     EtlTask("Observation", "observation"),
-    EtlTask("DocumentReference", "documentreference")
+    EtlTask("DocumentReference", "documentreference"),
+    EtlTask("MedicationRequest", "medicationrequest"),
+    EtlTask("Procedure", "procedure"),
+    EtlTask("Immunization", "immunization"),
+    EtlTask("AllergyIntolerance", "allergyintolerance")
   )
 
   final case class TaskResult(

@@ -109,6 +109,25 @@ class ScrubberSpec extends SparkSpecBase {
     assert(census === Map("http://example.com/a" -> 2L))
   }
 
+  test("medication/procedure/immunization/allergy policies scrub") {
+    val rows = Seq(
+      """{"resourceType":"MedicationRequest","id":"m1","status":"active","intent":"order","medicationCodeableConcept":{"coding":[{"system":"http://www.nlm.nih.gov/research/umls/rxnorm","code":"1049221"}]},"subject":{"reference":"Patient/pat-1"},"authoredOn":"2021-02-03","note":[{"text":"PHI free text"}]}"""
+    )
+    val med = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "MedicationRequest", cb).head()
+    assert(med.getAs[String]("id").matches("[0-9a-f]{64}"))
+    assert(med.getAs[org.apache.spark.sql.Row]("subject")
+      .getAs[String]("reference") === s"Patient/${hashOf("pat-1")}")
+    assert(!med.schema.fieldNames.contains("note")) // not allow-listed
+
+    val imm = ScrubCompiler.scrub(
+      spark.read.json(Seq(
+        """{"resourceType":"Immunization","id":"i1","status":"completed","vaccineCode":{"coding":[{"system":"http://hl7.org/fhir/sid/cvx","code":"208"}]},"patient":{"reference":"Patient/pat-2"},"occurrenceDateTime":"2021-04-05"}"""
+      ).toDS()), "Immunization", cb).head()
+    assert(imm.getAs[org.apache.spark.sql.Row]("patient")
+      .getAs[String]("reference") === s"Patient/${hashOf("pat-2")}")
+  }
+
   test("empty structs prune to null, empty strings to null") {
     val rows = Seq(
       """{"resourceType":"Observation","id":"o1","status":"","valueQuantity":{"value":null,"unit":null}}"""
