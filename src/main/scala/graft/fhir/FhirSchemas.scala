@@ -206,6 +206,71 @@ object FhirSchemas {
     ))))
   )
 
+  val medicationRequest: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("statusReason", codeableConceptType),
+    StructField("intent", StringType),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("priority", StringType),
+    StructField("reportedBoolean", BooleanType),
+    StructField("medicationCodeableConcept", codeableConceptType),
+    StructField("medicationReference", referenceType),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("authoredOn", StringType),
+    StructField("requester", referenceType),
+    StructField("reasonCode", ArrayType(codeableConceptType)),
+    StructField("courseOfTherapyType", codeableConceptType)
+  )
+
+  val procedure: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("statusReason", codeableConceptType),
+    StructField("category", codeableConceptType),
+    StructField("code", codeableConceptType),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("performedDateTime", StringType),
+    StructField("performedPeriod", periodType),
+    StructField("recorder", referenceType),
+    StructField("performer", ArrayType(StructType(Seq(
+      StructField("function", codeableConceptType),
+      StructField("actor", referenceType)
+    )))),
+    StructField("reasonCode", ArrayType(codeableConceptType)),
+    StructField("bodySite", ArrayType(codeableConceptType)),
+    StructField("outcome", codeableConceptType)
+  )
+
+  val immunization: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("statusReason", codeableConceptType),
+    StructField("vaccineCode", codeableConceptType),
+    StructField("patient", referenceType),
+    StructField("encounter", referenceType),
+    StructField("occurrenceDateTime", StringType),
+    StructField("primarySource", BooleanType),
+    StructField("site", codeableConceptType),
+    StructField("route", codeableConceptType),
+    StructField("doseQuantity", quantityType)
+  )
+
+  val allergyIntolerance: StructType = resourceBase(
+    StructField("clinicalStatus", codeableConceptType),
+    StructField("verificationStatus", codeableConceptType),
+    StructField("type", StringType),
+    StructField("category", ArrayType(StringType)),
+    StructField("criticality", StringType),
+    StructField("code", codeableConceptType),
+    StructField("patient", referenceType),
+    StructField("encounter", referenceType),
+    StructField("onsetDateTime", StringType),
+    StructField("recordedDate", StringType),
+    StructField("recorder", referenceType),
+    StructField("asserter", referenceType),
+    StructField("lastOccurrence", StringType)
+  )
+
   /** Catalog lookup; None → caller falls back to schema inference. */
   def forResource(resourceType: String): Option[StructType] =
     resourceType match {
@@ -214,6 +279,10 @@ object FhirSchemas {
       case "Observation" => Some(observation)
       case "Condition" => Some(condition)
       case "DocumentReference" => Some(documentReference)
+      case "MedicationRequest" => Some(medicationRequest)
+      case "Procedure" => Some(procedure)
+      case "Immunization" => Some(immunization)
+      case "AllergyIntolerance" => Some(allergyIntolerance)
       case _ => None
     }
 
