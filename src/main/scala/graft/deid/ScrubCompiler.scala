@@ -41,9 +41,10 @@ object ScrubCompiler {
       resourceType: String,
       codebook: Codebook,
       policy: ScrubPolicy = DefaultScrubPolicy.policy,
-      nlpMode: Boolean = false
+      nlpMode: Boolean = false,
+      philterEnabled: Boolean = false
   ): DataFrame = {
-    val ctx = Ctx(policy, codebook, nlpMode)
+    val ctx = Ctx(policy, codebook, nlpMode, philterEnabled)
     val node = compileStruct(resourceType, df.schema, ctx)
     val rowCol = struct(df.columns.map(col): _*)
     df.filter(col("resourceType") === lit(resourceType))
@@ -85,8 +86,12 @@ object ScrubCompiler {
   private case class Ctx(
       policy: ScrubPolicy,
       codebook: Codebook,
-      nlpMode: Boolean
+      nlpMode: Boolean,
+      philterEnabled: Boolean
   )
+
+  private val DarUrl =
+    "http://hl7.org/fhir/StructureDefinition/data-absent-reason"
 
   /** Compile one named struct type against its policy. */
   private def compileStruct(
@@ -99,15 +104,57 @@ object ScrubCompiler {
       f => compileField(typeName, f, rules, ctx).map(f -> _)
     }
     val maskedSiblings = maskedSiblingFields(typeName, schema, rules, ctx)
+    // F7 as a scrub action (scrub-rules "check-system;…"): fields whose
+    // rule is CheckSystem and whose sibling `system` exists in this
+    // schema get the Epic-custom-system guard; a stripped value adds a
+    // data-absent-reason extension to THIS node (scrubber.py
+    // _add_data_absent_extension(parent) from the check-system path).
+    val checkedTargets: Set[String] =
+      if (!schema.fieldNames.contains("system")) Set.empty
+      else schema.fields.map(_.name).filter { n =>
+        (n == "code" || n == "display") &&
+        rules.get(n).exists(_.isInstanceOf[Rule.CheckSystem])
+      }.toSet
     val project: Column => Column = { input =>
       if (fieldNodes.isEmpty && maskedSiblings.isEmpty) lit(null)
       else {
+        val checked: Option[Column] =
+          if (checkedTargets.isEmpty) None
+          else {
+            def sib(n: String): Column =
+              if (schema.fieldNames.contains(n)) input.getField(n)
+              else lit(null).cast(StringType)
+            Some(DeidFunctions.checkSystem(
+              sib("system"), sib("code"), sib("display")))
+          }
+        val needMask: Column = checked match {
+          case Some(ch) =>
+            checkedTargets.toSeq.sorted.map { n =>
+              input.getField(n).isNotNull && ch.getField(n).isNull
+            }.reduce(_ || _)
+          case None => lit(false)
+        }
         val members = fieldNodes.map { case (f, n) =>
-          n.project(input.getField(f.name)).as(f.name)
+          val base =
+            if (checkedTargets.contains(f.name))
+              n.project(checked.get.getField(f.name))
+            else n.project(input.getField(f.name))
+          val c =
+            if (f.name == "extension" && checkedTargets.nonEmpty)
+              withMaskedMarker(base, needMask, maskedElemFor(f, ctx))
+            else base
+          c.as(f.name)
         } ++ maskedSiblings.map { name =>
           when(input.getField(name).isNotNull,
             struct(DeidFunctions.maskedExtension.as("extension")))
             .as(s"_$name")
+        } ++ {
+          // schema had no extension array to host the marker: emit one
+          if (checkedTargets.nonEmpty &&
+            !fieldNodes.exists(_._1.name == "extension"))
+            Seq(when(needMask, array(syntheticMaskedElem(ctx)))
+              .as("extension"))
+          else Nil
         }
         val s = struct(members: _*)
         // Empty-struct pruning keyed on the INPUT fields, not the
@@ -130,6 +177,48 @@ object ScrubCompiler {
       if (rejects.isEmpty) lit(false) else rejects.reduce(_ || _)
     }
     Node(project, reject)
+  }
+
+  /** Append the data-absent-reason marker to an (already projected)
+    * extension array when the check-system guard stripped a value;
+    * idempotent like the reference (an existing data-absent-reason
+    * extension is left in place, scrubber.py _add_data_absent_extension).
+    */
+  private def withMaskedMarker(
+      base: Column,
+      needMask: Column,
+      marker: Column
+  ): Column =
+    when(!needMask, base)
+      .when(base.isNull, array(marker))
+      .when(exists(base, e => e.getField("url") === lit(DarUrl)), base)
+      .otherwise(concat(base, array(marker)))
+
+  /** Build the masked-marker element with the SAME projected type as the
+    * host extension array: construct an input-typed element literal and
+    * run it through the same compiled Extension projection.
+    */
+  private def maskedElemFor(field: StructField, ctx: Ctx): Column =
+    field.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val elem = compileStruct("Extension", st, ctx)
+        elem.project(struct(st.fields.map { f =>
+          (f.name match {
+            case "url" => lit(DarUrl).cast(f.dataType)
+            case "valueCode" => lit("masked").cast(f.dataType)
+            case _ => lit(null).cast(f.dataType)
+          }).as(f.name)
+        }.toSeq: _*))
+      case _ => syntheticMaskedElem(ctx)
+    }
+
+  /** Marker element when the input schema has no extension field. */
+  private def syntheticMaskedElem(ctx: Ctx): Column = {
+    val st = StructType(Seq(
+      StructField("url", StringType),
+      StructField("valueCode", StringType)))
+    compileStruct("Extension", st, ctx).project(
+      struct(lit(DarUrl).as("url"), lit("masked").as("valueCode")))
   }
 
   /** F5: masked primitive leaves get a sibling `_field` carrying the
@@ -164,6 +253,11 @@ object ScrubCompiler {
       case None => None
       case Some(rule) if isExtension =>
         Some(compileExtensions(field, isModifier, ctx))
+      case Some(CheckSystem(inner)) =>
+        // guard input is rewired at the struct level (sibling access);
+        // here compile the post-check leaf action
+        compileField(parentType, field, rules.updated(field.name, inner),
+          ctx)
       case Some(TypeRef(t)) =>
         field.dataType match {
           case st: StructType =>
@@ -235,8 +329,16 @@ object ScrubCompiler {
   private def leafNode(rule: Rule.Rule, dt: DataType, ctx: Ctx): Node = {
     import Rule._
     val project: Column => Column = rule match {
-      case Val | Philter =>
+      case Val =>
         c => if (dt == StringType) DeidFunctions.cleanString(c) else c
+      case Philter =>
+        // F6: opt-in philter pass over free-text leaves (the reference's
+        // --philter flag, etl/cli.py:27-29); disabled → plain Val
+        c =>
+          val cleaned =
+            if (dt == StringType) DeidFunctions.cleanString(c) else c
+          if (ctx.philterEnabled) graft.deid.Philter.scrubText(cleaned)
+          else cleaned
       case Year => c => DeidFunctions.yearOf(DeidFunctions.cleanString(c))
       case Zip => c => DeidFunctions.zipGeneralize(DeidFunctions.cleanString(c))
       case AnonId => c => ctx.codebook.fakeId(DeidFunctions.cleanString(c))
@@ -244,6 +346,8 @@ object ScrubCompiler {
       case Mask => _ => lit(null).cast(dt)
       case MaskNote =>
         if (ctx.nlpMode) c => c else _ => lit(null).cast(dt)
+      case CheckSystem(inner) =>
+        leafNode(inner, dt, ctx).project // unwrapped in compileField
       case TypeRef(_) => c => c // unreachable; handled in compileField
     }
     Node(project, noReject)

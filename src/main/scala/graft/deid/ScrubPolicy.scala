@@ -35,6 +35,15 @@ object Rule {
   /** free-text field: philter target when enabled, else kept */
   case object Philter extends Rule
 
+  /** guard the leaf with the Epic custom-code-system check first
+    * (scrub-rules.toml "check-system;val" / "check-system;philter",
+    * scrubber.py _check_invalid_for_system): if the sibling `system` is
+    * an Epic extension-point OID and the code/display pair looks like a
+    * free-form customization, the value is dropped and the parent gains
+    * a data-absent-reason extension; otherwise `inner` applies.
+    */
+  final case class CheckSystem(inner: Rule) extends Rule
+
   /** descend using the named element type's policy */
   final case class TypeRef(name: String) extends Rule
 }
@@ -88,6 +97,14 @@ object DefaultScrubPolicy {
       "Element" -> ElementPolicy(None, Map(
         "extension" -> TypeRef("Extension")
       )),
+      // Backbone elements (nested resource parts) may carry
+      // meaning-altering modifierExtensions at any depth; the compiled
+      // reject predicate propagates up, so an unknown nested modifier
+      // rejects the whole resource like the reference
+      // (scrubber.py SkipResource via _check_modifier_extensions).
+      "BackboneElement" -> ElementPolicy(Some("Element"), Map(
+        "modifierExtension" -> TypeRef("Extension")
+      )),
       "Meta" -> ElementPolicy(Some("Element"), Map(
         "lastUpdated" -> Val,
         "profile" -> Val,
@@ -98,11 +115,14 @@ object DefaultScrubPolicy {
         "coding" -> TypeRef("Coding"),
         "text" -> Philter
       )),
+      // code/display guarded by the Epic custom-system check
+      // (scrub-rules.toml:83-84) — display is additionally a philter
+      // target when the philter pass is enabled
       "Coding" -> ElementPolicy(Some("Element"), Map(
         "system" -> Val,
         "version" -> Val,
-        "code" -> Val,
-        "display" -> Val,
+        "code" -> CheckSystem(Val),
+        "display" -> CheckSystem(Philter),
         "userSelected" -> Val
       )),
       "Reference" -> ElementPolicy(Some("Element"), Map(
@@ -118,12 +138,13 @@ object DefaultScrubPolicy {
         "start" -> Val,
         "end" -> Val
       )),
+      // Quantity.code is check-system-guarded too (scrub-rules.toml:738)
       "Quantity" -> ElementPolicy(Some("Element"), Map(
         "value" -> Val,
         "comparator" -> Val,
         "unit" -> Val,
         "system" -> Val,
-        "code" -> Val
+        "code" -> CheckSystem(Val)
       )),
       "Address" -> ElementPolicy(Some("Element"), Map(
         "use" -> Val,
@@ -203,13 +224,13 @@ object DefaultScrubPolicy {
         "context" -> TypeRef("DocumentReferenceContext"),
         "content" -> TypeRef("DocumentReferenceContent")
       )),
-      "DocumentReferenceContext" -> ElementPolicy(Some("Element"), Map(
+      "DocumentReferenceContext" -> ElementPolicy(Some("BackboneElement"), Map(
         "encounter" -> Ref,
         "period" -> TypeRef("Period"),
         "facilityType" -> CC,
         "practiceSetting" -> CC
       )),
-      "DocumentReferenceContent" -> ElementPolicy(Some("Element"), Map(
+      "DocumentReferenceContent" -> ElementPolicy(Some("BackboneElement"), Map(
         "attachment" -> TypeRef("Attachment"),
         "format" -> TypeRef("Coding")
       )),
@@ -252,7 +273,7 @@ object DefaultScrubPolicy {
         "bodySite" -> CC,
         "outcome" -> CC
       )),
-      "ProcedurePerformer" -> ElementPolicy(Some("Element"), Map(
+      "ProcedurePerformer" -> ElementPolicy(Some("BackboneElement"), Map(
         "function" -> CC,
         "actor" -> Ref
       )),

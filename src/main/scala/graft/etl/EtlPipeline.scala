@@ -66,7 +66,8 @@ object EtlPipeline {
       policy: ScrubPolicy = DefaultScrubPolicy.policy,
       groupName: String = "",
       exportTime: String = "",
-      nlpMode: Boolean = false
+      nlpMode: Boolean = false,
+      philterEnabled: Boolean = false
   ): Seq[TaskResult] = {
     val codebook = Codebook.loadOrCreate(phiDir)
     val available = NdjsonSource.detectResources(spark, inputDir)
@@ -100,14 +101,20 @@ object EtlPipeline {
         // reference's prepare_pipeline(nlp=True) (etl/pipeline.py:213-215)
         val scrubbed = ScrubCompiler.scrub(
           raw.observe(readObs, count(lit(1)).as("n")),
-          task.resourceType, codebook, policy, nlpMode)
-        // A1: last-wins on id in input order
+          task.resourceType, codebook, policy, nlpMode, philterEnabled)
+        // A1: last-wins on id in EXPORT order ("updates appended later
+        // win", etl/tasks/base.py:308-316): primary order = position of
+        // the row's file in the sorted export listing (real append
+        // signal — partition ids alone don't track file order), ties
+        // within a file broken by the partition-local id
+        val inputFiles = NdjsonSource.listResourceFiles(spark, inputDir)
         val deduped = MergeOps.dedupLastWins(
           scrubbed.observe(scrubObs, count(lit(1)).as("n"))
+            .withColumn("__file_seq", NdjsonSource.fileSeqCol(inputFiles))
             .withColumn("__seq", monotonically_increasing_id()),
           Seq("id"),
-          Seq(col("__seq"))
-        ).drop("__seq")
+          Seq(col("__file_seq"), col("__seq"))
+        ).drop("__file_seq", "__seq")
 
         val table = GraftTable(spark, s"$outputDir/${task.tableName}",
           task.mergeSpec)

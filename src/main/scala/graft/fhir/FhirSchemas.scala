@@ -108,6 +108,20 @@ object FhirSchemas {
     StructField("creation", StringType)
   ))
 
+  /** BackboneElement base fields: nested resource parts can carry
+    * extensions AND meaning-altering modifierExtensions at any depth
+    * (hl7.org/fhir/R4/backboneelement.html); the schema must surface
+    * them so the scrub compiler's reject predicate can see unknown
+    * nested modifiers (scrubber.py rejects the whole resource).
+    */
+  private val backboneBase: Seq[StructField] = Seq(
+    StructField("extension", ArrayType(extensionType)),
+    StructField("modifierExtension", ArrayType(extensionType))
+  )
+
+  private def backbone(fields: StructField*): StructType =
+    StructType(backboneBase ++ fields)
+
   private def resourceBase(fields: StructField*): StructType =
     StructType(Seq(
       StructField("resourceType", StringType),
@@ -194,16 +208,16 @@ object FhirSchemas {
     StructField("date", StringType),
     StructField("author", ArrayType(referenceType)),
     StructField("custodian", referenceType),
-    StructField("context", StructType(Seq(
+    StructField("context", backbone(
       StructField("encounter", ArrayType(referenceType)),
       StructField("period", periodType),
       StructField("facilityType", codeableConceptType),
       StructField("practiceSetting", codeableConceptType)
-    ))),
-    StructField("content", ArrayType(StructType(Seq(
+    )),
+    StructField("content", ArrayType(backbone(
       StructField("attachment", attachmentType),
       StructField("format", codingType)
-    ))))
+    )))
   )
 
   val medicationRequest: StructType = resourceBase(
@@ -233,10 +247,10 @@ object FhirSchemas {
     StructField("performedDateTime", StringType),
     StructField("performedPeriod", periodType),
     StructField("recorder", referenceType),
-    StructField("performer", ArrayType(StructType(Seq(
+    StructField("performer", ArrayType(backbone(
       StructField("function", codeableConceptType),
       StructField("actor", referenceType)
-    )))),
+    ))),
     StructField("reasonCode", ArrayType(codeableConceptType)),
     StructField("bodySite", ArrayType(codeableConceptType)),
     StructField("outcome", codeableConceptType)

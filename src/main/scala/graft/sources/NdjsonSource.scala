@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -40,10 +40,28 @@ object NdjsonSource {
     }.toSet
   }
 
+  /** List the NDJSON-bearing files of a dir (both .ndjson and .jsonl,
+    * matching what [[detectResources]] accepts), sorted by name — the
+    * export append order for bulk exports, which number their files
+    * sequentially. Driver-side planning metadata.
+    */
+  def listResourceFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) return Nil
+    fs.listStatus(path).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".ndjson") ||
+        s.getPath.getName.endsWith(".jsonl")))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
   /** Read every row of one resource type from a bulk-export dir.
     * With an explicit schema the JSON scan prunes to exactly the
     * policy-needed columns; rows of other types are filtered (the
-    * reference warns & skips them — common.py:150-161).
+    * reference warns & skips them — common.py:150-161). Reads the
+    * explicit detected file list so .jsonl exports work identically.
     */
   def readResource(
       spark: SparkSession,
@@ -51,11 +69,39 @@ object NdjsonSource {
       resourceType: String,
       schema: Option[StructType] = None
   ): DataFrame = {
+    val files = listResourceFiles(spark, dir)
     val reader = spark.read
     val withSchema = schema.fold(reader)(reader.schema)
-    withSchema
-      .json(s"$dir/*.ndjson")
-      .filter(col("resourceType") === lit(resourceType))
+    val df =
+      if (files.isEmpty) {
+        val s = schema.getOrElse(StructType(Seq(
+          org.apache.spark.sql.types.StructField("resourceType",
+            org.apache.spark.sql.types.StringType))))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else withSchema.json(files: _*)
+    df.filter(col("resourceType") === lit(resourceType))
+  }
+
+  /** A real "appended later" ordering signal for last-wins dedup (A1):
+    * the position of each row's source file in the sorted export file
+    * list. monotonically_increasing_id alone is NOT export order — Spark
+    * packs file splits sorted by size, so partition order ≠ file order;
+    * this maps input_file_name() back to the listing index. Ties within
+    * one file fall to the caller's secondary column (files below
+    * maxPartitionBytes are a single split, where partition-local ids do
+    * follow line order).
+    */
+  def fileSeqCol(files: Seq[String]): Column = {
+    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    if (files.isEmpty) lit(0L)
+    else {
+      val pairs = files.zipWithIndex.flatMap { case (p, i) =>
+        Seq(lit(base(p)), lit(i.toLong))
+      }
+      element_at(map(pairs: _*),
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+    }
   }
 
   /** S5: deleted-ids bundles — FHIR transaction Bundles under deleted/

@@ -39,8 +39,15 @@ object IncrementalMerge {
           case Some(c) => MergeOps.dedupLastWins(batch, spec.keys,
             Seq(col(c)))
           case None => MergeOps.dedupLastWins(
-            batch.withColumn("__seq", monotonically_increasing_id()),
-            spec.keys, Seq(col("__seq"))).drop("__seq")
+            // no caller-declared order: use the source file path (file
+            // streams list files in order; lexicographic path = append
+            // order for sequenced exports) with partition-local ids only
+            // breaking ties WITHIN a file — never across files, where
+            // split packing reorders partitions
+            batch.withColumn("__file", input_file_name())
+              .withColumn("__seq", monotonically_increasing_id()),
+            spec.keys, Seq(col("__file"), col("__seq")))
+            .drop("__file", "__seq")
         }
         table.merge(ordered)
         batches += 1

@@ -162,6 +162,124 @@ class ScrubberSpec extends SparkSpecBase {
     assert(deleted === Set(("Patient", "p9"), ("Observation", "o9")))
   }
 
+  test("check-system guard strips Epic custom codes and marks the coding") {
+    val rows = Seq(
+      // non-numeric code in the Epic extension-point OID → code+display
+      // stripped, coding marked with data-absent-reason
+      """{"resourceType":"Encounter","id":"e1","status":"finished","class":{"system":"urn:oid:1.2.840.114350.1.13.1","code":"JOHN DOE","display":"John Doe"}}""",
+      // code "0" with display → display stripped, code kept
+      """{"resourceType":"Encounter","id":"e2","status":"finished","class":{"system":"urn:oid:1.2.840.114350.1.13.1","code":"0","display":"custom free text"}}""",
+      // numeric Epic code → untouched
+      """{"resourceType":"Encounter","id":"e3","status":"finished","class":{"system":"urn:oid:1.2.840.114350.1.13.1","code":"13","display":"Outpatient"}}""",
+      // non-Epic system → untouched
+      """{"resourceType":"Encounter","id":"e4","status":"finished","class":{"system":"http://terminology.hl7.org/CodeSystem/v3-ActCode","code":"AMB","display":"ambulatory"}}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Encounter", cb)
+    val byId = out.collect().map { r =>
+      val cls = r.getAs[org.apache.spark.sql.Row]("class")
+      val ext = Option(cls.getAs[scala.collection.Seq[
+        org.apache.spark.sql.Row]]("extension"))
+      (r.getAs[String]("status"),
+        cls.getAs[String]("code"), cls.getAs[String]("display"),
+        ext.map(_.head.getAs[String]("url")))
+    }
+    assert(byId.length === 4)
+    val stripped = byId.filter(t => t._2 == null && t._3 == null)
+    assert(stripped.length === 1) // e1 only
+    assert(stripped.head._4.exists(_.endsWith("data-absent-reason")))
+    val zeroCode = byId.find(_._2 == "0").get
+    assert(zeroCode._3 === null) // display stripped
+    assert(zeroCode._4.exists(_.endsWith("data-absent-reason")))
+    assert(byId.exists(t => t._2 == "13" && t._3 == "Outpatient" &&
+      t._4.isEmpty))
+    assert(byId.exists(t => t._2 == "AMB" && t._3 == "ambulatory" &&
+      t._4.isEmpty))
+  }
+
+  test("check-system applies inside CodeableConcept coding arrays") {
+    val rows = Seq(
+      """{"resourceType":"Observation","id":"o1","status":"final","code":{"coding":[{"system":"urn:oid:1.2.840.114350.1.72.1","code":"SECRET NAME","display":"Jane"},{"system":"http://loinc.org","code":"8867-4","display":"Heart rate"}]}}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Observation", cb).head()
+    val codings = out.getAs[org.apache.spark.sql.Row]("code")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")
+    val epic = codings.find(c =>
+      c.getAs[String]("system").startsWith("urn:oid:")).get
+    assert(epic.getAs[String]("code") === null)
+    assert(epic.getAs[String]("display") === null)
+    assert(epic.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "extension").head.getAs[String]("url").endsWith("data-absent-reason"))
+    val loinc = codings.find(c =>
+      c.getAs[String]("system") == "http://loinc.org").get
+    assert(loinc.getAs[String]("code") === "8867-4")
+    assert(loinc.getAs[String]("display") === "Heart rate")
+  }
+
+  test("philter pass scrubs free-text leaves only when enabled") {
+    val rows = Seq(
+      """{"resourceType":"Observation","id":"o1","status":"final","code":{"coding":[{"system":"http://loinc.org","code":"1"}],"text":"call 617-555-1234 re ssn 123-45-6789"}}"""
+    )
+    val df = spark.read.json(rows.toDS())
+    val off = ScrubCompiler.scrub(df, "Observation", cb)
+      .head().getAs[org.apache.spark.sql.Row]("code").getAs[String]("text")
+    assert(off === "call 617-555-1234 re ssn 123-45-6789")
+    val on = ScrubCompiler.scrub(df, "Observation", cb,
+      philterEnabled = true)
+      .head().getAs[org.apache.spark.sql.Row]("code").getAs[String]("text")
+    assert(on === "call ************ re ssn ***********")
+  }
+
+  test("unknown modifierExtension on a NESTED backbone rejects the resource") {
+    val rows = Seq(
+      """{"resourceType":"Procedure","id":"pr1","status":"completed","subject":{"reference":"Patient/p1"},"performer":[{"actor":{"reference":"Practitioner/doc1"},"modifierExtension":[{"url":"http://example.com/changes-meaning","valueString":"x"}]}]}""",
+      """{"resourceType":"Procedure","id":"pr2","status":"completed","subject":{"reference":"Patient/p1"},"performer":[{"actor":{"reference":"Practitioner/doc2"}}]}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Procedure", cb)
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(ids === Set(hashOf("pr2"))) // pr1 rejected at depth 2
+  }
+
+  test("jsonl files are detected AND read") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "Patient.jsonl"),
+      """{"resourceType":"Patient","id":"pj1","gender":"female"}"""
+        .getBytes("UTF-8"))
+    assert(NdjsonSource.detectResources(spark, dir) === Set("Patient"))
+    assert(NdjsonSource.readResource(spark, dir, "Patient").count() === 1)
+  }
+
+  test("last-wins dedup follows export FILE order, not partition order") {
+    val dir = java.nio.file.Files.createTempDirectory("fileorder").toString
+    // earlier file is much larger: size-ordered split packing would rank
+    // it first, so a partition-id ordering would pick the WRONG winner
+    val big = (1 to 500).map(i =>
+      s"""{"resourceType":"Patient","id":"f$i","gender":"female"}""") :+
+      """{"resourceType":"Patient","id":"dup","gender":"unknown"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "Patient.000.ndjson"),
+      big.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "Patient.001.ndjson"),
+      """{"resourceType":"Patient","id":"dup","gender":"male"}"""
+        .getBytes("UTF-8"))
+    val files = NdjsonSource.listResourceFiles(spark, dir)
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) ===
+      Seq("Patient.000.ndjson", "Patient.001.ndjson"))
+    val df = NdjsonSource.readResource(spark, dir, "Patient")
+      .withColumn("__file_seq", NdjsonSource.fileSeqCol(files))
+      .withColumn("__seq", monotonically_increasing_id())
+    val winner = graft.operators.MergeOps
+      .dedupLastWins(df, Seq("id"),
+        Seq(col("__file_seq"), col("__seq")))
+      .filter(col("id") === "dup")
+      .head().getAs[String]("gender")
+    assert(winner === "male") // the later-appended export file wins
+  }
+
   test("export log parsing extracts group and transaction time") {
     val dir = java.nio.file.Files.createTempDirectory("log").toString
     val log = java.nio.file.Paths.get(dir, "log.ndjson")
