@@ -36,6 +36,7 @@ object SparkEntry {
     "q21_term_freq" -> (TextQueries.qTermFreq _),
     "q22_exact_dedup" -> (TextQueries.qExactDedup _),
     "q23_doc_quality" -> (TextQueries.qDocQuality _),
+    "q24_minhash_sig" -> (TextQueries.qMinHashSig _),
     "q25_minhash_pairs" -> (TextQueries.qMinHashPairs _),
     "q26_simhash_pairs" -> (TextQueries.qSimHashPairs _),
     "q27_ngram_jaccard" -> (TextQueries.qNgramJaccard _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "q60_note_select" -> (NoteQueries.qNoteSelect _),
     "q61_group_notes" -> (NoteQueries.qGroupNotes _),
     "q62_sample_notes" -> (NoteQueries.qSampleNotes _),
+    "q63_hash_sample" -> (NoteQueries.qHashSample _),
     "q50_window_agg" -> (StreamQueries.qWindowAgg _),
     "q51_sessions" -> (StreamQueries.qSessions _),
     "q52_event_deltas" -> (StreamQueries.qEventDeltas _)
@@ -83,8 +85,11 @@ object SparkEntry {
     "q21_term_freq" -> TextQueries.qTermFreqSql,
     "q22_exact_dedup" -> TextQueries.qExactDedupSql,
     "q23_doc_quality" -> TextQueries.qDocQualitySql,
+    "q24_minhash_sig" -> TextQueries.qMinHashSigSql,
     "q27_ngram_jaccard" -> TextQueries.qNgramJaccardSql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
+    "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
+    "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,
     "q34_embed_neardup" -> SimilarityQueries.qEmbedNearDupSql,
     "q40_deid_scalars" -> DeidQueries.qDeidScalarsSql,
     "q41_checksum" -> DeidQueries.qChecksumSql,
@@ -96,6 +101,7 @@ object SparkEntry {
     "q18_having" -> Relational2.q18HavingSql,
     "q19_subqueries" -> Relational2.q19SubqueriesSql,
     "q60_note_select" -> NoteQueries.qNoteSelectSql,
+    "q63_hash_sample" -> NoteQueries.qHashSampleSql,
     "q61_group_notes" -> NoteQueries.qGroupNotesSql,
     "q50_window_agg" -> StreamQueries.qWindowAggSql,
     "q51_sessions" -> StreamQueries.qSessionsSql,

@@ -182,6 +182,16 @@ object NoteOps {
     df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
       .limit(n)
 
+  /** O3 (scale path): deterministic hash sample — order by md5(seed:id),
+    * take n. No RNG state, reproducible across engines/re-runs, and the
+    * plan is TakeOrdered (per-partition top-n + tiny final merge), so it
+    * never materializes a full sort at 100 TB.
+    */
+  def hashSample(df: DataFrame, idCol: String, n: Int,
+      seed: String): DataFrame =
+    df.orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .limit(n)
+
   /** E4: dedup notes by (resourceType, id) — first wins
     * (sample/cli.py:163-171).
     */

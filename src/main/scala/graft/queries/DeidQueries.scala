@@ -136,8 +136,13 @@ object DeidQueries {
       |       ELSE CAST(strptime(raw, '%Y-%m-%d') AS DATE) END AS parsed
       |FROM src""".stripMargin
 
-  /** q44 — pseudonymous IDs + reference rewriting (F1/F2, rows-only: no
-    * HMAC in DuckDB; RFC 4231 vectors cover the primitive in ScalaTest).
+  /** q44 — pseudonymous IDs + reference rewriting (F1/F2). Rows-only by
+    * necessity: DuckDB's sha256() accepts VARCHAR only, and the HMAC
+    * construction needs a digest over raw bytes (opad ‖ inner-digest),
+    * which a VARCHAR can't carry — so no SQL oracle is expressible.
+    * The primitive is pinned by RFC 4231 test vectors in DeidSpec and
+    * the golden-file harness locks end-to-end fake IDs under a pinned
+    * salt.
     */
   def qAnonIds(spark: SparkSession, dir: String): DataFrame = {
     val cb = Codebook.withSalt("42" * 32)

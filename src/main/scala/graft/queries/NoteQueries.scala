@@ -66,23 +66,51 @@ object NoteQueries {
       .sampleNotes(Tables.documents(spark, dir), n = 50, seed = 42L)
       .select("doc_id", "lang", "source")
 
-  /** q33 — multimodal pipeline (rows-only: decode kernels are stubs):
-    * decode → resize → embed, one row per media item with metadata and
-    * the embedding norm.
+  /** q63 — deterministic hash sample: order by md5(seed:id), take n.
+    * The scale-path sampler (no RNG state, reproducible across engines
+    * and re-runs, TakeOrdered plan — no full sort materialization);
+    * md5 is identical in Spark and DuckDB so this one is oracle-exact,
+    * complementing the rows-only reservoir sampler (q62).
+    */
+  def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    NoteOps
+      .hashSample(Tables.documents(spark, dir), "doc_id", n = 50,
+        seed = "42")
+      .select("doc_id", "lang", "source")
+
+  val qHashSampleSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) LIMIT 50""".stripMargin
+
+  /** q33 — multimodal pipeline: decode → resize → embed over opaque
+    * binary payloads. The decode kernels are deterministic stubs (codec
+    * libs absent), so the oracle checks the engine-portable invariants:
+    * row identity through the whole pipeline, kind assignment, original
+    * payload size + sha256, and the embedding width produced by the
+    * feature extractor.
     */
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     val media =
       Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
     val decoded = Multimodal.resize(Multimodal.decode(media), 256, 256)
     val emb = Multimodal.embed(decoded, dim = 32)
-    decoded
+    media
       .toDF()
-      .select(col("media_id"), col("kind"), col("meta.width"),
-        col("meta.height"), col("meta.durationMs"))
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        sha2(col("bytes"), 256).as("payload_sha"))
       .join(emb, Seq("media_id"))
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("durationMs"),
-        graft.operators.Similarity.l2Norm(col("embedding"))
-          .as("embedding_norm"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("payload_sha"),
+        size(col("embedding")).cast("long").as("emb_dim"))
   }
+
+  val qMediaPipelineSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS payload_sha,
+      |  CAST(32 AS BIGINT) AS emb_dim
+      |FROM documents""".stripMargin
 }

@@ -61,26 +61,33 @@ object SimilarityQueries {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** q32 — centroid of each label's vectors (mean pooling via exact
-    * decimal-free integer-position aggregation is impossible for floats,
-    * so this is rows-only-adjacent: we emit counts plus the first two
-    * centroid components rounded; full float parity is covered by the
-    * top-k ranking query instead). Kept oracle-free.
+  /** q32 — per-label centroids (mean pooling), exact-checkable form:
+    * each (label, dimension) sums `floor(component × 1e6)` as integers —
+    * float→double widening and the double multiply are bit-identical
+    * across engines, and integer sums are order-independent, so the
+    * result hash-matches DuckDB regardless of partial-agg order (a raw
+    * double sum would not). One posexplode + one hash-aggregate: scales
+    * as rows×dim with full map-side combine.
     */
-  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val dim = 64
-    val sums = (0 until dim).map(i =>
-      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-    emb
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(
-        col("label"),
-        col("n"),
-        array((0 until dim).map(i => col(s"s$i") / col("n")): _*)
-          .as("centroid")
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1000000).cast("long"))
+          .as("sum_micro")
       )
-      .orderBy("label")
-  }
+
+  val qLabelCentroidsSql: String =
+    """SELECT label, dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |    AS BIGINT) AS sum_micro
+      |FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings)
+      |GROUP BY label, dim""".stripMargin
 }

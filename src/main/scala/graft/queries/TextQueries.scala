@@ -111,6 +111,41 @@ object TextQueries {
       |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_tok_len
       |FROM documents""".stripMargin
 
+  /** q24 — oracle-exact MinHash signatures: per-doc min over
+    * md5(seed:gram) for 8 seeds on the distinct 3-gram shingle set.
+    * Lexicographic min of a cryptographic hex digest is a valid minhash
+    * family and md5 is identical across engines, so the signature
+    * computation itself gets a DuckDB hash check (the production
+    * candidate generator q25 uses the faster FNV/Mersenne kernel, whose
+    * estimates are engine-internal — NearDedupSpec cross-checks those
+    * against exact Jaccard).
+    */
+  def qMinHashSig(spark: SparkSession, dir: String): DataFrame = {
+    val grams = array_distinct(wordNgrams(col("text"), 3))
+    val sigs = (0 until 8).map { s =>
+      array_min(transform(grams, g => md5(concat(lit(s"$s:"), g))))
+        .as(s"mh_$s")
+    }
+    Tables.documents(spark, dir).select(col("doc_id") +: sigs: _*)
+  }
+
+  val qMinHashSigSql: String = {
+    val mins = (0 until 8).map { s =>
+      s"  list_min(list_transform(grams, x -> md5('$s:' || x))) AS mh_$s"
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+       |  FROM toks)
+       |SELECT doc_id,
+       |$mins
+       |FROM g""".stripMargin
+  }
+
   /** q25 — MinHash+LSH near-dup candidate pairs (no SQL oracle: LSH
     * banding is not expressible in DuckDB; correctness is covered by
     * NearDedupSpec's exact-Jaccard cross-check). Input is seeded with
