@@ -36,34 +36,34 @@ object NearDedup {
     * ~10× cheaper and the hash choice is internal to the near-dup
     * operators (estimates only, never compared across engines).
     */
-  private val shingleHashesUdf = udf { (text: String, n: Int) =>
-    if (text == null) Array.empty[Long]
-    else {
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-      if (toks.isEmpty) Array.empty[Long]
-      else {
-        val count = math.max(toks.length - n + 1, 1)
-        val out = new Array[Long](count)
-        var i = 0
-        while (i < count) {
-          var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-          var j = i
-          val end = math.min(i + n, toks.length)
-          while (j < end) {
-            val s = toks(j)
-            var k = 0
-            while (k < s.length) {
-              h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
-            }
-            h ^= ' '; h *= 0x100000001b3L
-            j += 1
-          }
-          out(i) = h
-          i += 1
+  private def shingleHashArray(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return Array.empty[Long]
+    val count = math.max(toks.length - n + 1, 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        val s = toks(j)
+        var k = 0
+        while (k < s.length) {
+          h ^= s.charAt(k); h *= 0x100000001b3L; k += 1
         }
-        out
+        h ^= ' '; h *= 0x100000001b3L
+        j += 1
       }
+      out(i) = h
+      i += 1
     }
+    out
+  }
+
+  private val shingleHashesUdf = udf { (text: String, n: Int) =>
+    shingleHashArray(text, n)
   }
 
   /** Shingle-hash column (array<bigint>) for a text column. */
@@ -115,25 +115,38 @@ object NearDedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // Signature via explode + one hash-aggregate with numHashes MIN
-    // columns: each shingle is hashed exactly once, all permutations run
-    // as codegen'd agg expressions with map-side partial combine — ONE
-    // shuffle on the doc id. (The nested-transform array form recomputes
-    // the shingle array per permutation: 60× slower at sf0.1.)
-    val exploded = df.select(
-      col(idCol).as("__id"),
-      explode(shingleHashes(col(textCol), shingleSize)).as("__x")
-    )
+    // Whole signature in ONE kernel pass per doc: tokenize → n-gram FNV
+    // → all numHashes running mins in a tight loop, no explode and no
+    // shuffle at all for the signature stage. (Earlier iterations: the
+    // nested-transform array form re-evaluated the shingle array per
+    // permutation — 60× slower; the explode + 64-MIN-aggregate form
+    // shuffled |shingles| rows through agg machinery — ~2s of sf0.1.)
+    // Same (a·x+b) mod p permutations, so signatures are unchanged.
     val coeffs = coefficients(numHashes, seed)
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * (col("__x").bitwiseAND(lit(MersennePrime))) + lit(b),
-        lit(MersennePrime))).as(s"__h$i")
+    val as = coeffs.map(_._1).toArray
+    val bs = coeffs.map(_._2).toArray
+    val sigUdf = udf { (text: String) =>
+      val hs = shingleHashArray(text, shingleSize)
+      if (hs.isEmpty) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < hs.length) {
+          val xm = hs(i) & MersennePrime
+          var j = 0
+          while (j < numHashes) {
+            val v = (as(j) * xm + bs(j)) % MersennePrime
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
     }
-    val withSig = exploded
-      .groupBy(col("__id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+    val withSig = df
+      .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
 
     val banded = withSig
       .select(
