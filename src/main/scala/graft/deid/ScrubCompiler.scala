@@ -249,6 +249,24 @@ object ScrubCompiler {
     import Rule._
     val isModifier = field.name == "modifierExtension"
     val isExtension = field.name == "extension" || isModifier
+    // Primitive-extension nodes (`_field`, hl7.org/fhir/R4/json.html#primitive):
+    // kept with the Element policy when the base field is allowed
+    // (scrubber.py:150-157). If the base field is MASKED, the sibling is
+    // superseded by the data-absent-reason marker the mask emits — the
+    // original extensions are PHI-adjacent and conservatively dropped.
+    if (field.name.startsWith("_")) {
+      val base = field.name.drop(1)
+      val baseRule = rules.get(base)
+      val baseMasked = baseRule.contains(Mask) ||
+        (baseRule.contains(MaskNote) && !ctx.nlpMode)
+      if (baseRule.isEmpty || baseMasked) return None
+      return field.dataType match {
+        case st: StructType => Some(compileStruct("Element", st, ctx))
+        case ArrayType(st: StructType, _) =>
+          Some(arrayNode(compileStruct("Element", st, ctx)))
+        case _ => None
+      }
+    }
     rules.get(field.name) match {
       case None => None
       case Some(rule) if isExtension =>
@@ -258,12 +276,12 @@ object ScrubCompiler {
         // here compile the post-check leaf action
         compileField(parentType, field, rules.updated(field.name, inner),
           ctx)
-      case Some(TypeRef(t)) =>
+      case Some(TypeRef(t, conds)) =>
         field.dataType match {
           case st: StructType =>
-            Some(compileStruct(t, st, ctx))
+            Some(conditioned(compileStruct(t, st, ctx), conds, st))
           case ArrayType(st: StructType, _) =>
-            val elem = compileStruct(t, st, ctx)
+            val elem = conditioned(compileStruct(t, st, ctx), conds, st)
             Some(arrayNode(elem))
           case _ =>
             // schema/policy disagree (e.g. policy expects an element but
@@ -279,6 +297,31 @@ object ScrubCompiler {
         }
     }
   }
+
+  /** Conditional sub-schema wrapper (scrubber.py:141-144): the node is
+    * kept only when every condition field's value is in its allowed set;
+    * non-matching nodes are silently dropped (SkipValue), and their
+    * contents are never inspected — including for rejection.
+    */
+  private def conditioned(
+      node: Node,
+      conds: Map[String, Set[String]],
+      schema: StructType
+  ): Node =
+    if (conds.isEmpty) node
+    else {
+      def matches(input: Column): Column =
+        conds.toSeq.sortBy(_._1).map { case (k, vs) =>
+          if (schema.fieldNames.contains(k))
+            input.getField(k).isNotNull &&
+              input.getField(k).isin(vs.toSeq.sorted: _*)
+          else lit(false)
+        }.reduce(_ && _)
+      Node(
+        project = in => when(matches(in), node.project(in)),
+        reject = in => matches(in) && node.reject(in)
+      )
+    }
 
   /** Extension arrays: unknown urls dropped (counted upstream via P2's
     * census query); unknown modifierExtension urls reject the resource.
@@ -348,7 +391,7 @@ object ScrubCompiler {
         if (ctx.nlpMode) c => c else _ => lit(null).cast(dt)
       case CheckSystem(inner) =>
         leafNode(inner, dt, ctx).project // unwrapped in compileField
-      case TypeRef(_) => c => c // unreachable; handled in compileField
+      case TypeRef(_, _) => c => c // unreachable; handled in compileField
     }
     Node(project, noReject)
   }

@@ -44,8 +44,16 @@ object Rule {
     */
   final case class CheckSystem(inner: Rule) extends Rule
 
-  /** descend using the named element type's policy */
-  final case class TypeRef(name: String) extends Rule
+  /** descend using the named element type's policy; when `conditions`
+    * is non-empty the node is kept only if each condition field's value
+    * is in the allowed set (the reference's conditional sub-schemas,
+    * e.g. "Identifier;system=http://hl7.org/fhir/sid/us-npi" —
+    * scrubber.py:282-287 and :141-144: non-matching nodes are skipped)
+    */
+  final case class TypeRef(
+      name: String,
+      conditions: Map[String, Set[String]] = Map.empty
+  ) extends Rule
 }
 
 final case class ElementPolicy(
@@ -79,6 +87,20 @@ object DefaultScrubPolicy {
 
   private val CC = TypeRef("CodeableConcept")
   private val Ref = TypeRef("Reference")
+  private val Qty = TypeRef("Quantity")
+  private val Per = TypeRef("Period")
+
+  /** US-Core-sanctioned identifier systems for non-patient-linked
+    * resources (scrub-rules.toml:418,605,657,675).
+    */
+  private val NpiIdentifier =
+    TypeRef("Identifier", Map("system" ->
+      Set("http://hl7.org/fhir/sid/us-npi")))
+  private val OrgIdentifier =
+    TypeRef("Identifier", Map("system" -> Set(
+      "http://hl7.org/fhir/sid/us-npi",
+      "urn:oid:2.16.840.1.113883.4.7",
+      "urn:oid:2.16.840.1.113883.6.300")))
 
   val policy: ScrubPolicy = ScrubPolicy(
     types = Map(
@@ -129,10 +151,16 @@ object DefaultScrubPolicy {
         "reference" -> AnonRef,
         "type" -> Val
       )),
+      // full reference section (scrub-rules.toml:362-370); only reachable
+      // through conditional sub-schemas or explicitly identifier-safe
+      // fields, so `value` is allowed here
       "Identifier" -> ElementPolicy(Some("Element"), Map(
         "use" -> Val,
+        "type" -> CC,
         "system" -> Val,
-        "type" -> CC
+        "value" -> Val,
+        "period" -> Per,
+        "assigner" -> Ref
       )),
       "Period" -> ElementPolicy(Some("Element"), Map(
         "start" -> Val,
@@ -163,20 +191,73 @@ object DefaultScrubPolicy {
         "maritalStatus" -> CC,
         "multipleBirthBoolean" -> Val,
         "multipleBirthInteger" -> Val,
+        "contact" -> TypeRef("PatientContact"),
+        "communication" -> TypeRef("PatientCommunication"),
         "generalPractitioner" -> Ref,
-        "managingOrganization" -> Ref
+        "managingOrganization" -> Ref,
+        "link" -> TypeRef("PatientLink")
+      )),
+      "PatientContact" -> ElementPolicy(Some("BackboneElement"), Map(
+        "relationship" -> CC,
+        "address" -> TypeRef("Address"),
+        "gender" -> Val,
+        "organization" -> Ref,
+        "period" -> Per
+      )),
+      "PatientCommunication" -> ElementPolicy(Some("BackboneElement"), Map(
+        "language" -> CC,
+        "preferred" -> Val
+      )),
+      "PatientLink" -> ElementPolicy(Some("BackboneElement"), Map(
+        "other" -> Ref,
+        "type" -> Val
       )),
       "Encounter" -> ElementPolicy(Some("DomainResource"), Map(
         "status" -> Val,
+        "statusHistory" -> TypeRef("EncounterStatusHistory"),
         "class" -> TypeRef("Coding"),
+        "classHistory" -> TypeRef("EncounterClassHistory"),
         "type" -> CC,
         "serviceType" -> CC,
         "priority" -> CC,
         "subject" -> Ref,
-        "period" -> TypeRef("Period"),
+        "episodeOfCare" -> Ref,
+        "basedOn" -> Ref,
+        "participant" -> TypeRef("EncounterParticipant"),
+        "appointment" -> Ref,
+        "period" -> Per,
+        "length" -> Qty,
         "reasonCode" -> CC,
-        "serviceProvider" -> Ref
+        "reasonReference" -> Ref,
+        "diagnosis" -> TypeRef("EncounterDiagnosis"),
+        "account" -> Ref,
+        "hospitalization" -> TypeRef("EncounterHospitalization"),
+        "location" -> TypeRef("EncounterLocation"),
+        "serviceProvider" -> Ref,
+        "partOf" -> Ref
       )),
+      "EncounterStatusHistory" -> ElementPolicy(Some("BackboneElement"),
+        Map("status" -> Val, "period" -> Per)),
+      "EncounterClassHistory" -> ElementPolicy(Some("BackboneElement"),
+        Map("class" -> TypeRef("Coding"), "period" -> Per)),
+      "EncounterParticipant" -> ElementPolicy(Some("BackboneElement"),
+        Map("type" -> CC, "period" -> Per, "individual" -> Ref)),
+      "EncounterDiagnosis" -> ElementPolicy(Some("BackboneElement"),
+        Map("condition" -> Ref, "use" -> CC, "rank" -> Val)),
+      "EncounterHospitalization" -> ElementPolicy(Some("BackboneElement"),
+        Map(
+          "origin" -> Ref,
+          "admitSource" -> CC,
+          "reAdmission" -> CC,
+          "dietPreference" -> CC,
+          "specialCourtesy" -> CC,
+          "specialArrangement" -> CC,
+          "destination" -> Ref,
+          "dischargeDisposition" -> CC
+        )),
+      "EncounterLocation" -> ElementPolicy(Some("BackboneElement"),
+        Map("location" -> Ref, "status" -> Val, "physicalType" -> CC,
+          "period" -> Per)),
       "Observation" -> ElementPolicy(Some("DomainResource"), Map(
         "basedOn" -> Ref,
         "partOf" -> Ref,
@@ -184,20 +265,50 @@ object DefaultScrubPolicy {
         "category" -> CC,
         "code" -> CC,
         "subject" -> Ref,
+        "focus" -> Ref,
         "encounter" -> Ref,
         "effectiveDateTime" -> Val,
-        "effectivePeriod" -> TypeRef("Period"),
+        "effectivePeriod" -> Per,
+        "effectiveTiming" -> TypeRef("Timing"),
+        "effectiveInstant" -> Val,
         "issued" -> Val,
         "performer" -> Ref,
-        "valueQuantity" -> TypeRef("Quantity"),
+        "valueQuantity" -> Qty,
         "valueCodeableConcept" -> CC,
         "valueString" -> Mask,
         "valueBoolean" -> Val,
+        "valueInteger" -> Val,
+        "valueRange" -> TypeRef("Range"),
+        "valueRatio" -> TypeRef("Ratio"),
+        "valueSampledData" -> TypeRef("SampledData"),
+        "valueTime" -> Val,
         "valueDateTime" -> Val,
+        "valuePeriod" -> Per,
         "dataAbsentReason" -> CC,
         "interpretation" -> CC,
         "bodySite" -> CC,
-        "method" -> CC
+        "method" -> CC,
+        "specimen" -> Ref,
+        "device" -> Ref,
+        "hasMember" -> Ref,
+        "derivedFrom" -> Ref,
+        "component" -> TypeRef("ObservationComponent")
+      )),
+      "ObservationComponent" -> ElementPolicy(Some("BackboneElement"), Map(
+        "code" -> CC,
+        "valueQuantity" -> Qty,
+        "valueCodeableConcept" -> CC,
+        "valueString" -> Mask,
+        "valueBoolean" -> Val,
+        "valueInteger" -> Val,
+        "valueRange" -> TypeRef("Range"),
+        "valueRatio" -> TypeRef("Ratio"),
+        "valueSampledData" -> TypeRef("SampledData"),
+        "valueTime" -> Val,
+        "valueDateTime" -> Val,
+        "valuePeriod" -> Per,
+        "dataAbsentReason" -> CC,
+        "interpretation" -> CC
       )),
       "Condition" -> ElementPolicy(Some("DomainResource"), Map(
         "clinicalStatus" -> CC,
@@ -220,15 +331,23 @@ object DefaultScrubPolicy {
         "subject" -> Ref,
         "date" -> Val,
         "author" -> Ref,
+        "authenticator" -> Ref,
         "custodian" -> Ref,
+        "relatesTo" -> TypeRef("DocumentReferenceRelatesTo"),
+        "securityLabel" -> CC,
         "context" -> TypeRef("DocumentReferenceContext"),
         "content" -> TypeRef("DocumentReferenceContent")
       )),
+      "DocumentReferenceRelatesTo" -> ElementPolicy(Some("BackboneElement"),
+        Map("code" -> Val, "target" -> Ref)),
       "DocumentReferenceContext" -> ElementPolicy(Some("BackboneElement"), Map(
         "encounter" -> Ref,
-        "period" -> TypeRef("Period"),
+        "event" -> CC,
+        "period" -> Per,
         "facilityType" -> CC,
-        "practiceSetting" -> CC
+        "practiceSetting" -> CC,
+        "sourcePatientInfo" -> Ref,
+        "related" -> Ref
       )),
       "DocumentReferenceContent" -> ElementPolicy(Some("BackboneElement"), Map(
         "attachment" -> TypeRef("Attachment"),
@@ -248,17 +367,55 @@ object DefaultScrubPolicy {
         "intent" -> Val,
         "category" -> CC,
         "priority" -> Val,
+        "doNotPerform" -> Val,
         "reportedBoolean" -> Val,
+        "reportedReference" -> Ref,
         "medicationCodeableConcept" -> CC,
         "medicationReference" -> Ref,
         "subject" -> Ref,
         "encounter" -> Ref,
+        "supportingInformation" -> Ref,
         "authoredOn" -> Val,
         "requester" -> Ref,
+        "performer" -> Ref,
+        "performerType" -> CC,
+        "recorder" -> Ref,
         "reasonCode" -> CC,
-        "courseOfTherapyType" -> CC
+        "reasonReference" -> Ref,
+        "instantiatesCanonical" -> Val,
+        "instantiatesUri" -> Val,
+        "basedOn" -> Ref,
+        "courseOfTherapyType" -> CC,
+        "insurance" -> Ref,
+        "dosageInstruction" -> TypeRef("Dosage"),
+        "dispenseRequest" -> TypeRef("MedicationRequestDispenseRequest"),
+        "substitution" -> TypeRef("MedicationRequestSubstitution"),
+        "priorPrescription" -> Ref,
+        "detectedIssue" -> Ref,
+        "eventHistory" -> Ref
       )),
+      "MedicationRequestDispenseRequest" -> ElementPolicy(
+        Some("BackboneElement"), Map(
+          "initialFill" -> TypeRef("MedicationRequestInitialFill"),
+          "dispenseInterval" -> Qty,
+          "validityPeriod" -> Per,
+          "numberOfRepeatsAllowed" -> Val,
+          "quantity" -> Qty,
+          "expectedSupplyDuration" -> Qty,
+          "performer" -> Ref
+        )),
+      "MedicationRequestInitialFill" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("quantity" -> Qty, "duration" -> Qty)),
+      "MedicationRequestSubstitution" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("allowedBoolean" -> Val, "allowedCodeableConcept" -> CC,
+          "reason" -> CC)),
       "Procedure" -> ElementPolicy(Some("DomainResource"), Map(
+        "instantiatesCanonical" -> Val,
+        "instantiatesUri" -> Val,
+        "basedOn" -> Ref,
+        "partOf" -> Ref,
         "status" -> Val,
         "statusReason" -> CC,
         "category" -> CC,
@@ -266,16 +423,33 @@ object DefaultScrubPolicy {
         "subject" -> Ref,
         "encounter" -> Ref,
         "performedDateTime" -> Val,
-        "performedPeriod" -> TypeRef("Period"),
+        "performedPeriod" -> Per,
+        "performedAge" -> Qty,
+        "performedRange" -> TypeRef("Range"),
         "recorder" -> Ref,
+        "asserter" -> Ref,
         "performer" -> TypeRef("ProcedurePerformer"),
+        "location" -> Ref,
         "reasonCode" -> CC,
+        "reasonReference" -> Ref,
         "bodySite" -> CC,
-        "outcome" -> CC
+        "outcome" -> CC,
+        "report" -> Ref,
+        "complication" -> CC,
+        "complicationDetail" -> Ref,
+        "followUp" -> CC,
+        "focalDevice" -> TypeRef("ProcedureFocalDevice"),
+        "usedReference" -> Ref,
+        "usedCode" -> CC
       )),
       "ProcedurePerformer" -> ElementPolicy(Some("BackboneElement"), Map(
         "function" -> CC,
-        "actor" -> Ref
+        "actor" -> Ref,
+        "onBehalfOf" -> Ref
+      )),
+      "ProcedureFocalDevice" -> ElementPolicy(Some("BackboneElement"), Map(
+        "action" -> CC,
+        "manipulated" -> Ref
       )),
       "Immunization" -> ElementPolicy(Some("DomainResource"), Map(
         "status" -> Val,
@@ -299,17 +473,399 @@ object DefaultScrubPolicy {
         "patient" -> Ref,
         "encounter" -> Ref,
         "onsetDateTime" -> Val,
+        "onsetAge" -> Val,
+        "onsetPeriod" -> Val,
+        "onsetRange" -> Val,
         "recordedDate" -> Val,
         "recorder" -> Ref,
         "asserter" -> Ref,
-        "lastOccurrence" -> Val
+        "lastOccurrence" -> Val,
+        "reaction" -> TypeRef("AllergyIntoleranceReaction")
       )),
+      "AllergyIntoleranceReaction" -> ElementPolicy(Some("BackboneElement"),
+        Map(
+          "substance" -> CC,
+          "manifestation" -> CC,
+          "onset" -> Val,
+          "severity" -> Val,
+          "exposureRoute" -> CC
+        )),
+      // ---- remaining task resources (scrub-rules.toml sections) ----
+      "Device" -> ElementPolicy(Some("DomainResource"), Map(
+        "definition" -> Ref,
+        "udiCarrier" -> TypeRef("DeviceUdiCarrier"),
+        "status" -> Val,
+        "statusReason" -> CC,
+        "distinctIdentifier" -> Val,
+        "manufacturer" -> Val,
+        "manufactureDate" -> Val,
+        "expirationDate" -> Val,
+        "lotNumber" -> Val,
+        "serialNumber" -> Val,
+        "deviceName" -> TypeRef("DeviceName"),
+        "modelNumber" -> Val,
+        "partNumber" -> Val,
+        "type" -> CC,
+        "specialization" -> TypeRef("DeviceSpecialization"),
+        "version" -> TypeRef("DeviceVersion"),
+        "property" -> TypeRef("DeviceProperty"),
+        "patient" -> Ref,
+        "owner" -> Ref,
+        "location" -> Ref,
+        "safety" -> CC,
+        "parent" -> Ref
+      )),
+      "DeviceUdiCarrier" -> ElementPolicy(Some("BackboneElement"), Map(
+        "deviceIdentifier" -> Val,
+        "issuer" -> Val,
+        "jurisdiction" -> Val,
+        "carrierAIDC" -> Val,
+        "carrierHRF" -> Val,
+        "entryType" -> Val
+      )),
+      "DeviceName" -> ElementPolicy(Some("BackboneElement"),
+        Map("name" -> Val, "type" -> Val)),
+      "DeviceSpecialization" -> ElementPolicy(Some("BackboneElement"),
+        Map("systemType" -> CC, "version" -> Val)),
+      "DeviceVersion" -> ElementPolicy(Some("BackboneElement"),
+        Map("type" -> CC, "component" -> TypeRef("Identifier"),
+          "value" -> Val)),
+      "DeviceProperty" -> ElementPolicy(Some("BackboneElement"),
+        Map("type" -> CC, "valueQuantity" -> Qty, "valueCode" -> CC)),
+      "DiagnosticReport" -> ElementPolicy(Some("DomainResource"), Map(
+        "basedOn" -> Ref,
+        "status" -> Val,
+        "category" -> CC,
+        "code" -> CC,
+        "subject" -> Ref,
+        "encounter" -> Ref,
+        "effectiveDateTime" -> Val,
+        "effectivePeriod" -> Per,
+        "issued" -> Val,
+        "performer" -> Ref,
+        "resultsInterpreter" -> Ref,
+        "specimen" -> Ref,
+        "result" -> Ref,
+        "imagingStudy" -> Ref,
+        "media" -> TypeRef("DiagnosticReportMedia"),
+        "conclusionCode" -> CC,
+        "presentedForm" -> TypeRef("Attachment")
+      )),
+      "DiagnosticReportMedia" -> ElementPolicy(Some("BackboneElement"),
+        Map("link" -> Ref)),
+      "EpisodeOfCare" -> ElementPolicy(Some("DomainResource"), Map(
+        "status" -> Val,
+        "statusHistory" -> TypeRef("EncounterStatusHistory"),
+        "type" -> CC,
+        "diagnosis" -> TypeRef("EpisodeOfCareDiagnosis"),
+        "patient" -> Ref,
+        "managingOrganization" -> Ref,
+        "period" -> Per,
+        "referralRequest" -> Ref,
+        "careManager" -> Ref,
+        "team" -> Ref,
+        "account" -> Ref
+      )),
+      "EpisodeOfCareDiagnosis" -> ElementPolicy(Some("BackboneElement"),
+        Map("condition" -> Ref, "role" -> CC, "rank" -> Val)),
+      "Location" -> ElementPolicy(Some("DomainResource"), Map(
+        "identifier" -> NpiIdentifier,
+        "status" -> Val,
+        "operationalStatus" -> TypeRef("Coding"),
+        "name" -> Val,
+        "alias" -> Val,
+        "mode" -> Val,
+        "type" -> CC,
+        "address" -> TypeRef("Address"),
+        "physicalType" -> CC,
+        "managingOrganization" -> Ref,
+        "partOf" -> Ref,
+        "hoursOfOperation" -> TypeRef("LocationHoursOfOperation"),
+        "endpoint" -> Ref
+      )),
+      "LocationHoursOfOperation" -> ElementPolicy(Some("BackboneElement"),
+        Map("daysOfWeek" -> Val, "allDay" -> Val, "openingTime" -> Val,
+          "closingTime" -> Val)),
+      "Medication" -> ElementPolicy(Some("DomainResource"), Map(
+        "code" -> CC,
+        "status" -> Val,
+        "manufacturer" -> Ref,
+        "form" -> CC,
+        "amount" -> TypeRef("Ratio"),
+        "ingredient" -> TypeRef("MedicationIngredient"),
+        "batch" -> TypeRef("MedicationBatch")
+      )),
+      "MedicationIngredient" -> ElementPolicy(Some("BackboneElement"),
+        Map(
+          "itemCodeableConcept" -> CC,
+          "itemReference" -> Ref,
+          "isActive" -> Val,
+          "strength" -> TypeRef("Ratio")
+        )),
+      "MedicationBatch" -> ElementPolicy(Some("BackboneElement"),
+        Map("lotNumber" -> Val, "expirationDate" -> Val)),
+      "MedicationDispense" -> ElementPolicy(Some("DomainResource"), Map(
+        "partOf" -> Ref,
+        "status" -> Val,
+        "statusReasonCodeableConcept" -> CC,
+        "statusReasonReference" -> Ref,
+        "category" -> CC,
+        "medicationCodeableConcept" -> CC,
+        "medicationReference" -> Ref,
+        "subject" -> Ref,
+        "context" -> Ref,
+        "supportingInformation" -> Ref,
+        "performer" -> TypeRef("MedicationDispensePerformer"),
+        "location" -> Ref,
+        "authorizingPrescription" -> Ref,
+        "type" -> CC,
+        "quantity" -> Qty,
+        "daysSupply" -> Qty,
+        "whenPrepared" -> Val,
+        "whenHandedOver" -> Val,
+        "destination" -> Ref,
+        "receiver" -> Ref,
+        "dosageInstruction" -> TypeRef("Dosage"),
+        "substitution" -> TypeRef("MedicationDispenseSubstitution"),
+        "detectedIssue" -> Ref,
+        "eventHistory" -> Ref
+      )),
+      "MedicationDispensePerformer" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("function" -> CC, "actor" -> Ref)),
+      "MedicationDispenseSubstitution" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("wasSubstituted" -> Val, "type" -> CC, "reason" -> CC,
+          "responsibleParty" -> Ref)),
+      "Organization" -> ElementPolicy(Some("DomainResource"), Map(
+        "identifier" -> OrgIdentifier,
+        "active" -> Val,
+        "type" -> CC,
+        "name" -> Val,
+        "alias" -> Val,
+        "address" -> TypeRef("Address"),
+        "partOf" -> Ref,
+        "contact" -> TypeRef("OrganizationContact"),
+        "endpoint" -> Ref
+      )),
+      "OrganizationContact" -> ElementPolicy(Some("BackboneElement"),
+        Map("purpose" -> CC, "address" -> TypeRef("Address"))),
+      "Practitioner" -> ElementPolicy(Some("DomainResource"), Map(
+        "identifier" -> NpiIdentifier,
+        "active" -> Val,
+        "address" -> TypeRef("Address"),
+        "gender" -> Val,
+        "birthDate" -> Year,
+        "qualification" -> TypeRef("PractitionerQualification"),
+        "communication" -> CC
+      )),
+      "PractitionerQualification" -> ElementPolicy(Some("BackboneElement"),
+        Map("identifier" -> TypeRef("Identifier"), "code" -> CC,
+          "period" -> Per, "issuer" -> Ref)),
+      "PractitionerRole" -> ElementPolicy(Some("DomainResource"), Map(
+        "identifier" -> NpiIdentifier,
+        "active" -> Val,
+        "period" -> Per,
+        "practitioner" -> Ref,
+        "organization" -> Ref,
+        "code" -> CC,
+        "specialty" -> CC,
+        "location" -> Ref,
+        "healthcareService" -> Ref,
+        "availableTime" -> TypeRef("PractitionerRoleAvailableTime"),
+        "notAvailable" -> TypeRef("PractitionerRoleNotAvailable"),
+        "endpoint" -> Ref
+      )),
+      "PractitionerRoleAvailableTime" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("daysOfWeek" -> Val, "allDay" -> Val,
+          "availableStartTime" -> Val, "availableEndTime" -> Val)),
+      "PractitionerRoleNotAvailable" -> ElementPolicy(
+        Some("BackboneElement"),
+        Map("during" -> Per)),
+      "ServiceRequest" -> ElementPolicy(Some("DomainResource"), Map(
+        "instantiatesCanonical" -> Val,
+        "instantiatesUri" -> Val,
+        "basedOn" -> Ref,
+        "replaces" -> Ref,
+        "status" -> Val,
+        "intent" -> Val,
+        "category" -> CC,
+        "priority" -> Val,
+        "doNotPerform" -> Val,
+        "code" -> CC,
+        "orderDetail" -> CC,
+        "quantityQuantity" -> Qty,
+        "quantityRatio" -> TypeRef("Ratio"),
+        "quantityRange" -> TypeRef("Range"),
+        "subject" -> Ref,
+        "encounter" -> Ref,
+        "occurrenceDateTime" -> Val,
+        "occurrencePeriod" -> Per,
+        "occurrenceTiming" -> TypeRef("Timing"),
+        "asNeededBoolean" -> Val,
+        "asNeededCodeableConcept" -> CC,
+        "authoredOn" -> Val,
+        "requester" -> Ref,
+        "performerType" -> CC,
+        "performer" -> Ref,
+        "locationCode" -> CC,
+        "locationReference" -> Ref,
+        "reasonCode" -> CC,
+        "reasonReference" -> Ref,
+        "insurance" -> Ref,
+        "supportingInfo" -> Ref,
+        "specimen" -> Ref,
+        "bodySite" -> CC,
+        "relevantHistory" -> Ref
+      )),
+      "Specimen" -> ElementPolicy(Some("DomainResource"), Map(
+        "status" -> Val,
+        "type" -> CC,
+        "subject" -> Ref,
+        "receivedTime" -> Val,
+        "parent" -> Ref,
+        "request" -> Ref,
+        "collection" -> TypeRef("SpecimenCollection"),
+        "processing" -> TypeRef("SpecimenProcessing"),
+        "container" -> TypeRef("SpecimenContainer"),
+        "condition" -> CC
+      )),
+      "SpecimenCollection" -> ElementPolicy(Some("BackboneElement"), Map(
+        "collector" -> Ref,
+        "collectedDateTime" -> Val,
+        "collectedPeriod" -> Per,
+        "duration" -> Qty,
+        "quantity" -> Qty,
+        "method" -> CC,
+        "bodySite" -> CC,
+        "fastingStatusCodeableConcept" -> CC,
+        "fastingStatusDuration" -> Qty
+      )),
+      "SpecimenProcessing" -> ElementPolicy(Some("BackboneElement"), Map(
+        "procedure" -> CC,
+        "additive" -> Ref,
+        "timeDateTime" -> Val,
+        "timePeriod" -> Per
+      )),
+      "SpecimenContainer" -> ElementPolicy(Some("BackboneElement"), Map(
+        "type" -> CC,
+        "capacity" -> Qty,
+        "specimenQuantity" -> Qty,
+        "additiveCodeableConcept" -> CC,
+        "additiveReference" -> Ref
+      )),
+      // ---- shared element types (scrub-rules.toml:221-242,740-749,860-881) ----
+      "Dosage" -> ElementPolicy(Some("BackboneElement"), Map(
+        "sequence" -> Val,
+        "additionalInstruction" -> CC,
+        "timing" -> TypeRef("Timing"),
+        "asNeededBoolean" -> Val,
+        "asNeededCodeableConcept" -> CC,
+        "site" -> CC,
+        "route" -> CC,
+        "method" -> CC,
+        "doseAndRate" -> TypeRef("DosageDoseAndRate"),
+        "maxDosePerPeriod" -> TypeRef("Ratio"),
+        "maxDosePerAdministration" -> Qty,
+        "maxDosePerLifetime" -> Qty
+      )),
+      "DosageDoseAndRate" -> ElementPolicy(Some("Element"), Map(
+        "type" -> CC,
+        "doseRange" -> TypeRef("Range"),
+        "doseQuantity" -> Qty,
+        "rateRatio" -> TypeRef("Ratio"),
+        "rateRange" -> TypeRef("Range"),
+        "rateQuantity" -> Qty
+      )),
+      "Timing" -> ElementPolicy(Some("BackboneElement"), Map(
+        "event" -> Val,
+        "repeat" -> TypeRef("TimingRepeat"),
+        "code" -> CC
+      )),
+      "TimingRepeat" -> ElementPolicy(Some("Element"), Map(
+        "boundsDuration" -> Qty,
+        "boundsRange" -> TypeRef("Range"),
+        "boundsPeriod" -> Per,
+        "count" -> Val,
+        "countMax" -> Val,
+        "duration" -> Val,
+        "durationMax" -> Val,
+        "durationUnit" -> Val,
+        "frequency" -> Val,
+        "frequencyMax" -> Val,
+        "period" -> Val,
+        "periodMax" -> Val,
+        "periodUnit" -> Val,
+        "dayOfWeek" -> Val,
+        "timeOfDay" -> Val,
+        "when" -> Val,
+        "offset" -> Val
+      )),
+      "Range" -> ElementPolicy(Some("Element"), Map(
+        "low" -> Qty,
+        "high" -> Qty
+      )),
+      "Ratio" -> ElementPolicy(Some("Element"), Map(
+        "numerator" -> Qty,
+        "denominator" -> Qty
+      )),
+      "SampledData" -> ElementPolicy(Some("Element"), Map(
+        "origin" -> Qty,
+        "period" -> Val,
+        "factor" -> Val,
+        "lowerLimit" -> Val,
+        "upperLimit" -> Val,
+        "dimensions" -> Val,
+        "data" -> Val
+      )),
+      "Money" -> ElementPolicy(Some("Element"), Map(
+        "value" -> Val,
+        "currency" -> Val
+      )),
+      // full value[x] surface of the reference's [allowed.Extension]
+      // (scrub-rules.toml:308-361) — allow-listed extensions are trusted,
+      // so primitive values pass (valueString "caution" comment kept) and
+      // ids are pseudonymized
       "Extension" -> ElementPolicy(None, Map(
         "url" -> Val,
+        "valueBase64Binary" -> Val,
+        "valueBoolean" -> Val,
+        "valueCanonical" -> Val,
         "valueCode" -> Val,
-        "valueCoding" -> TypeRef("Coding"),
+        "valueDate" -> Val,
+        "valueDateTime" -> Val,
+        "valueDecimal" -> Val,
+        "valueId" -> AnonId,
+        "valueInstant" -> Val,
+        "valueInteger" -> Val,
+        "valueOid" -> Val,
+        "valuePositiveInt" -> Val,
+        "valueString" -> Val,
+        "valueTime" -> Val,
+        "valueUnsignedInt" -> Val,
+        "valueUri" -> Val,
+        "valueUrl" -> Val,
+        "valueUuid" -> Val,
+        "valueAddress" -> TypeRef("Address"),
+        "valueAge" -> Qty,
+        "valueAttachment" -> TypeRef("Attachment"),
         "valueCodeableConcept" -> CC,
-        "valueString" -> Mask
+        "valueCoding" -> TypeRef("Coding"),
+        "valueCount" -> Qty,
+        "valueDistance" -> Qty,
+        "valueDuration" -> Qty,
+        "valueIdentifier" -> TypeRef("Identifier"),
+        "valueMoney" -> TypeRef("Money"),
+        "valuePeriod" -> Per,
+        "valueQuantity" -> Qty,
+        "valueRange" -> TypeRef("Range"),
+        "valueRatio" -> TypeRef("Ratio"),
+        "valueReference" -> Ref,
+        "valueSampledData" -> TypeRef("SampledData"),
+        "valueTiming" -> TypeRef("Timing"),
+        "valueDosage" -> TypeRef("Dosage"),
+        "valueMeta" -> TypeRef("Meta")
       ))
     ),
     // mirrors scrub-rules.toml [extensions] intent: benign demographic

@@ -32,17 +32,31 @@ object EtlPipeline {
     )
   }
 
+  /** The reference's 20 default tasks (task_factory.py:48-80): Encounter
+    * and Patient first (codebook-churn ordering, O6), the rest
+    * alphabetical.
+    */
   val DefaultTasks: Seq[EtlTask] = Seq(
-    // Patient & Encounter first, mirroring the reference's ordering (O6)
-    EtlTask("Patient", "patient"),
     EtlTask("Encounter", "encounter"),
+    EtlTask("Patient", "patient"),
+    EtlTask("AllergyIntolerance", "allergyintolerance"),
     EtlTask("Condition", "condition"),
-    EtlTask("Observation", "observation"),
+    EtlTask("Device", "device"),
+    EtlTask("DiagnosticReport", "diagnosticreport"),
     EtlTask("DocumentReference", "documentreference"),
-    EtlTask("MedicationRequest", "medicationrequest"),
-    EtlTask("Procedure", "procedure"),
+    EtlTask("EpisodeOfCare", "episodeofcare"),
     EtlTask("Immunization", "immunization"),
-    EtlTask("AllergyIntolerance", "allergyintolerance")
+    EtlTask("Location", "location"),
+    EtlTask("Medication", "medication"),
+    EtlTask("MedicationDispense", "medicationdispense"),
+    EtlTask("MedicationRequest", "medicationrequest"),
+    EtlTask("Observation", "observation"),
+    EtlTask("Organization", "organization"),
+    EtlTask("Practitioner", "practitioner"),
+    EtlTask("PractitionerRole", "practitionerrole"),
+    EtlTask("Procedure", "procedure"),
+    EtlTask("ServiceRequest", "servicerequest"),
+    EtlTask("Specimen", "specimen")
   )
 
   final case class TaskResult(

@@ -72,7 +72,31 @@ object FhirSchemas {
     StructField("use", StringType),
     StructField("system", StringType),
     StructField("value", StringType),
-    StructField("type", codeableConceptType)
+    StructField("type", codeableConceptType),
+    StructField("period", StructType(Seq(
+      StructField("start", StringType),
+      StructField("end", StringType)
+    ))),
+    StructField("assigner", StructType(Seq(
+      StructField("reference", StringType),
+      StructField("type", StringType),
+      StructField("display", StringType)
+    )))
+  ))
+
+  private val ratioType = StructType(Seq(
+    StructField("numerator", StructType(Seq(
+      StructField("value", DoubleType),
+      StructField("unit", StringType),
+      StructField("system", StringType),
+      StructField("code", StringType)
+    ))),
+    StructField("denominator", StructType(Seq(
+      StructField("value", DoubleType),
+      StructField("unit", StringType),
+      StructField("system", StringType),
+      StructField("code", StringType)
+    )))
   ))
 
   private val metaType = StructType(Seq(
@@ -285,6 +309,224 @@ object FhirSchemas {
     StructField("lastOccurrence", StringType)
   )
 
+  private val dosageType = backbone(
+    StructField("sequence", IntegerType),
+    StructField("timing", backbone(
+      StructField("event", ArrayType(StringType)),
+      StructField("code", codeableConceptType)
+    )),
+    StructField("asNeededBoolean", BooleanType),
+    StructField("site", codeableConceptType),
+    StructField("route", codeableConceptType),
+    StructField("method", codeableConceptType),
+    StructField("doseAndRate", ArrayType(StructType(Seq(
+      StructField("type", codeableConceptType),
+      StructField("doseQuantity", quantityType)
+    ))))
+  )
+
+  val device: StructType = resourceBase(
+    StructField("udiCarrier", ArrayType(backbone(
+      StructField("deviceIdentifier", StringType),
+      StructField("issuer", StringType),
+      StructField("jurisdiction", StringType),
+      StructField("carrierAIDC", StringType),
+      StructField("carrierHRF", StringType),
+      StructField("entryType", StringType)
+    ))),
+    StructField("status", StringType),
+    StructField("statusReason", ArrayType(codeableConceptType)),
+    StructField("distinctIdentifier", StringType),
+    StructField("manufacturer", StringType),
+    StructField("manufactureDate", StringType),
+    StructField("expirationDate", StringType),
+    StructField("lotNumber", StringType),
+    StructField("serialNumber", StringType),
+    StructField("deviceName", ArrayType(backbone(
+      StructField("name", StringType),
+      StructField("type", StringType)
+    ))),
+    StructField("modelNumber", StringType),
+    StructField("partNumber", StringType),
+    StructField("type", codeableConceptType),
+    StructField("patient", referenceType),
+    StructField("owner", referenceType),
+    StructField("location", referenceType),
+    StructField("parent", referenceType)
+  )
+
+  val diagnosticReport: StructType = resourceBase(
+    StructField("basedOn", ArrayType(referenceType)),
+    StructField("status", StringType),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("code", codeableConceptType),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("effectiveDateTime", StringType),
+    StructField("effectivePeriod", periodType),
+    StructField("issued", StringType),
+    StructField("performer", ArrayType(referenceType)),
+    StructField("resultsInterpreter", ArrayType(referenceType)),
+    StructField("specimen", ArrayType(referenceType)),
+    StructField("result", ArrayType(referenceType)),
+    StructField("conclusionCode", ArrayType(codeableConceptType)),
+    StructField("presentedForm", ArrayType(attachmentType))
+  )
+
+  val episodeOfCare: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("statusHistory", ArrayType(backbone(
+      StructField("status", StringType),
+      StructField("period", periodType)
+    ))),
+    StructField("type", ArrayType(codeableConceptType)),
+    StructField("diagnosis", ArrayType(backbone(
+      StructField("condition", referenceType),
+      StructField("role", codeableConceptType),
+      StructField("rank", IntegerType)
+    ))),
+    StructField("patient", referenceType),
+    StructField("managingOrganization", referenceType),
+    StructField("period", periodType),
+    StructField("careManager", referenceType),
+    StructField("team", ArrayType(referenceType))
+  )
+
+  val location: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("status", StringType),
+    StructField("name", StringType),
+    StructField("alias", ArrayType(StringType)),
+    StructField("mode", StringType),
+    StructField("type", ArrayType(codeableConceptType)),
+    StructField("address", addressType),
+    StructField("physicalType", codeableConceptType),
+    StructField("managingOrganization", referenceType),
+    StructField("partOf", referenceType)
+  )
+
+  val medication: StructType = resourceBase(
+    StructField("code", codeableConceptType),
+    StructField("status", StringType),
+    StructField("manufacturer", referenceType),
+    StructField("form", codeableConceptType),
+    StructField("amount", ratioType),
+    StructField("ingredient", ArrayType(backbone(
+      StructField("itemCodeableConcept", codeableConceptType),
+      StructField("itemReference", referenceType),
+      StructField("isActive", BooleanType),
+      StructField("strength", ratioType)
+    ))),
+    StructField("batch", backbone(
+      StructField("lotNumber", StringType),
+      StructField("expirationDate", StringType)
+    ))
+  )
+
+  val medicationDispense: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("category", codeableConceptType),
+    StructField("medicationCodeableConcept", codeableConceptType),
+    StructField("medicationReference", referenceType),
+    StructField("subject", referenceType),
+    StructField("context", referenceType),
+    StructField("performer", ArrayType(backbone(
+      StructField("function", codeableConceptType),
+      StructField("actor", referenceType)
+    ))),
+    StructField("quantity", quantityType),
+    StructField("daysSupply", quantityType),
+    StructField("whenPrepared", StringType),
+    StructField("whenHandedOver", StringType),
+    StructField("destination", referenceType),
+    StructField("receiver", ArrayType(referenceType)),
+    StructField("dosageInstruction", ArrayType(dosageType)),
+    StructField("substitution", backbone(
+      StructField("wasSubstituted", BooleanType),
+      StructField("type", codeableConceptType),
+      StructField("reason", ArrayType(codeableConceptType)),
+      StructField("responsibleParty", ArrayType(referenceType))
+    ))
+  )
+
+  val organization: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("active", BooleanType),
+    StructField("type", ArrayType(codeableConceptType)),
+    StructField("name", StringType),
+    StructField("alias", ArrayType(StringType)),
+    StructField("address", ArrayType(addressType)),
+    StructField("partOf", referenceType),
+    StructField("contact", ArrayType(backbone(
+      StructField("purpose", codeableConceptType),
+      StructField("address", addressType)
+    )))
+  )
+
+  val practitioner: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("active", BooleanType),
+    StructField("address", ArrayType(addressType)),
+    StructField("gender", StringType),
+    StructField("birthDate", StringType),
+    StructField("qualification", ArrayType(backbone(
+      StructField("identifier", ArrayType(identifierType)),
+      StructField("code", codeableConceptType),
+      StructField("period", periodType),
+      StructField("issuer", referenceType)
+    ))),
+    StructField("communication", ArrayType(codeableConceptType))
+  )
+
+  val practitionerRole: StructType = resourceBase(
+    StructField("identifier", ArrayType(identifierType)),
+    StructField("active", BooleanType),
+    StructField("period", periodType),
+    StructField("practitioner", referenceType),
+    StructField("organization", referenceType),
+    StructField("code", ArrayType(codeableConceptType)),
+    StructField("specialty", ArrayType(codeableConceptType)),
+    StructField("location", ArrayType(referenceType))
+  )
+
+  val serviceRequest: StructType = resourceBase(
+    StructField("basedOn", ArrayType(referenceType)),
+    StructField("status", StringType),
+    StructField("intent", StringType),
+    StructField("category", ArrayType(codeableConceptType)),
+    StructField("priority", StringType),
+    StructField("doNotPerform", BooleanType),
+    StructField("code", codeableConceptType),
+    StructField("quantityQuantity", quantityType),
+    StructField("subject", referenceType),
+    StructField("encounter", referenceType),
+    StructField("occurrenceDateTime", StringType),
+    StructField("occurrencePeriod", periodType),
+    StructField("authoredOn", StringType),
+    StructField("requester", referenceType),
+    StructField("performer", ArrayType(referenceType)),
+    StructField("reasonCode", ArrayType(codeableConceptType)),
+    StructField("bodySite", ArrayType(codeableConceptType))
+  )
+
+  val specimen: StructType = resourceBase(
+    StructField("status", StringType),
+    StructField("type", codeableConceptType),
+    StructField("subject", referenceType),
+    StructField("receivedTime", StringType),
+    StructField("parent", ArrayType(referenceType)),
+    StructField("request", ArrayType(referenceType)),
+    StructField("collection", backbone(
+      StructField("collector", referenceType),
+      StructField("collectedDateTime", StringType),
+      StructField("collectedPeriod", periodType),
+      StructField("quantity", quantityType),
+      StructField("method", codeableConceptType),
+      StructField("bodySite", codeableConceptType)
+    )),
+    StructField("condition", ArrayType(codeableConceptType))
+  )
+
   /** Catalog lookup; None → caller falls back to schema inference. */
   def forResource(resourceType: String): Option[StructType] =
     resourceType match {
@@ -297,6 +539,17 @@ object FhirSchemas {
       case "Procedure" => Some(procedure)
       case "Immunization" => Some(immunization)
       case "AllergyIntolerance" => Some(allergyIntolerance)
+      case "Device" => Some(device)
+      case "DiagnosticReport" => Some(diagnosticReport)
+      case "EpisodeOfCare" => Some(episodeOfCare)
+      case "Location" => Some(location)
+      case "Medication" => Some(medication)
+      case "MedicationDispense" => Some(medicationDispense)
+      case "Organization" => Some(organization)
+      case "Practitioner" => Some(practitioner)
+      case "PractitionerRole" => Some(practitionerRole)
+      case "ServiceRequest" => Some(serviceRequest)
+      case "Specimen" => Some(specimen)
       case _ => None
     }
 

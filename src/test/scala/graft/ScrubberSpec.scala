@@ -280,6 +280,65 @@ class ScrubberSpec extends SparkSpecBase {
     assert(winner === "male") // the later-appended export file wins
   }
 
+  test("conditional sub-schema keeps only NPI-system identifiers") {
+    val rows = Seq(
+      """{"resourceType":"Practitioner","id":"doc1","active":true,"identifier":[{"system":"http://hl7.org/fhir/sid/us-npi","value":"1234567890"},{"system":"http://hospital.example.com/internal-id","value":"SECRET-EMP-42"}]}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Practitioner", cb).head()
+    val ids = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "identifier")
+    // the non-NPI identifier node is dropped entirely; NPI one keeps value
+    assert(ids.length === 1)
+    assert(ids.head.getAs[String]("system")
+      .endsWith("us-npi"))
+    assert(ids.head.getAs[String]("value") === "1234567890")
+  }
+
+  test("primitive _field extension nodes pass through the Element policy") {
+    val rows = Seq(
+      """{"resourceType":"Patient","id":"p1","gender":"female","_gender":{"extension":[{"url":"http://hl7.org/fhir/StructureDefinition/data-absent-reason","valueCode":"masked"},{"url":"http://example.com/unknown","valueString":"x"}]},"_name":{"extension":[{"url":"http://example.com/whatever","valueString":"y"}]}}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Patient", cb).head()
+    // _gender kept (gender is allowed), unknown url inside filtered out
+    val g = out.getAs[org.apache.spark.sql.Row]("_gender")
+    val exts = g.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "extension")
+    assert(exts.length === 1)
+    assert(exts.head.getAs[String]("url").endsWith("data-absent-reason"))
+    // _name dropped (name is not allowed)
+    assert(!out.schema.fieldNames.contains("_name"))
+  }
+
+  test("widened resources scrub: Organization, Specimen, ServiceRequest") {
+    val orgRow = ScrubCompiler.scrub(spark.read.json(Seq(
+      """{"resourceType":"Organization","id":"org1","active":true,"name":"General Hospital","identifier":[{"system":"urn:oid:2.16.840.1.113883.4.7","value":"CL-999"},{"system":"http://example.com/private","value":"secret"}],"telecom":[{"system":"phone","value":"555-0000"}]}"""
+    ).toDS()), "Organization", cb).head()
+    assert(orgRow.getAs[String]("name") === "General Hospital")
+    assert(!orgRow.schema.fieldNames.contains("telecom"))
+    val orgIds = orgRow.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "identifier")
+    assert(orgIds.length === 1 &&
+      orgIds.head.getAs[String]("value") === "CL-999")
+
+    val spec = ScrubCompiler.scrub(spark.read.json(Seq(
+      """{"resourceType":"Specimen","id":"s1","status":"available","subject":{"reference":"Patient/p7"},"collection":{"collector":{"reference":"Practitioner/d2"},"collectedDateTime":"2021-05-06T01:02:03Z"},"note":[{"text":"phi"}]}"""
+    ).toDS()), "Specimen", cb).head()
+    assert(spec.getAs[org.apache.spark.sql.Row]("subject")
+      .getAs[String]("reference") === s"Patient/${hashOf("p7")}")
+    val coll = spec.getAs[org.apache.spark.sql.Row]("collection")
+    assert(coll.getAs[org.apache.spark.sql.Row]("collector")
+      .getAs[String]("reference") === s"Practitioner/${hashOf("d2")}")
+    assert(!spec.schema.fieldNames.contains("note"))
+
+    val sr = ScrubCompiler.scrub(spark.read.json(Seq(
+      """{"resourceType":"ServiceRequest","id":"sr1","status":"active","intent":"order","subject":{"reference":"Patient/p7"},"patientInstruction":"call Jane at 555-1234"}"""
+    ).toDS()), "ServiceRequest", cb).head()
+    assert(sr.getAs[String]("status") === "active")
+    assert(!sr.schema.fieldNames.contains("patientInstruction"))
+  }
+
   test("export log parsing extracts group and transaction time") {
     val dir = java.nio.file.Files.createTempDirectory("log").toString
     val log = java.nio.file.Paths.get(dir, "log.ndjson")
