@@ -22,7 +22,9 @@ object GoldenHarness {
   val expectedDir = "src/test/resources/golden/expected"
   val PinnedSalt: String = "42" * 32
 
-  val tables = Seq("patient", "encounter", "condition", "observation")
+  val tables = Seq("patient", "encounter", "condition", "observation",
+    "practitioner", "organization", "specimen", "medication",
+    "diagnosticreport")
 
   def run(spark: SparkSession): Map[String, Seq[String]] = {
     val out = Files.createTempDirectory("golden-out").toString
