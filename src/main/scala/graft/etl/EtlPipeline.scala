@@ -59,6 +59,12 @@ object EtlPipeline {
     EtlTask("Specimen", "specimen")
   )
 
+  /** Key-hash bucket count for resource tables. Local/test scale; on a
+    * production deployment size so each bucket lands near the target
+    * file size (e.g. 100 TB / 1 GB ≈ 10⁵ buckets).
+    */
+  val ResourceTableBuckets = 16
+
   final case class TaskResult(
       table: String,
       attempted: Boolean,
@@ -130,8 +136,11 @@ object EtlPipeline {
           Seq(col("__file_seq"), col("__seq"))
         ).drop("__file_seq", "__seq")
 
-        val table = GraftTable(spark, s"$outputDir/${task.tableName}",
-          task.mergeSpec)
+        // bucketed incremental layout: re-runs merge only the key-hash
+        // buckets their rows touch instead of rewriting the table
+        val table = GraftTable.bucketed(spark,
+          s"$outputDir/${task.tableName}", task.mergeSpec,
+          buckets = ResourceTableBuckets)
         table.merge(deduped)
 
         // Patient/Encounter reversibility side-output (SURVEY §7.4.3)

@@ -2,9 +2,12 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import graft.operators.MergeOps
 import graft.operators.MergeOps.MergeSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Versioned parquet merge table — the engine's stand-in for the
   * reference's Delta Lake sink (formats/deltalake.py:92-168), with the
@@ -19,11 +22,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    snapshot-isolation contract Delta's log gives)
   *  - merge = read-current ⋈ updates via MergeOps (one shuffle)
   *  - optimize() rewrites the current version with right-sized files
-  *    (compaction, K4); vacuum() drops unreferenced versions
+  *    (compaction, K4); vacuum() drops versions unreferenced by the
+  *    latest manifest
+  *
+  * == Bucketed incremental layout (the 100 TB path) ==
+  *
+  * With `buckets > 0` and no group field, rows are laid out in
+  * key-hash buckets (`__b = pmod(xxhash64(keys), buckets)`) and each
+  * version's manifest maps every bucket to the version directory that
+  * last rewrote it. A merge then reads ONLY the buckets its update rows
+  * hash into and rewrites only those; untouched buckets are carried
+  * forward by reference in the manifest. Rewrite cost is proportional
+  * to touched data — a small incremental batch against a huge table no
+  * longer rewrites the table (the liquid-clustering role of the
+  * reference's `clusterBy(uniqueness_fields)`, deltalake.py:105).
+  * Since bucket id is a pure function of the merge key, matching
+  * target/update rows always share a bucket, so per-bucket merging is
+  * exactly global merging. Group-replace tables (`groupField` set) use
+  * the whole-snapshot path: group membership is orthogonal to key
+  * hashes, so group deletes may touch any bucket.
   */
-final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
+final class GraftTable(
+    spark: SparkSession,
+    path: String,
+    spec: MergeSpec,
+    buckets: Int = 0
+) {
+
+  private val mapper = new ObjectMapper()
 
   private def latestFile = Paths.get(path, "_latest")
+  private def manifestFile(v: Int) = Paths.get(path, s"manifest-v$v.json")
+  private def layoutFile = Paths.get(path, "_layout.json")
 
   def currentVersion: Option[Int] =
     if (Files.exists(latestFile))
@@ -32,7 +62,46 @@ final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
 
   def exists: Boolean = currentVersion.isDefined
 
+  /** Bucket count for WRITES: a persisted layout wins (any instance
+    * opening the table inherits it); an existing layout-less table stays
+    * whole-snapshot regardless of the constructor (never reinterpret
+    * legacy data); a fresh table takes the constructor's value. READS
+    * never consult this — manifest presence per version decides.
+    */
+  private lazy val effectiveBuckets: Int =
+    if (Files.exists(layoutFile))
+      mapper.readTree(Files.readAllBytes(layoutFile)).get("buckets").asInt()
+    else if (exists) 0
+    else buckets
+
+  private def bucketed: Boolean =
+    effectiveBuckets > 0 && spec.groupField.isEmpty
+
+  private def bucketCol =
+    pmod(xxhash64(spec.keys.map(col): _*), lit(effectiveBuckets))
+
+  /** bucket → version-dir name currently holding that bucket's data. */
+  private def manifest(v: Int): Map[Int, String] = {
+    val p = manifestFile(v)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readAllBytes(p))
+      val out = scala.collection.mutable.Map[Int, String]()
+      node.fields().forEachRemaining { e =>
+        out(e.getKey.toInt) = e.getValue.asText()
+      }
+      out.toMap
+    }
+  }
+
+  private def bucketDirs(v: Int): Seq[String] =
+    manifest(v).toSeq.sortBy(_._1).map { case (b, dir) =>
+      s"$path/$dir/__b=$b"
+    }
+
   def read(): DataFrame = currentVersion match {
+    case Some(v) if Files.exists(manifestFile(v)) =>
+      spark.read.parquet(bucketDirs(v): _*)
     case Some(v) => spark.read.parquet(s"$path/v$v")
     case None =>
       throw new IllegalStateException(s"GraftTable $path has no data yet")
@@ -42,13 +111,16 @@ final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
     * [[vacuum]] drops it) — the reference's tests read Delta tables
     * with time travel the same way (tests/utils.py:188-210).
     */
-  def readVersion(version: Int): DataFrame = {
-    val dir = Paths.get(path, s"v$version")
-    if (!Files.exists(dir))
-      throw new IllegalArgumentException(
-        s"version $version of $path does not exist (vacuumed?)")
-    spark.read.parquet(dir.toString)
-  }
+  def readVersion(version: Int): DataFrame =
+    if (Files.exists(manifestFile(version)))
+      spark.read.parquet(bucketDirs(version): _*)
+    else {
+      val dir = Paths.get(path, s"v$version")
+      if (!Files.exists(dir))
+        throw new IllegalArgumentException(
+          s"version $version of $path does not exist (vacuumed?)")
+      spark.read.parquet(dir.toString)
+    }
 
   /** All retained version numbers, oldest first. */
   def versions: Seq[Int] = {
@@ -66,35 +138,129 @@ final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
   }
 
   /** K1/J1-J3: merge a batch in. First write creates the table. */
-  def merge(updates: DataFrame): Unit = currentVersion match {
-    case None => publish(updates)
-    case Some(_) => publish(MergeOps.merge(read(), updates, spec))
-  }
+  def merge(updates: DataFrame): Unit =
+    if (!bucketed) currentVersion match {
+      case None => publish(updates)
+      case Some(_) => publish(MergeOps.merge(read(), updates, spec))
+    }
+    else currentVersion match {
+      case None => publishBuckets(updates, carryFrom = Map.empty)
+      case Some(v) =>
+        val prev = manifest(v)
+        val touched = touchedBuckets(updates)
+        val targetTouched = readBuckets(prev, touched)
+        val merged = MergeOps.merge(targetTouched, updates, spec)
+        publishBuckets(merged, carryFrom = prev -- touched)
+    }
 
-  /** K3: delete by id values (single-column DataFrame). */
+  /** K3: delete by id values (single-column DataFrame). Bucketed: only
+    * the buckets the ids hash into are read and rewritten.
+    */
   def deleteIds(ids: DataFrame): Unit =
-    if (exists)
-      publish(MergeOps.deleteByIds(read(), spec.keys.head, ids))
+    if (exists) {
+      if (!bucketed)
+        publish(MergeOps.deleteByIds(read(), spec.keys.head, ids))
+      else {
+        val v = currentVersion.get
+        val prev = manifest(v)
+        val idCol = ids.columns.head
+        val touched = ids
+          .select(pmod(xxhash64(col(idCol)), lit(effectiveBuckets))
+            .cast("int").as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val remaining = MergeOps.deleteByIds(
+          readBuckets(prev, touched), spec.keys.head, ids)
+        publishBuckets(remaining, carryFrom = prev -- touched)
+      }
+    }
 
-  /** K4: compaction — rewrite current data with `numFiles` files. */
+  /** K4: compaction — rewrite current data with right-sized files
+    * (bucketed tables compact every bucket into the new version, which
+    * also collapses the manifest's version spread).
+    */
   def optimize(numFiles: Int = 1): Unit =
-    if (exists) publish(read().repartition(numFiles))
+    if (exists) {
+      if (!bucketed) publish(read().repartition(numFiles))
+      else publishBuckets(read(), carryFrom = Map.empty)
+    }
 
-  /** K4: drop all superseded version directories. */
+  /** K4: drop version directories unreferenced by the latest state. */
   def vacuum(): Unit = currentVersion.foreach { keep =>
+    val live: Set[String] =
+      if (Files.exists(manifestFile(keep))) manifest(keep).values.toSet
+      else Set(s"v$keep")
     val dir = Paths.get(path)
     if (Files.exists(dir)) {
       Files.list(dir).forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("v") && name != s"v$keep")
-          deleteRecursively(p)
+        val isVersionDir =
+          name.startsWith("v") && name.drop(1).forall(_.isDigit)
+        if (isVersionDir && !live.contains(name)) deleteRecursively(p)
+        // stale manifests of vacuumed versions
+        if (name.startsWith("manifest-v") &&
+          name != s"manifest-v$keep.json") Files.deleteIfExists(p)
       }
     }
+  }
+
+  private def touchedBuckets(updates: DataFrame): Set[Int] =
+    updates.select(bucketCol.cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+  private def readBuckets(m: Map[Int, String], which: Set[Int]): DataFrame = {
+    val dirs = m.collect {
+      case (b, dir) if which.contains(b) => s"$path/$dir/__b=$b"
+    }.toSeq
+    if (dirs.isEmpty)
+      // no existing data in the touched buckets → empty target with the
+      // current schema (preserves insert path + schema evolution)
+      read().limit(0)
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Write `df`'s rows into `v{next}` partitioned by bucket, publish a
+    * manifest = carryFrom ++ (df's buckets → v{next}).
+    */
+  private def publishBuckets(df: DataFrame, carryFrom: Map[Int, String]): Unit = {
+    val next = currentVersion.map(_ + 1).getOrElse(0)
+    val dir = s"$path/v$next"
+    df.withColumn("__b", bucketCol)
+      .write.mode("overwrite").partitionBy("__b").parquet(dir)
+    // buckets actually written = __b=K subdirs present on disk
+    val written = {
+      val d = Paths.get(dir)
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      if (Files.exists(d)) Files.list(d).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("__b=")) out += n.drop(4).toInt
+      }
+      out.toSet
+    }
+    val newManifest: Map[Int, String] =
+      carryFrom ++ written.map(_ -> s"v$next").toMap
+    val node = mapper.createObjectNode()
+    newManifest.toSeq.sortBy(_._1).foreach { case (b, d) =>
+      node.put(b.toString, d)
+    }
+    Files.createDirectories(Paths.get(path))
+    if (!Files.exists(layoutFile)) {
+      val layout = mapper.createObjectNode()
+      layout.put("buckets", effectiveBuckets)
+      val keysArr = layout.putArray("keys")
+      spec.keys.foreach(keysArr.add)
+      Files.write(layoutFile, mapper.writeValueAsBytes(layout))
+    }
+    Files.write(manifestFile(next), mapper.writeValueAsBytes(node))
+    publishPointer(next)
   }
 
   private def publish(df: DataFrame): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0)
     df.write.mode("overwrite").parquet(s"$path/v$next")
+    publishPointer(next)
+  }
+
+  private def publishPointer(next: Int): Unit = {
     val tmp = Paths.get(path, "_latest.tmp")
     Files.write(tmp, next.toString.getBytes("UTF-8"))
     Files.move(tmp, latestFile, StandardCopyOption.ATOMIC_MOVE,
@@ -111,4 +277,11 @@ final class GraftTable(spark: SparkSession, path: String, spec: MergeSpec) {
 object GraftTable {
   def apply(spark: SparkSession, path: String, spec: MergeSpec): GraftTable =
     new GraftTable(spark, path, spec)
+
+  /** Bucketed incremental table (see class doc): merges/deletes touch
+    * only the key-hash buckets their rows map to.
+    */
+  def bucketed(spark: SparkSession, path: String, spec: MergeSpec,
+      buckets: Int): GraftTable =
+    new GraftTable(spark, path, spec, buckets)
 }

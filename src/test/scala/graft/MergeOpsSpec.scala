@@ -62,6 +62,51 @@ class MergeOpsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((2L, "updated"), (3L, "untouched-group")))
   }
 
+  test("bucketed table: incremental merge rewrites only touched buckets") {
+    import graft.sinks.GraftTable
+    val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val t = GraftTable.bucketed(spark, dir,
+      MergeOps.MergeSpec(Seq("id")), buckets = 8)
+    val base = (1 to 200).map(i => (s"id-$i", s"v1-$i")).toDF("id", "data")
+    t.merge(base)
+    assert(t.read().count() === 200)
+
+    // second merge: update 2 rows + insert 1 — far fewer than 8 buckets
+    val upd = Seq(("id-1", "v2-1"), ("id-2", "v2-2"), ("id-999", "new"))
+      .toDF("id", "data")
+    t.merge(upd)
+    val after = t.read()
+    assert(after.count() === 201)
+    assert(after.filter(col("id") === "id-1").head().getString(1) === "v2-1")
+    assert(after.filter(col("id") === "id-77").head().getString(1) === "v1-77")
+
+    // proof of incrementality: v1 holds only the touched buckets, the
+    // rest are carried forward from v0 by reference
+    val v1Dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "v1")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .count(_.startsWith("__b="))
+    assert(v1Dirs > 0 && v1Dirs < 8, s"v1 rewrote $v1Dirs buckets")
+
+    // delete by id: only that id's bucket rewritten; reads stay whole
+    t.deleteIds(Seq("id-77").toDF("id"))
+    assert(t.read().count() === 200)
+    assert(t.read().filter(col("id") === "id-77").isEmpty)
+
+    // a layout-agnostic reader instance sees the same table
+    val reader = GraftTable(spark, dir, MergeOps.MergeSpec(Seq("id")))
+    assert(reader.read().count() === 200)
+
+    // optimize compacts all buckets into one version; vacuum drops the rest
+    t.optimize()
+    t.vacuum()
+    assert(t.read().count() === 200)
+    val liveDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    assert(liveDirs.length === 1)
+  }
+
   test("dedupLastWins keeps the last occurrence per key") {
     val df = Seq(
       (1L, "first", 1L),
