@@ -230,13 +230,107 @@ object I2b2Source {
   /** observation_fact lab CSV → FHIR Observation rows with SNOMED
     * result interpretation (transform.py:124-165).
     */
+  /** i2b2 → FHIR unit-code mapping (UCUM), from the public UCUM
+    * vocabulary (reference: loaders/i2b2/external_mappings.py:80-93).
+    */
+  private val ucumMap = typedlit(Map(
+    "%" -> "%",
+    "bpm" -> "/min",
+    "br/min" -> "/min",
+    "cm" -> "cm",
+    "DegC" -> "Cel",
+    "DegF" -> "[degF]",
+    "in" -> "[in_i]",
+    "kg" -> "kg",
+    "kg/m2" -> "kg/m2",
+    "lb" -> "[lb_av]",
+    "mmHg" -> "mm[Hg]"
+  ))
+
+  /** i2b2 comparison code → FHIR Quantity.comparator
+    * (external_mappings.py:99-105; "E" = equal → no comparator).
+    */
+  private val comparatorMap = typedlit(Map(
+    "L" -> "<", "LE" -> "<=", "GE" -> ">=", "G" -> ">"
+  ))
+
+  /** S7 (obs-vitals): observation facts → us-core vital-signs
+    * Observations (transform.py:166-192), with the full value-column
+    * dispatch of get_observation_value (transform.py:329-381):
+    * valtype T → text concept, B → blob concept, @ → no value,
+    * N → valueQuantity with UCUM unit mapping and comparator parsing.
+    */
+  def vitalsObservations(spark: SparkSession, path: String): DataFrame = {
+    val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    val i2b2System = "http://cumulus.smarthealthit.org/i2b2"
+    def concept(code: org.apache.spark.sql.Column, system: String) =
+      struct(array(struct(
+        lit(system).as("system"), code.as("code"))).as("coding"))
+    val ucum = element_at(ucumMap, col("UNITS_CD"))
+    val quantity = struct(
+      col("NVAL_NUM").cast("double").as("value"),
+      col("UNITS_CD").as("unit"),
+      when(ucum.isNotNull, lit("http://unitsofmeasure.org")).as("system"),
+      ucum.as("code"),
+      element_at(comparatorMap, col("TVAL_CHAR")).as("comparator")
+    )
+    raw.select(
+      lit("Observation").as("resourceType"),
+      col("INSTANCE_NUM").as("id"),
+      lit("unknown").as("status"),
+      array(concept(lit("vital-signs"),
+        "http://terminology.hl7.org/CodeSystem/observation-category"))
+        .as("category"),
+      concept(col("CONCEPT_CD"), i2b2System).as("code"),
+      struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
+        .as("subject"),
+      struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
+        .as("reference")).as("encounter"),
+      when(col("START_DATE").isNotNull,
+        substring(col("START_DATE"), 1, 10)).as("effectiveDateTime"),
+      when(col("VALTYPE_CD") === "T",
+        concept(col("TVAL_CHAR"), i2b2System))
+        .when(col("VALTYPE_CD") === "B",
+          concept(col("OBSERVATION_BLOB"), i2b2System))
+        .as("valueCodeableConcept"),
+      when(col("VALTYPE_CD") === "N", quantity).as("valueQuantity")
+    )
+  }
+
+  /** BCH lab code → LOINC COVID test codes
+    * (external_mappings.py:39-50; public LOINC codes).
+    */
+  private val loincCovidMap = typedlit(Map(
+    "LAB:1043473617" -> "94500-6",
+    "LAB:1044804335" -> "94500-6",
+    "LAB:1044704735" -> "94500-6",
+    "LAB:1134792565" -> "95406-5",
+    "LAB:1148157467" -> "95406-5",
+    "LAB:467288722" -> "85477-8",
+    "LAB:152831642" -> "85476-0",
+    "LAB:467288694" -> "85478-6",
+    "LAB:467288700" -> "85479-4",
+    "LAB:13815125" -> "62462-7"
+  ))
+
+  /** S7 (obs-lab): transform.py:124-163 — known COVID lab codes map to
+    * LOINC, the rest stay in the i2b2 system; SNOMED result qualifiers
+    * when recognized, else the raw value in the i2b2 system with the
+    * original display.
+    */
   def labObservations(spark: SparkSession, path: String): DataFrame = {
     val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
+    val i2b2System = "http://cumulus.smarthealthit.org/i2b2"
+    val loinc = element_at(loincCovidMap, col("CONCEPT_CD"))
     val resultCode = element_at(snomedLabMap, lower(col("TVAL_CHAR")))
     raw.select(
       lit("Observation").as("resourceType"),
       col("INSTANCE_NUM").as("id"),
-      lit("final").as("status"),
+      lit("unknown").as("status"),
+      array(struct(array(struct(
+        lit("http://terminology.hl7.org/CodeSystem/observation-category")
+          .as("system"),
+        lit("laboratory").as("code"))).as("coding"))).as("category"),
       struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
         .as("subject"),
       struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
@@ -244,15 +338,16 @@ object I2b2Source {
       when(col("START_DATE").isNotNull,
         substring(col("START_DATE"), 1, 10)).as("effectiveDateTime"),
       struct(array(struct(
-        lit("http://loinc.org").as("system"),
-        col("CONCEPT_CD").as("code")
+        when(loinc.isNotNull, lit("http://loinc.org"))
+          .otherwise(lit(i2b2System)).as("system"),
+        coalesce(loinc, col("CONCEPT_CD")).as("code")
       )).as("coding")).as("code"),
-      when(resultCode.isNotNull,
-        struct(array(struct(
-          lit("http://snomed.info/sct").as("system"),
-          resultCode.as("code"),
-          col("TVAL_CHAR").as("display")
-        )).as("coding"))).as("valueCodeableConcept")
+      struct(array(struct(
+        when(resultCode.isNotNull, lit("http://snomed.info/sct"))
+          .otherwise(lit(i2b2System)).as("system"),
+        coalesce(resultCode, col("TVAL_CHAR")).as("code"),
+        col("TVAL_CHAR").as("display")
+      )).as("coding")).as("valueCodeableConcept")
     )
   }
 }

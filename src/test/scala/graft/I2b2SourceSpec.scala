@@ -65,10 +65,49 @@ class I2b2SourceSpec extends SparkSpecBase {
     val out = I2b2Source.labObservations(spark, path)
     val i1 = out.filter(col("id") === "i1").head()
     val vcc = i1.getAs[org.apache.spark.sql.Row]("valueCodeableConcept")
-    assert(vcc.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")
-      .head.getAs[String]("code") === "10828004") // positive
+    val c1 = vcc.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "coding").head
+    assert(c1.getAs[String]("code") === "10828004") // positive → SNOMED
+    assert(c1.getAs[String]("system") === "http://snomed.info/sct")
+    // unmapped result stays in the i2b2 system with the raw value
     val i2 = out.filter(col("id") === "i2").head()
-    assert(i2.getAs[Any]("valueCodeableConcept") === null) // unmapped
+    val c2 = i2.getAs[org.apache.spark.sql.Row]("valueCodeableConcept")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding").head
+    assert(c2.getAs[String]("code") === "equivocal")
+    assert(c2.getAs[String]("system") ===
+      "http://cumulus.smarthealthit.org/i2b2")
+  }
+
+  test("vitals facts → Observation with UCUM quantity and comparator") {
+    val path = write(dir, "observation_fact_vitals.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE,VALTYPE_CD,TVAL_CHAR,NVAL_NUM,UNITS_CD,OBSERVATION_BLOB",
+      "v1,p1,e1,VITAL:hr,2021-03-04 09:00:00,N,E,72,bpm,",
+      "v2,p1,e1,VITAL:bp,2021-03-04 09:00:00,N,GE,120,mmHg,",
+      "v3,p1,e1,VITAL:smoker,2021-03-04 09:00:00,T,Former smoker,,,",
+      "v4,p1,e1,VITAL:note,2021-03-04 09:00:00,@,,,,"
+    ))
+    val out = I2b2Source.vitalsObservations(spark, path)
+    val v1 = out.filter(col("id") === "v1").head()
+    assert(v1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "category").head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding").head
+      .getAs[String]("code") === "vital-signs")
+    val q1 = v1.getAs[org.apache.spark.sql.Row]("valueQuantity")
+    assert(q1.getAs[Double]("value") === 72.0)
+    assert(q1.getAs[String]("code") === "/min") // bpm → UCUM
+    assert(q1.getAs[String]("comparator") === null) // E = equal
+    val q2 = out.filter(col("id") === "v2").head()
+      .getAs[org.apache.spark.sql.Row]("valueQuantity")
+    assert(q2.getAs[String]("comparator") === ">=")
+    assert(q2.getAs[String]("code") === "mm[Hg]")
+    val v3 = out.filter(col("id") === "v3").head()
+    assert(v3.getAs[org.apache.spark.sql.Row]("valueCodeableConcept")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding").head
+      .getAs[String]("code") === "Former smoker")
+    assert(v3.getAs[Any]("valueQuantity") === null)
+    val v4 = out.filter(col("id") === "v4").head()
+    assert(v4.getAs[Any]("valueQuantity") === null)
+    assert(v4.getAs[Any]("valueCodeableConcept") === null)
   }
 
   test("diagnosis facts → Condition with ICD system split") {
