@@ -318,6 +318,41 @@ object I2b2Source {
     * when recognized, else the raw value in the i2b2 system with the
     * original display.
     */
+  /** S6/S7 loader stage (loader.py:24-37,141-170): detect the standard
+    * i2b2 CSV exports in `i2b2Dir`, transform each to FHIR rows, and
+    * stage them as NDJSON under `outDir` — after which the normal
+    * NDJSON pipeline is format-agnostic, exactly like the reference.
+    * Both Observation sources (labs + vitals) land in the same staged
+    * file set. Returns the detected resource types.
+    */
+  def loadToNdjson(spark: SparkSession, i2b2Dir: String,
+      outDir: String): Set[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    def has(name: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(i2b2Dir, name))
+    def stage(df: DataFrame, fileBase: String): Unit =
+      graft.sinks.NdjsonSink.writeBatch(df, outDir, fileBase)
+    val sources: Seq[(String, String, (SparkSession, String) => DataFrame)] =
+      Seq(
+        ("patient_dimension.csv", "Patient", patients),
+        ("visit_dimension.csv", "Encounter", encounters),
+        ("observation_fact_diagnosis.csv", "Condition", conditions),
+        ("observation_fact_lab_views.csv", "Observation", labObservations),
+        ("observation_fact_vitals.csv", "Observation", vitalsObservations),
+        ("observation_fact_medications.csv", "MedicationRequest",
+          medicationRequests),
+        ("observation_fact_notes.csv", "DocumentReference",
+          documentReferences)
+      )
+    sources.flatMap { case (file, resource, fn) =>
+      if (!has(file)) None
+      else {
+        stage(fn(spark, s"$i2b2Dir/$file"), resource)
+        Some(resource)
+      }
+    }.toSet
+  }
+
   def labObservations(spark: SparkSession, path: String): DataFrame = {
     val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
     val i2b2System = "http://cumulus.smarthealthit.org/i2b2"

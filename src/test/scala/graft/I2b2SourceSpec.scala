@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.sources.I2b2Source
+import graft.sources.{I2b2Source, NdjsonSource}
 import org.apache.spark.sql.functions._
 
 class I2b2SourceSpec extends SparkSpecBase {
@@ -76,6 +76,36 @@ class I2b2SourceSpec extends SparkSpecBase {
     assert(c2.getAs[String]("code") === "equivocal")
     assert(c2.getAs[String]("system") ===
       "http://cumulus.smarthealthit.org/i2b2")
+  }
+
+  test("i2b2 loader stages CSVs as NDJSON the normal pipeline consumes") {
+    val i2b2 = java.nio.file.Files.createTempDirectory("i2b2src").toString
+    def put(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(i2b2, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    put("patient_dimension.csv", Seq(
+      "PATIENT_NUM,BIRTH_DATE,DEATH_DATE,SEX_CD,RACE_CD,ZIP_CD",
+      "p1,1982-07-15 00:00:00,,F,White,02115"))
+    put("visit_dimension.csv", Seq(
+      "ENCOUNTER_NUM,PATIENT_NUM,START_DATE,END_DATE,LENGTH_OF_STAY,INOUT_CD",
+      "e1,p1,2021-03-04 10:00:00,2021-03-05 10:00:00,1,Inpatient"))
+    put("observation_fact_lab_views.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE,TVAL_CHAR",
+      "i1,p1,e1,LAB:123,2021-03-04 09:00:00,Positive"))
+    put("observation_fact_vitals.csv", Seq(
+      "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE,VALTYPE_CD,TVAL_CHAR,NVAL_NUM,UNITS_CD,OBSERVATION_BLOB",
+      "v1,p1,e1,VITAL:hr,2021-03-04 09:00:00,N,E,72,bpm,"))
+    val staged = java.nio.file.Files.createTempDirectory("i2b2out").toString
+    val detected = I2b2Source.loadToNdjson(spark, i2b2, staged)
+    assert(detected === Set("Patient", "Encounter", "Observation"))
+    // the staged dir is a normal bulk-export dir now
+    assert(NdjsonSource.detectResources(spark, staged) ===
+      Set("Patient", "Encounter", "Observation"))
+    // both lab and vitals facts land in the Observation stream
+    assert(NdjsonSource.readResource(spark, staged, "Observation")
+      .count() === 2)
+    assert(NdjsonSource.readResource(spark, staged, "Patient")
+      .count() === 1)
   }
 
   test("vitals facts → Observation with UCUM quantity and comparator") {
