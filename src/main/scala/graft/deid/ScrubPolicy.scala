@@ -112,7 +112,12 @@ object DefaultScrubPolicy {
         "language" -> Val
       )),
       "DomainResource" -> ElementPolicy(Some("Resource"), Map(
-        // text skipped; contained handled as opaque drop in v1
+        // text skipped, like the reference. `contained` (scrub-rules
+        // "Resource" action: recurse with each element's own type
+        // policy) is heterogeneous per element — unrepresentable in one
+        // static column type — so it is conservatively DROPPED here
+        // (absent column ⇒ no PHI can pass), a narrowing the reference
+        // doesn't make
         "extension" -> TypeRef("Extension"),
         "modifierExtension" -> TypeRef("Extension")
       )),
@@ -131,7 +136,9 @@ object DefaultScrubPolicy {
         "lastUpdated" -> Val,
         "profile" -> Val,
         "source" -> Val,
-        "versionId" -> Val
+        "versionId" -> Val,
+        "security" -> TypeRef("Coding"),
+        "tag" -> TypeRef("Coding")
       )),
       "CodeableConcept" -> ElementPolicy(Some("Element"), Map(
         "coding" -> TypeRef("Coding"),

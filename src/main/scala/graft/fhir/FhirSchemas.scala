@@ -103,7 +103,9 @@ object FhirSchemas {
     StructField("lastUpdated", StringType),
     StructField("profile", ArrayType(StringType)),
     StructField("source", StringType),
-    StructField("versionId", StringType)
+    StructField("versionId", StringType),
+    StructField("security", ArrayType(codingType)),
+    StructField("tag", ArrayType(codingType))
   ))
 
   private val addressType = StructType(Seq(

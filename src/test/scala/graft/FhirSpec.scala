@@ -25,6 +25,39 @@ class FhirSpec extends SparkSpecBase {
     assert(scrubbed.head().getAs[String]("gender") === "female")
   }
 
+  test("Athena registration drops then creates at the versioned layout") {
+    import graft.sinks.{Athena, RecordingAthenaClient}
+    import org.apache.spark.sql.types._
+    val client = new RecordingAthenaClient()
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("result", StructType(Seq(
+        StructField("label", StringType))))))
+    val loc = Athena.registerTable(client, "covid__symptoms", schema,
+      "s3://results-bucket/wg", version = 3)
+    assert(loc === "s3://results-bucket/wg/covid/symptoms_v3/")
+    assert(client.statements.head ===
+      "DROP TABLE IF EXISTS covid__symptoms")
+    assert(client.statements(1).contains("CREATE EXTERNAL TABLE"))
+    assert(client.statements(1).contains(loc))
+    intercept[IllegalArgumentException] {
+      Athena.registerTable(client, "bad-name;drop", schema, "s3://x", 1)
+    }
+  }
+
+  test("Athena cohort query guards against oversized tables") {
+    import graft.sinks.{Athena, RecordingAthenaClient}
+    val small = new RecordingAthenaClient(Map("my_cohort" -> 100L))
+    val loc = Athena.queryCohortTable(small, "my_cohort")
+    assert(loc.contains("SELECT * FROM"))
+    val big = new RecordingAthenaClient(Map("core_table" -> 1000000L))
+    intercept[IllegalStateException] {
+      Athena.queryCohortTable(big, "core_table")
+    }
+    // explicit override allows it, like --allow-large-selection
+    Athena.queryCohortTable(big, "core_table", allowLarge = true)
+  }
+
   test("Athena DDL generation covers nested struct/array types") {
     val ddl = FhirSchemas.toAthenaDdl(FhirSchemas.observation,
       "observation", "s3://bucket/obs/")
