@@ -105,7 +105,8 @@ object EtlPipeline {
       } else {
         val raw = NdjsonSource.readResource(spark, inputDir,
           task.resourceType,
-          graft.fhir.FhirSchemas.forResource(task.resourceType))
+          graft.fhir.FhirSchemas.forResource(task.resourceType),
+          widen = true)
         // P2/A4: dropped-extension census side-output (the report the
         // reference prints at run end, persisted as a mergeable table)
         val census = ScrubCompiler.extensionCensus(raw,

@@ -67,11 +67,26 @@ object NdjsonSource {
       spark: SparkSession,
       dir: String,
       resourceType: String,
-      schema: Option[StructType] = None
+      schema: Option[StructType] = None,
+      widen: Boolean = false,
+      widenSamplingRatio: Double = 1.0
   ): DataFrame = {
     val files = listResourceFiles(spark, dir)
+    // "wide schema, widened by observed rows" (SURVEY §1.2, the
+    // reference's cfs.pyarrow_schema_from_rows): the catalog schema is
+    // authoritative on types, but fields the export nests DEEPER than
+    // the catalog still load — the scrub policy then decides their
+    // fate. Widening pays one inference pass; at large scale sample it
+    // down with `widenSamplingRatio`.
+    val effective: Option[StructType] =
+      if (widen && schema.isDefined && files.nonEmpty) {
+        val observed = spark.read
+          .option("samplingRatio", widenSamplingRatio.toString)
+          .json(files: _*).schema
+        Some(graft.fhir.SchemaWidening.widen(schema.get, observed))
+      } else schema
     val reader = spark.read
-    val withSchema = schema.fold(reader)(reader.schema)
+    val withSchema = effective.fold(reader)(reader.schema)
     val df =
       if (files.isEmpty) {
         val s = schema.getOrElse(StructType(Seq(

@@ -22,9 +22,13 @@ object GoldenHarness {
   val expectedDir = "src/test/resources/golden/expected"
   val PinnedSalt: String = "42" * 32
 
-  val tables = Seq("patient", "encounter", "condition", "observation",
-    "practitioner", "organization", "specimen", "medication",
-    "diagnosticreport")
+  /** All 20 task tables — every resource the default pipeline loads. */
+  val tables = Seq("patient", "encounter", "allergyintolerance",
+    "condition", "device", "diagnosticreport", "documentreference",
+    "episodeofcare", "immunization", "location", "medication",
+    "medicationdispense", "medicationrequest", "observation",
+    "organization", "practitioner", "practitionerrole", "procedure",
+    "servicerequest", "specimen")
 
   def run(spark: SparkSession): Map[String, Seq[String]] = {
     val out = Files.createTempDirectory("golden-out").toString
