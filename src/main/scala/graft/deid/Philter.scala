@@ -14,14 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Philter {
 
-  /** PHI-shaped patterns, most specific first. Public, standard formats:
-    * SSN, US phone, email, MRN-style labeled ids, long digit runs.
+  /** PHI-shaped patterns, most specific first. Public, standard formats
+    * (the same categories philter's regex rules target: identifiers,
+    * contact info, dates, network addresses, extreme ages).
     */
   private[deid] val patterns: Seq[String] = Seq(
     "\\b\\d{3}-\\d{2}-\\d{4}\\b", // SSN
     "\\b\\(?\\d{3}\\)?[-. ]\\d{3}[-.]\\d{4}\\b", // US phone
     "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b", // email
     "(?i)\\b(mrn|medical record number)[:# ]*\\d+\\b", // labeled MRN
+    "(?i)\\bhttps?://[^\\s]+", // URL
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", // IPv4
+    "\\b\\d{1,2}/\\d{1,2}/\\d{2,4}\\b", // slash date
+    "\\b\\d{4}-\\d{2}-\\d{2}\\b", // ISO date
+    "(?i)\\b(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*\\.? \\d{1,2},? \\d{4}\\b", // written date
+    "(?i)\\b(?:aged?|age:) (?:9\\d|1[0-9]\\d)\\b", // ages 90+ (HIPAA >89)
     "\\b\\d{7,10}\\b" // bare long id runs
   )
 
