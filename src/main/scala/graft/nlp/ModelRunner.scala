@@ -74,4 +74,111 @@ object ModelRunner {
       .join(cache.select("checksum"), Seq("checksum"), "left_anti")
     (annotated, fresh)
   }
+
+  /** Provider batch API boundary (Azure/Bedrock batch jobs in the
+    * reference, 0.5× price): submit one spooled prompt file, poll until
+    * the result file is ready.
+    */
+  trait BatchModelClient extends Serializable {
+
+    /** Start a batch job for a JSONL prompt file; returns the job id. */
+    def submit(promptFile: String): String
+
+    /** Non-blocking status check: Some(resultFile) once finished. The
+      * result file is JSONL rows {"checksum": …, "result": …}.
+      */
+    def poll(jobId: String): Option[String]
+  }
+
+  /** The reference's LLM batch mode (nlp/models.py:207-448,584-624),
+    * Spark-native: distinct cache-miss prompts spool to JSONL files
+    * capped at `maxLines` rows each (the ≤50k-prompts-per-batch provider
+    * limit), jobs submit per file with their ids PERSISTED to a sidecar
+    * so an interrupted run resumes polling instead of resubmitting
+    * (models.py:352-373), results land in the cache, and the notes are
+    * answered entirely from the updated cache. Returns (annotated,
+    * fresh cache entries).
+    */
+  def annotateViaBatch(
+      notes: DataFrame,
+      idCol: String,
+      textCol: String,
+      cache: DataFrame,
+      client: BatchModelClient,
+      spoolDir: String,
+      maxLines: Int = 50000,
+      pollIntervalMs: Long = 1000L,
+      maxPolls: Int = 10000
+  ): (DataFrame, DataFrame) = {
+    val spark = notes.sparkSession
+    val jobsFile = java.nio.file.Paths.get(spoolDir, "batch-jobs.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    val jobIds: Seq[String] =
+      if (java.nio.file.Files.exists(jobsFile)) {
+        // resume: poll the persisted jobs, never respool/resubmit
+        val node = mapper.readTree(java.nio.file.Files.readAllBytes(jobsFile))
+        (0 until node.size()).map(node.get(_).asText())
+      } else {
+        val withSum = notes.withColumn("checksum", sha2(col(textCol), 256))
+        val misses = withSum
+          .join(cache.select("checksum"), Seq("checksum"), "left_anti")
+          .select(col("checksum"), col(textCol).as("prompt"))
+          .dropDuplicates("checksum")
+        val promptDir = s"$spoolDir/prompts"
+        misses.write.option("maxRecordsPerFile", maxLines)
+          .mode("overwrite").json(promptDir)
+        val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get(promptDir)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .map(_.toString).sorted.toSeq
+        val ids = files.map(client.submit)
+        val arr = mapper.createArrayNode()
+        ids.foreach(arr.add)
+        java.nio.file.Files.createDirectories(jobsFile.getParent)
+        java.nio.file.Files.write(jobsFile, mapper.writeValueAsBytes(arr))
+        ids
+      }
+
+    // poll every job to completion (reference: every 5 min; tests tune)
+    val resultFiles = jobIds.map { id =>
+      var out: Option[String] = None
+      var n = 0
+      while (out.isEmpty && n < maxPolls) {
+        out = client.poll(id)
+        if (out.isEmpty) { Thread.sleep(pollIntervalMs); n += 1 }
+      }
+      out.getOrElse(throw new IllegalStateException(
+        s"batch job $id did not finish within $maxPolls polls"))
+    }
+
+    val fresh =
+      if (resultFiles.isEmpty)
+        cache.select("checksum", "result").limit(0)
+      else
+        // explicit schema: no inference pass, and empty result shards
+        // (a batch whose prompts all failed) read as zero rows
+        spark.read
+          .schema(StructType(Seq(
+            StructField("checksum", StringType),
+            StructField("result", StringType))))
+          .json(resultFiles: _*)
+          .select("checksum", "result")
+          .join(cache.select("checksum"), Seq("checksum"), "left_anti")
+          // sever lineage from the transient spool/result files: the
+          // returned frames must stay valid after the next run cleans
+          // or overwrites the spool directory
+          .localCheckpoint(true)
+    val updatedCache = cache.select("checksum", "result").unionByName(fresh)
+
+    // batch done → sidecar cleared so the next export spools anew
+    java.nio.file.Files.deleteIfExists(jobsFile)
+
+    val annotated = notes
+      .withColumn("checksum", sha2(col(textCol), 256))
+      .join(updatedCache, Seq("checksum"), "left_outer")
+      .select(col(idCol), col("checksum"), col("result"))
+    (annotated, fresh)
+  }
 }
