@@ -73,6 +73,23 @@ object EventStreams {
     * per-user sessions with a 30-minute gap, emitting on timeout. Used
     * by StreamingSpec to prove parity with [[sessionAgg]].
     */
+  /** Streaming exact dedup: drop key-duplicates within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — state is bounded by the
+    * lateness window instead of growing forever, which is the only
+    * formulation that survives an unbounded stream). The batch
+    * equivalent is A1/q22's hash-groupBy; this is its always-on form
+    * for continuously-arriving exports.
+    */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   def statefulSessionCount(
       events: Dataset[Event],
       gapMinutes: Long = 30

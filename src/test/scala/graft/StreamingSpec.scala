@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.toSet.subsetOf(b.toSet))
   }
 
+  test("streaming dedup drops key duplicates within the watermark") {
+    val schema = spark.read.parquet(eventsDir).schema
+    // duplicate the whole stream: every key arrives at least twice
+    val dupDir = Files.createTempDirectory("events-dup").toString
+    val base = spark.read.parquet(eventsDir)
+    base.unionByName(base).write.mode("overwrite").parquet(dupDir)
+    val stream = spark.readStream.schema(schema).parquet(dupDir)
+    val deduped = EventStreams.runAvailableNow(
+      spark,
+      EventStreams.streamingDedup(stream, Seq("event_id"), "ts",
+        lateness = "1 hour"),
+      "dedup_test"
+    )
+    val distinctKeys = base.select("event_id").distinct().count()
+    assert(deduped.select("event_id").distinct().count() === distinctKeys)
+    // every key emitted exactly once despite duplicate arrivals
+    assert(deduped.count() === distinctKeys)
+  }
+
   test("flatMapGroupsWithState session count matches session_window") {
     val events = spark.read.parquet(eventsDir)
       .select(col("user_id"), col("ts"))
