@@ -180,11 +180,27 @@ object NearDedup {
       .select(
         col("id_a"),
         col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => a === b), x => x)).cast("double") /
-          lit(numHashes.toDouble)).as("jaccard_est")
+        // agreement fraction via a primitive kernel — the
+        // zip_with/filter/size expression evaluates interpreted per
+        // candidate pair (same CodegenFallback trap as the shingle path)
+        sigAgreementUdf(col("sig_a"), col("sig_b")).as("jaccard_est")
       )
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Fraction of signature positions that agree (the MinHash Jaccard
+    * estimate) in one primitive pass.
+    */
+  private val sigAgreementUdf = udf {
+    (a: scala.collection.Seq[Long], b: scala.collection.Seq[Long]) =>
+      if (a == null || b == null || a.isEmpty) 0.0
+      else {
+        val n = math.min(a.length, b.length)
+        var same = 0
+        var i = 0
+        while (i < n) { if (a(i) == b(i)) same += 1; i += 1 }
+        same.toDouble / n
+      }
   }
 
   /** Exact n-gram Jaccard similarity between two text columns —
