@@ -277,62 +277,100 @@ object Similarity {
       seed: Long = 42L,
       multiProbe: Boolean = true
   ): DataFrame = {
-    // norms once per SIDE (|corpus| + |queries| evaluations), so the
-    // per-pair kernel is a bare dot product
-    val c = corpus.select(
-      col(corpusId).as("neighbor_id"),
-      col(corpusVec).as("__cv"),
-      l2Norm(col(corpusVec)).as("__cn"),
-      lshBucket(col(corpusVec), dim, planes, seed).as("__bucket"))
-    val qBase = queries.select(
-      col(queryId).as("query_id"),
-      col(queryVec).as("__qv"),
-      l2Norm(col(queryVec)).as("__qn"),
-      lshBucket(col(queryVec), dim, planes, seed).as("__b0"))
-    val probes: Column =
-      if (multiProbe)
-        array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
-      else array(lit(0L))
-    val q = qBase
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        explode(transform(probes, m => col("__b0").bitwiseXOR(m)))
-          .as("__bucket"))
-    // no dedup stage: every corpus row lives in exactly ONE bucket and
-    // the probe masks are distinct, so a (query, neighbor) pair can only
-    // meet once — candidates flow straight into the ranking
-    val scored = c.join(broadcast(q), Seq("__bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
-        when(col("__cn") * col("__qn") === 0, lit(0.0))
-          .otherwise(dotF(col("__qv"), col("__cv")) /
-            (col("__cn") * col("__qn")))
-          .as("cosine"))
-    // per-(partition, query) bounded heaps pre-reduce the ranking input
-    // from |candidates| to partitions×|queries|×k rows, exactly like the
-    // brute-force path — top-k of a union is the top-k of the union of
-    // per-partition top-ks under the same (cosine desc, id asc) order
-    val spark2 = corpus.sparkSession
-    import spark2.implicits._
-    val partials = scored.as[(Long, Long, Double)].mapPartitions { rows =>
-      implicit val worstFirst: Ordering[(Double, Long)] =
-        Ordering.fromLessThan { (a, b) =>
-          a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // queries are the broadcastable side by contract (same as the
+    // brute-force path): collect, normalize, hash, and index by every
+    // bucket they probe (own bucket + hamming-1 neighbors)
+    val hs: Array[Array[Double]] =
+      hyperplanes(dim, planes, seed).map(_.toArray).toArray
+    def bucketOf(v: Array[Float]): Long = {
+      var bucket = 0L
+      var p = 0
+      while (p < hs.length) {
+        val h = hs(p)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, h.length)
+        while (i < n) { d += v(i).toDouble * h(i); i += 1 }
+        if (d >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    val qData: Array[(Long, Array[Float], Double, Long)] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n), bucketOf(v))
+      }
+    val probeMasks: Array[Long] =
+      if (multiProbe) 0L +: Array.tabulate(planes)(i => 1L << i)
+      else Array(0L)
+    // bucket → dense query index list; ~2^planes entries, each query in
+    // `probes` lists — tiny next to the corpus
+    val byBucket: Map[Long, Array[Int]] = qData.zipWithIndex
+      .flatMap { case ((_, _, _, b0), qi) => probeMasks.map(m => (b0 ^ m) -> qi) }
+      .groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2) }
+    val bcQ = spark.sparkContext.broadcast(qData)
+    val bcIdx = spark.sparkContext.broadcast(byBucket)
+
+    // ONE streaming pass over the corpus, zero shuffled candidates: per
+    // row, hash to its (single) bucket, score only the queries probing
+    // that bucket with a primitive dot, feed per-(partition, query)
+    // bounded heaps — the brute-force kernel restricted by the index.
+    // A (query, neighbor) pair can only meet once (one bucket per row,
+    // distinct probe masks), so no dedup stage is needed.
+    val partials = corpus
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val qs = bcQ.value
+        val idx = bcIdx.value
+        implicit val worstFirst: Ordering[(Double, Long)] =
+          Ordering.fromLessThan { (a, b) =>
+            a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+          }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (cid, cv) =>
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) {
+            cn += cv(i).toDouble * cv(i).toDouble; i += 1
+          }
+          val cNorm = math.sqrt(cn)
+          idx.getOrElse(bucketOf(cv), Array.empty[Int]).foreach { qi =>
+            val (qid, qv, qNorm, _) = qs(qi)
+            if (qid != cid) {
+              var d = 0.0
+              var j = 0
+              val n = math.min(cv.length, qv.length)
+              while (j < n) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
+              val denom = cNorm * qNorm
+              val cos = if (denom == 0.0) 0.0 else d / denom
+              val h = heaps.getOrElseUpdate(qi,
+                scala.collection.mutable.PriorityQueue
+                  .empty[(Double, Long)](worstFirst.reverse))
+              if (h.size < k) h.enqueue((cos, cid))
+              else if (worstFirst.gt((cos, cid), h.head)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+          }
         }
-      val heaps = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-      rows.foreach { case (qid, nid, cos) =>
-        val h = heaps.getOrElseUpdate(qid,
-          scala.collection.mutable.PriorityQueue
-            .empty[(Double, Long)](worstFirst.reverse))
-        if (h.size < k) h.enqueue((cos, nid))
-        else if (worstFirst.gt((cos, nid), h.head)) {
-          h.dequeue(); h.enqueue((cos, nid))
+        heaps.iterator.flatMap { case (qi, h) =>
+          val qid = bcQ.value(qi)._1
+          h.iterator.map { case (cos, cid) => (qid, cid, cos) }
         }
       }
-      heaps.iterator.flatMap { case (qid, h) =>
-        h.iterator.map { case (cos, nid) => (qid, nid, cos) }
-      }
-    }.toDF("query_id", "neighbor_id", "cosine")
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
