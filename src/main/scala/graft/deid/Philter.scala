@@ -32,40 +32,35 @@ object Philter {
     "\\b\\d{7,10}\\b" // bare long id runs
   )
 
-  /** Replace each PHI match with '*' of the same length (offset-stable,
-    * like philter's asterisk masking). One regexp_replace per pattern —
-    * all codegen; the lambda-style length-preserving replacement uses
-    * a per-char mask via a second pass.
+  /** Patterns compiled ONCE (driver side, shipped in the task closure):
+    * Pattern.compile dominates matching cost and java.util.regex.Pattern
+    * is Serializable.
     */
-  def scrubText(c: Column): Column =
-    patterns.foldLeft(c) { (acc, p) =>
-      // replace every char of each match with '*': wrap the match region
-      // markers then mask; simpler: regexp_replace with a callback isn't
-      // available in SQL, so use a two-step: extract all matches and
-      // replace each occurrence with a same-length star run via repeat.
-      // Spark lacks per-match callbacks; approximate with a fixed-width
-      // mask token is NOT offset-stable, so instead mask char-by-char:
-      maskMatches(acc, p)
-    }
+  private lazy val compiled: Seq[java.util.regex.Pattern] =
+    patterns.map(java.util.regex.Pattern.compile)
 
-  /** Mask all matches of `pattern` with same-length star runs. Uses a
-    * UDF (per-row regex loop — the same shape the span matcher needs);
-    * applied only when philter is enabled, off the default hot path.
+  /** Replace each PHI match with '*' of the same length (offset-stable,
+    * like philter's asterisk masking). ONE UDF invocation runs every
+    * precompiled pattern over the value in a single pass — per-row regex
+    * masking has no codegen equivalent (no per-match callbacks in SQL),
+    * and one boundary crossing beats one per pattern. Applied only when
+    * philter is enabled, off the default hot path.
     */
-  private val maskUdf =
-    udf { (text: String, pattern: String) =>
+  def scrubText(c: Column): Column = maskAllUdf(c)
+
+  private val maskAllUdf =
+    udf { (text: String) =>
       if (text == null) null
       else {
-        val m = java.util.regex.Pattern.compile(pattern).matcher(text)
         val sb = new StringBuilder(text)
-        while (m.find()) {
-          var i = m.start
-          while (i < m.end) { sb.setCharAt(i, '*'); i += 1 }
+        compiled.foreach { p =>
+          val m = p.matcher(sb)
+          while (m.find()) {
+            var i = m.start
+            while (i < m.end) { sb.setCharAt(i, '*'); i += 1 }
+          }
         }
         sb.toString
       }
     }
-
-  private def maskMatches(c: Column, pattern: String): Column =
-    maskUdf(c, lit(pattern))
 }

@@ -290,12 +290,31 @@ object ScrubCompiler {
         }
       case Some(leaf) =>
         field.dataType match {
+          case _: StructType | ArrayType(_: StructType, _)
+              if keepsValue(leaf, ctx) =>
+            // leaf action on a struct-typed field is a policy/schema
+            // mismatch: passing the struct through verbatim would skip
+            // the allow-list entirely (nested PHI leak). The reference
+            // rejects the whole resource here (scrubber.py SkipResource
+            // on is_final_action == is_node); dropping just the field
+            // is the same safety with less collateral.
+            None
           case ArrayType(dt, _) =>
             val elem = leafNode(leaf, dt, ctx)
             Some(arrayNode(elem))
           case dt => Some(leafNode(leaf, dt, ctx))
         }
     }
+  }
+
+  /** Leaf rules that emit the input value (directly or transformed) —
+    * the ones that must never see an unscrubbed struct. Mask variants
+    * null the value, which is safe on any type.
+    */
+  private def keepsValue(rule: Rule.Rule, ctx: Ctx): Boolean = rule match {
+    case Rule.Mask => false
+    case Rule.MaskNote => ctx.nlpMode // nlp mode keeps the raw value
+    case _ => true
   }
 
   /** Conditional sub-schema wrapper (scrubber.py:141-144): the node is

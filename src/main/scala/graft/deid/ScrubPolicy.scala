@@ -480,9 +480,12 @@ object DefaultScrubPolicy {
         "patient" -> Ref,
         "encounter" -> Ref,
         "onsetDateTime" -> Val,
-        "onsetAge" -> Val,
-        "onsetPeriod" -> Val,
-        "onsetRange" -> Val,
+        // the reference marks these "val", which its walker rejects for
+        // dict values (config-error path); structured onsets descend
+        // their element policies here instead — stricter than both
+        "onsetAge" -> Qty,
+        "onsetPeriod" -> Per,
+        "onsetRange" -> TypeRef("Range"),
         "recordedDate" -> Val,
         "recorder" -> Ref,
         "asserter" -> Ref,

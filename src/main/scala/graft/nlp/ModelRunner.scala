@@ -133,12 +133,19 @@ object ModelRunner {
           .map(_.asInstanceOf[java.nio.file.Path])
           .filter(_.getFileName.toString.endsWith(".json"))
           .map(_.toString).sorted.toSeq
-        val ids = files.map(client.submit)
-        val arr = mapper.createArrayNode()
-        ids.foreach(arr.add)
+        // sidecar rewritten after EVERY submit, so a crash mid-way
+        // resumes the already-submitted jobs instead of double-paying
+        // for them; prompts never submitted stay cache-misses and
+        // respool on the next clean run
         java.nio.file.Files.createDirectories(jobsFile.getParent)
-        java.nio.file.Files.write(jobsFile, mapper.writeValueAsBytes(arr))
-        ids
+        val ids = scala.collection.mutable.ArrayBuffer[String]()
+        files.foreach { f =>
+          ids += client.submit(f)
+          val arr = mapper.createArrayNode()
+          ids.foreach(arr.add)
+          java.nio.file.Files.write(jobsFile, mapper.writeValueAsBytes(arr))
+        }
+        ids.toSeq
       }
 
     // poll every job to completion (reference: every 5 min; tests tune)

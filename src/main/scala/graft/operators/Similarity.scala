@@ -260,9 +260,12 @@ object Similarity {
   /** ANN top-k: candidates restricted to the query's LSH bucket (plus all
     * hamming-1 neighbor buckets — multi-probe, which multiplies recall at
     * the cost of `planes` extra probe rows per QUERY, not per corpus row),
-    * ranked by exact cosine within the probed buckets. Each corpus row is
-    * hashed once and shuffled once on the bucket id; recall < 1 by
+    * ranked by exact cosine within the probed buckets. Recall < 1 by
     * construction (asserted against the exact baseline in SimilaritySpec).
+    *
+    * Id contract: like [[bruteForceTopK]], ids are cast to long for the
+    * primitive kernel — numeric ids only (string-keyed corpora should
+    * carry a surrogate long, standard practice for vector indexes).
     */
   def annTopK(
       corpus: DataFrame,

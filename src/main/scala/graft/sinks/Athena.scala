@@ -55,6 +55,8 @@ object Athena {
   ): String = {
     require(dbName.matches("[A-Za-z0-9_]+"),
       s"invalid Athena table name: $dbName") // selection.py:80-84 guard
+    require(dbName.contains("__"),
+      s"Athena table name must be {study}__{table}, got: $dbName")
     val Array(study, table) = dbName.split("__", 2)
     val location = s"$workgroupResults/$study/${table}_v$version/"
     client.execute(s"DROP TABLE IF EXISTS $dbName")

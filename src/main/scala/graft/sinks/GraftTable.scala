@@ -114,6 +114,12 @@ final class GraftTable(
   def readVersion(version: Int): DataFrame =
     if (Files.exists(manifestFile(version)))
       spark.read.parquet(bucketDirs(version): _*)
+    else if (Files.exists(layoutFile))
+      // bucketed table without this version's manifest: the version dir
+      // (if still present) holds only the buckets THAT version rewrote,
+      // not the full snapshot — never fall back to a partial read
+      throw new IllegalArgumentException(
+        s"version $version of bucketed table $path is gone (vacuumed?)")
     else {
       val dir = Paths.get(path, s"v$version")
       if (!Files.exists(dir))
@@ -160,16 +166,26 @@ final class GraftTable(
     if (exists) {
       if (!bucketed)
         publish(MergeOps.deleteByIds(read(), spec.keys.head, ids))
-      else {
+      else if (spec.keys.length > 1) {
+        // a single id column can't locate buckets keyed on a composite
+        // hash — process every bucket (correctness over incrementality)
+        publishBuckets(
+          MergeOps.deleteByIds(read(), spec.keys.head, ids),
+          carryFrom = Map.empty)
+      } else {
         val v = currentVersion.get
         val prev = manifest(v)
         val idCol = ids.columns.head
-        val touched = ids
-          .select(pmod(xxhash64(col(idCol)), lit(effectiveBuckets))
-            .cast("int").as("__b"))
+        // hash EXACTLY as bucketCol does: same column name and same
+        // type as the table key, else the probe lands in wrong buckets
+        val keyType = read().schema(spec.keys.head).dataType
+        val keyed = ids.select(
+          col(idCol).cast(keyType).as(spec.keys.head))
+        val touched = keyed
+          .select(bucketCol.cast("int").as("__b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val remaining = MergeOps.deleteByIds(
-          readBuckets(prev, touched), spec.keys.head, ids)
+          readBuckets(prev, touched), spec.keys.head, keyed)
         publishBuckets(remaining, carryFrom = prev -- touched)
       }
     }

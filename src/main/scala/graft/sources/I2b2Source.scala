@@ -323,7 +323,10 @@ object I2b2Source {
     * stage them as NDJSON under `outDir` — after which the normal
     * NDJSON pipeline is format-agnostic, exactly like the reference.
     * Both Observation sources (labs + vitals) land in the same staged
-    * file set. Returns the detected resource types.
+    * file set; their ids are str(INSTANCE_NUM) like the reference
+    * (transform.py:136,177), so an instance number shared across the
+    * two fact views collapses at the ETL's id dedup — reference-
+    * identical behavior. Returns the detected resource types.
     */
   def loadToNdjson(spark: SparkSession, i2b2Dir: String,
       outDir: String): Set[String] = {

@@ -15,15 +15,18 @@ import org.apache.spark.sql.types.StructType
   */
 object NdjsonSource {
 
-  /** Detect which resource types exist in a directory by sampling the
-    * first line of each .ndjson file — driver-side planning (S2), cheap
-    * because it never reads past line 1.
+  /** Per-resource file map: each file typed by its first row's
+    * resourceType (the reference's per-file detection,
+    * loaders/fhir/ndjson_loader.py:31-38) — driver-side planning (S2),
+    * cheap because it never reads past line 1. File lists come back
+    * name-sorted (export append order).
     */
-  def detectResources(spark: SparkSession, dir: String): Set[String] = {
+  def detectResourceFiles(
+      spark: SparkSession, dir: String): Map[String, Seq[String]] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(path)) return Set.empty
+    if (!fs.exists(path)) return Map.empty
     val files = fs.listStatus(path).toSeq
       .filter(s => s.isFile && (s.getPath.getName.endsWith(".ndjson") ||
         s.getPath.getName.endsWith(".jsonl")))
@@ -34,11 +37,15 @@ object NdjsonSource {
           new java.io.InputStreamReader(in, "UTF-8"))
         Option(reader.readLine()).flatMap { line =>
           "\"resourceType\"\\s*:\\s*\"([A-Za-z]+)\"".r
-            .findFirstMatchIn(line).map(_.group(1))
+            .findFirstMatchIn(line).map(_.group(1) -> s.getPath.toString)
         }
       } finally in.close()
-    }.toSet
+    }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
   }
+
+  /** Detect which resource types exist in a directory. */
+  def detectResources(spark: SparkSession, dir: String): Set[String] =
+    detectResourceFiles(spark, dir).keySet
 
   /** List the NDJSON-bearing files of a dir (both .ndjson and .jsonl,
     * matching what [[detectResources]] accepts), sorted by name — the
@@ -71,7 +78,12 @@ object NdjsonSource {
       widen: Boolean = false,
       widenSamplingRatio: Double = 1.0
   ): DataFrame = {
-    val files = listResourceFiles(spark, dir)
+    // only the files DETECTED as this resource type (per-file first-line
+    // typing, like the reference): a 20-task run scans each file once
+    // for its own task, not once per task — and the widening inference
+    // pass below sees only this type's data
+    val files = detectResourceFiles(spark, dir)
+      .getOrElse(resourceType, Nil)
     // "wide schema, widened by observed rows" (SURVEY §1.2, the
     // reference's cfs.pyarrow_schema_from_rows): the catalog schema is
     // authoritative on types, but fields the export nests DEEPER than

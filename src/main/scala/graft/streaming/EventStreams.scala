@@ -68,11 +68,6 @@ object EventStreams {
   final case class SessionState(count: Long, lastTs: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long)
 
-  /** flatMapGroupsWithState-based session counter — the
-    * KeyValueGroupedDataset custom-state surface (§2.10): counts
-    * per-user sessions with a 30-minute gap, emitting on timeout. Used
-    * by StreamingSpec to prove parity with [[sessionAgg]].
-    */
   /** Streaming exact dedup: drop key-duplicates within the watermark
     * horizon (`dropDuplicatesWithinWatermark` — state is bounded by the
     * lateness window instead of growing forever, which is the only
@@ -90,6 +85,11 @@ object EventStreams {
       .withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** flatMapGroupsWithState-based session counter — the
+    * KeyValueGroupedDataset custom-state surface (§2.10): counts
+    * per-user sessions with a 30-minute gap, emitting on timeout. Used
+    * by StreamingSpec to prove parity with [[sessionAgg]].
+    */
   def statefulSessionCount(
       events: Dataset[Event],
       gapMinutes: Long = 30

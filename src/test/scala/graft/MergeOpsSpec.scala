@@ -105,6 +105,22 @@ class MergeOpsSpec extends SparkSpecBase {
       .toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
     assert(liveDirs.length === 1)
+    // vacuumed historical versions must THROW, never return a partial
+    // bucket snapshot via a manifest-less fallback
+    intercept[IllegalArgumentException] { t.readVersion(1) }
+  }
+
+  test("bucketed table: multi-key spec deletes fall back to all buckets") {
+    import graft.sinks.GraftTable
+    val dir = java.nio.file.Files.createTempDirectory("bucketed2").toString
+    val t = GraftTable.bucketed(spark, dir,
+      MergeOps.MergeSpec(Seq("k1", "k2")), buckets = 4)
+    t.merge((1 to 50).map(i => (s"a$i", s"b$i", i)).toDF("k1", "k2", "v"))
+    // id list names k1 values only — bucket hash is over (k1, k2), so
+    // the single-column probe can't locate buckets; correctness path
+    t.deleteIds(Seq("a7", "a9").toDF("id"))
+    assert(t.read().count() === 48)
+    assert(t.read().filter(col("k1") === "a7").isEmpty)
   }
 
   test("dedupLastWins keeps the last occurrence per key") {

@@ -339,6 +339,21 @@ class ScrubberSpec extends SparkSpecBase {
     assert(!sr.schema.fieldNames.contains("patientInstruction"))
   }
 
+  test("leaf rule on a struct-typed field drops it instead of leaking") {
+    // onset[x] struct forms carry nested extensions; a mis-paired leaf
+    // rule must never pass the struct through verbatim
+    val rows = Seq(
+      """{"resourceType":"AllergyIntolerance","id":"a1","type":"allergy","patient":{"reference":"Patient/p1"},"onsetPeriod":{"start":"2020-01-02","extension":[{"url":"http://example.com/raw","valueString":"Jane Doe"}]}}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "AllergyIntolerance", cb).head()
+    // Period policy applies: start kept, unknown nested extension gone
+    val onset = out.getAs[org.apache.spark.sql.Row]("onsetPeriod")
+    assert(onset.getAs[String]("start") === "2020-01-02")
+    assert(!onset.schema.fieldNames.contains("extension") ||
+      onset.getAs[Any]("extension") == null)
+  }
+
   test("export log parsing extracts group and transaction time") {
     val dir = java.nio.file.Files.createTempDirectory("log").toString
     val log = java.nio.file.Paths.get(dir, "log.ndjson")
