@@ -57,7 +57,10 @@ object Convert {
       spec: MergeSpec
   ): Long = {
     import spark.implicits._
-    val target = GraftTable(spark, s"$targetDir/$table", spec)
+    // same bucketed layout the ETL writes (an existing layout-less
+    // table stays legacy — GraftTable never reinterprets on-disk data)
+    val target = GraftTable.bucketed(spark, s"$targetDir/$table", spec,
+      EtlPipeline.ResourceTableBuckets)
     listBatches(sourceTableDir, table).foreach { batch =>
       val rows = spark.read.json(batch.dataPath)
       target.merge(rows)

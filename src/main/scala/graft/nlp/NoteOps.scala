@@ -178,6 +178,33 @@ object NoteOps {
     * hash is exact-uniform and distributed; TakeOrdered keeps it
     * top-n-cheap).
     */
+  /** O2: chart-review note ordering (upload_notes/cli.py:176-202) —
+    * three stable sorts expressed as window minimums: notes sort by
+    * date (nulls last), then group by each encounter's FIRST appearance
+    * in that date order, then by each patient's first appearance, so a
+    * reviewer reads encounters and patients chronologically. One rank
+    * column per grouping level, no driver-side index maps.
+    */
+  def chartReviewOrder(
+      df: DataFrame,
+      patientCol: String,
+      encounterCol: String,
+      dateCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // date order with nulls last = (isNull, date) ascending
+    val dateKey = struct(col(dateCol).isNull.as("n"), col(dateCol).as("d"))
+    val encFirst = min(dateKey)
+      .over(Window.partitionBy(col(encounterCol)))
+    val patFirst = min(dateKey)
+      .over(Window.partitionBy(col(patientCol)))
+    df.withColumn("__ef", encFirst)
+      .withColumn("__pf", patFirst)
+      .orderBy(col("__pf"), col(patientCol), col("__ef"),
+        col(encounterCol), col(dateCol).asc_nulls_last)
+      .drop("__ef", "__pf")
+  }
+
   def sampleNotes(df: DataFrame, n: Int, seed: Long): DataFrame =
     df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
       .limit(n)

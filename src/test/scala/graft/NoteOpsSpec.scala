@@ -106,6 +106,23 @@ class NoteOpsSpec extends SparkSpecBase {
     assert(out("enc2").getAs[String]("merged_text") === "solo")
   }
 
+  test("chartReviewOrder: patients then encounters by first appearance") {
+    // p2's earliest note (day 1) predates p1's (day 2), so p2 reads
+    // first despite p1 sorting lexicographically earlier; within p1,
+    // encB appears (day 2) before encA (day 3); dateless notes last
+    val notes = Seq(
+      ("p1", "encA", "2021-01-03", "n4"),
+      ("p1", "encB", "2021-01-02", "n2"),
+      ("p1", "encB", "2021-01-04", "n3"),
+      ("p2", "encC", "2021-01-01", "n1"),
+      ("p2", "encC", null, "n5")
+    ).toDF("patient_id", "encounter_id", "date", "note_id")
+    val ordered = NoteOps
+      .chartReviewOrder(notes, "patient_id", "encounter_id", "date")
+      .select("note_id").collect().map(_.getString(0)).toSeq
+    assert(ordered === Seq("n1", "n5", "n2", "n3", "n4"))
+  }
+
   test("sampleNotes is seeded-deterministic and uniform-ish") {
     val df = spark.range(1000).toDF("id")
     val s1 = NoteOps.sampleNotes(df, 50, seed = 7)
