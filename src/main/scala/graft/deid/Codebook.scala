@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   * becomes a side-output DataFrame ([[mappingTable]]) the caller persists,
   * instead of mutated shared state (SURVEY §7.4 risk 3).
   */
-final case class Codebook(codebookId: String, saltHex: String) {
+final case class Codebook(
+    codebookId: String,
+    saltHex: String,
+    /** Legacy random (pre-hash) mappings per resource type, loaded from
+      * codebook.json extra sections ("Patient": {real → fake}, …) — the
+      * reference keeps honoring these so existing de-identified data
+      * stays linkable (codebook.py:180-186 "only BCH is using this").
+      */
+    legacy: Map[String, Map[String, String]] = Map.empty
+) {
 
   def salt: Array[Byte] =
     saltHex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
@@ -27,9 +36,30 @@ final case class Codebook(codebookId: String, saltHex: String) {
   /** F1: fake ID for an id column — pure keyed hash, any resource type. */
   def fakeId(id: Column): Column = HmacSha256Hex(salt, id)
 
-  /** F2: anonymize "Type/id" reference strings. */
-  def anonRef(ref: Column): Column =
-    graft.functions.DeidFunctions.anonRef(salt, ref)
+  /** F1 with the reference's full lookup order for a known resource
+    * type: legacy cached mapping first (broadcast literal map), hash
+    * fallback (codebook.py:165-202 _preserved_resource_hash).
+    */
+  def fakeIdFor(resourceType: String, id: Column): Column =
+    legacy.get(resourceType).filter(_.nonEmpty) match {
+      case Some(m) => coalesce(element_at(typedlit(m), id), fakeId(id))
+      case None => fakeId(id)
+    }
+
+  /** F2: anonymize "Type/id" reference strings; types with legacy
+    * mappings consult them first, like direct ids.
+    */
+  def anonRef(ref: Column): Column = {
+    val base = graft.functions.DeidFunctions.anonRef(salt, ref)
+    legacy.filter(_._2.nonEmpty).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (acc, (t, m)) =>
+        val bare = substring_index(ref, "/", -1)
+        val mapped = element_at(typedlit(m), bare)
+        when(ref.startsWith(s"$t/") && mapped.isNotNull,
+          concat(lit(s"$t/"), mapped))
+          .otherwise(acc)
+      }
+  }
 
   /** Reversibility side-output for Patient/Encounter: the distinct
     * (resourceType, realId, fakeId) mapping rows this batch produced.
@@ -41,7 +71,7 @@ final case class Codebook(codebookId: String, saltHex: String) {
     df.select(
         lit(resourceType).as("resource_type"),
         col(idCol).as("real_id"),
-        fakeId(col(idCol)).as("fake_id")
+        fakeIdFor(resourceType, col(idCol)).as("fake_id")
       )
       .distinct()
 }
@@ -60,8 +90,22 @@ object Codebook {
     val path = Paths.get(dir, "codebook.json")
     if (Files.exists(path)) {
       val node = mapper.readTree(Files.readAllBytes(path))
-      Codebook(node.get("codebook_id").asText(),
-        node.get("id_salt").asText())
+      // extra object-valued sections are legacy per-type id mappings
+      // (the reference's old random-id storage, honored forever)
+      val legacy = scala.collection.mutable.Map[String, Map[String, String]]()
+      node.fields().forEachRemaining { e =>
+        if (e.getValue.isObject) {
+          val m = scala.collection.mutable.Map[String, String]()
+          e.getValue.fields().forEachRemaining { f =>
+            m(f.getKey) = f.getValue.asText()
+          }
+          legacy(e.getKey) = m.toMap
+        }
+      }
+      Codebook(
+        Option(node.get("codebook_id")).map(_.asText()).getOrElse(""),
+        node.get("id_salt").asText(),
+        legacy.toMap)
     } else {
       val bytes = new Array[Byte](32)
       new SecureRandom().nextBytes(bytes)

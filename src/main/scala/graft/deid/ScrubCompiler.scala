@@ -44,7 +44,7 @@ object ScrubCompiler {
       nlpMode: Boolean = false,
       philterEnabled: Boolean = false
   ): DataFrame = {
-    val ctx = Ctx(policy, codebook, nlpMode, philterEnabled)
+    val ctx = Ctx(policy, codebook, nlpMode, philterEnabled, resourceType)
     val node = compileStruct(resourceType, df.schema, ctx)
     val rowCol = struct(df.columns.map(col): _*)
     df.filter(col("resourceType") === lit(resourceType))
@@ -87,7 +87,10 @@ object ScrubCompiler {
       policy: ScrubPolicy,
       codebook: Codebook,
       nlpMode: Boolean,
-      philterEnabled: Boolean
+      philterEnabled: Boolean,
+      /** top-level resource type: anon-id consults its legacy mapping
+        * (the reference passes resource_type into fake_id) */
+      rootType: String
   )
 
   private val DarUrl =
@@ -403,7 +406,8 @@ object ScrubCompiler {
           else cleaned
       case Year => c => DeidFunctions.yearOf(DeidFunctions.cleanString(c))
       case Zip => c => DeidFunctions.zipGeneralize(DeidFunctions.cleanString(c))
-      case AnonId => c => ctx.codebook.fakeId(DeidFunctions.cleanString(c))
+      case AnonId =>
+        c => ctx.codebook.fakeIdFor(ctx.rootType, DeidFunctions.cleanString(c))
       case AnonRef => c => ctx.codebook.anonRef(DeidFunctions.cleanString(c))
       case Mask => _ => lit(null).cast(dt)
       case MaskNote =>

@@ -1,0 +1,83 @@
+package graft
+
+import graft.deid.{Codebook, ScrubCompiler}
+import graft.sources.NdjsonSource
+import org.apache.spark.sql.functions._
+
+/** Cross-validation against the REFERENCE's own golden fixtures
+  * (SURVEY §7.2: "same salt ⇒ byte-identical fake IDs"): scrub the
+  * reference's `tests/data/simple/input` under its pinned codebook and
+  * compare the identifier mappings with its checked-in `output/` —
+  * covering the HMAC formula, the legacy random-mapping lookup order,
+  * and reference rewriting, end to end. (Whole-tree byte equality is
+  * NOT asserted: the reference generated those goldens with its full
+  * philter — POS-tagging included — where this engine ships the regex
+  * subset by design.)
+  */
+class ReferenceCompatSpec extends SparkSpecBase {
+
+  private val refData = "/root/reference/tests/data/simple"
+  private def available: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(refData))
+
+  private def outIds(table: String): Set[String] =
+    spark.read.json(s"$refData/output/$table/$table.000.ndjson")
+      .select("id").collect().map(_.getString(0)).toSet
+
+  test("non-legacy resource ids hash to the reference's exact output ids") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    val in = NdjsonSource.readResource(spark, s"$refData/input", "Condition")
+    val ours = ScrubCompiler.scrub(in, "Condition", cb)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ours === outIds("condition"))
+  }
+
+  test("legacy codebook mappings reproduce the reference's patient ids") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    // the fixture codebook carries pre-hash random UUID mappings; the
+    // reference (and we) must keep honoring them over the hash
+    val in = NdjsonSource.readResource(spark, s"$refData/input", "Patient")
+    val ours = ScrubCompiler.scrub(in, "Patient", cb)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ours === outIds("patient"))
+    assert(ours.exists(_.contains("-"))) // really the UUID forms
+  }
+
+  test("reference rewriting consults legacy mappings for Patient refs") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    val in = NdjsonSource.readResource(spark, s"$refData/input", "Condition")
+    val ourRefs = ScrubCompiler.scrub(in, "Condition", cb)
+      .select(col("subject.reference")).collect()
+      .map(_.getString(0)).toSet
+    val goldenRefs = spark.read
+      .json(s"$refData/output/condition/condition.000.ndjson")
+      .select(col("subject.reference")).collect()
+      .map(_.getString(0)).toSet
+    assert(ourRefs === goldenRefs)
+  }
+
+  test("scalar generalizations match the reference's patient output") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    val in = NdjsonSource.readResource(spark, s"$refData/input", "Patient")
+    val ours = ScrubCompiler.scrub(in, "Patient", cb)
+      .select(col("id"), col("birthDate"),
+        col("address")(0).getField("postalCode").as("zip"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    val golden = spark.read
+      .json(s"$refData/output/patient/patient.000.ndjson")
+      .select(col("id"), col("birthDate"),
+        col("address")(0).getField("postalCode").as("zip"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    golden.foreach { case (id, (bd, zip)) =>
+      assert(ours.contains(id), s"missing $id")
+      assert(ours(id)._1 === bd, s"birthDate for $id")
+      assert(ours(id)._2 === zip, s"zip for $id")
+    }
+  }
+}
