@@ -273,7 +273,17 @@ object ScrubCompiler {
     rules.get(field.name) match {
       case None => None
       case Some(rule) if isExtension =>
-        Some(compileExtensions(field, isModifier, ctx))
+        // nested extensions of an allow-listed extension skip the url
+        // filter (reference: inside_extension=True, scrubber.py:296-303)
+        Some(compileExtensions(field, isModifier, ctx,
+          insideExtension = parentType == "Extension"))
+      case Some(Contained) =>
+        field.dataType match {
+          case ArrayType(st: StructType, _)
+              if st.fieldNames.contains("resourceType") =>
+            Some(arrayNode(containedNode(st, ctx)))
+          case _ => None // no resourceType discriminator → can't dispatch
+        }
       case Some(CheckSystem(inner)) =>
         // guard input is rewired at the struct level (sibling access);
         // here compile the post-check leaf action
@@ -320,6 +330,72 @@ object ScrubCompiler {
     case _ => true
   }
 
+  /** Contained-resource element: scrub under the element's OWN
+    * resourceType policy (reference `contained = "Resource"` action,
+    * scrubber.py:117-129 via _scrub_resource_node). The element column
+    * must have ONE static type, so the output struct is the union of
+    * fields any candidate type allows, and each member is gated on the
+    * resourceTypes whose policy allows it (base Resource fields pass
+    * for every type — unknown types keep ONLY those, like the
+    * reference's fallback to the basic Resource config). When several
+    * candidate types allow a field, the first (sorted) type's
+    * compilation applies — policies for a shared field name agree in
+    * practice (they mirror one FHIR element definition).
+    */
+  private def containedNode(st: StructType, ctx: Ctx): Node = {
+    val base = ctx.policy.resolve("Resource")
+    val candidates = ctx.policy.resourceTypeNames.toSeq.sorted
+    val perField: Seq[(StructField, Seq[String], Node)] =
+      st.fields.toSeq.flatMap { f =>
+        val typesAllowing = candidates.filter(t =>
+          ctx.policy.resolve(t).contains(f.name))
+        val inBase = base.contains(f.name)
+        if (!inBase && typesAllowing.isEmpty) None
+        else {
+          // first candidate whose rule COMPILES for this field's shape
+          // (a type declaring a scalar rule where the data is a struct
+          // compiles to None — try the next; policies that agree with
+          // the data shape agree with each other in practice)
+          val canonicals =
+            if (inBase) Seq("Resource") else typesAllowing
+          val node = canonicals.iterator
+            .map(t => compileField(t, f, ctx.policy.resolve(t), ctx))
+            .collectFirst { case Some(n) => n }
+          node.map { n =>
+            // base fields apply to every contained type; others only
+            // when the element's resourceType policy allows them
+            val gate = if (inBase) Nil else typesAllowing
+            (f, gate, n)
+          }
+        }
+      }
+    val project: Column => Column = { input =>
+      if (perField.isEmpty) lit(null)
+      else {
+        val rt = input.getField("resourceType")
+        val members = perField.map { case (f, gate, n) =>
+          val v = n.project(input.getField(f.name))
+          (if (gate.isEmpty) v
+           else when(rt.isin(gate: _*), v)).as(f.name)
+        }
+        val anyInputSet = perField
+          .map { case (f, _, _) => input.getField(f.name).isNotNull }
+          .reduce(_ || _)
+        when(input.isNull || !anyInputSet, lit(null))
+          .otherwise(struct(members: _*))
+      }
+    }
+    val reject: Column => Column = { input =>
+      val rt = input.getField("resourceType")
+      val rejects = perField.map { case (f, gate, n) =>
+        val r = input.isNotNull && n.reject(input.getField(f.name))
+        if (gate.isEmpty) r else rt.isin(gate: _*) && r
+      }
+      if (rejects.isEmpty) lit(false) else rejects.reduce(_ || _)
+    }
+    Node(project, reject)
+  }
+
   /** Conditional sub-schema wrapper (scrubber.py:141-144): the node is
     * kept only when every condition field's value is in its allowed set;
     * non-matching nodes are silently dropped (SkipValue), and their
@@ -351,7 +427,8 @@ object ScrubCompiler {
   private def compileExtensions(
       field: StructField,
       isModifier: Boolean,
-      ctx: Ctx
+      ctx: Ctx,
+      insideExtension: Boolean = false
   ): Node = {
     val allowed =
       if (isModifier) ctx.policy.allowedModifierExtensions
@@ -361,15 +438,17 @@ object ScrubCompiler {
       case ArrayType(st: StructType, _) =>
         val elem = compileStruct("Extension", st, ctx)
         val project: Column => Column = { arr =>
-          val kept = filter(arr,
-            e => array_contains(allowedArr, e.getField("url")))
+          val kept =
+            if (insideExtension) arr
+            else filter(arr,
+              e => array_contains(allowedArr, e.getField("url")))
           val projected = transform(kept, e => elem.project(e))
           val nonNull = filter(projected, x => x.isNotNull)
           when(arr.isNull || size(nonNull) === 0, lit(null))
             .otherwise(nonNull)
         }
         val reject: Column => Column = { arr =>
-          if (isModifier)
+          if (isModifier && !insideExtension)
             arr.isNotNull && exists(arr,
               e => !array_contains(allowedArr, e.getField("url")))
           else lit(false)
@@ -414,6 +493,7 @@ object ScrubCompiler {
         if (ctx.nlpMode) c => c else _ => lit(null).cast(dt)
       case CheckSystem(inner) =>
         leafNode(inner, dt, ctx).project // unwrapped in compileField
+      case Contained => c => c // unreachable; handled in compileField
       case TypeRef(_, _) => c => c // unreachable; handled in compileField
     }
     Node(project, noReject)

@@ -44,6 +44,13 @@ object Rule {
     */
   final case class CheckSystem(inner: Rule) extends Rule
 
+  /** contained resources (scrub-rules `contained = "Resource"`): each
+    * element is scrubbed under ITS OWN resourceType's policy, falling
+    * back to the base Resource policy for types the allow-list doesn't
+    * know (reference: _scrub_resource_node, scrubber.py:117-129)
+    */
+  case object Contained extends Rule
+
   /** descend using the named element type's policy; when `conditions`
     * is non-empty the node is kept only if each condition field's value
     * is in the allowed set (the reference's conditional sub-schemas,
@@ -76,6 +83,18 @@ final case class ScrubPolicy(
       case Some(p) =>
         p.extendsType.map(resolve).getOrElse(Map.empty) ++ p.fields
     }
+
+  /** Concrete resource types: policies whose `_extends` chain reaches
+    * Resource (used to dispatch contained elements by resourceType).
+    */
+  lazy val resourceTypeNames: Set[String] = {
+    def reachesResource(name: String): Boolean =
+      name == "Resource" || types.get(name).exists(
+        _.extendsType.exists(reachesResource))
+    types.keySet
+      .filter(t => t != "Resource" && t != "DomainResource" &&
+        reachesResource(t))
+  }
 }
 
 /** Default policy covering the engine's initial resource set. Field
@@ -112,12 +131,8 @@ object DefaultScrubPolicy {
         "language" -> Val
       )),
       "DomainResource" -> ElementPolicy(Some("Resource"), Map(
-        // text skipped, like the reference. `contained` (scrub-rules
-        // "Resource" action: recurse with each element's own type
-        // policy) is heterogeneous per element — unrepresentable in one
-        // static column type — so it is conservatively DROPPED here
-        // (absent column ⇒ no PHI can pass), a narrowing the reference
-        // doesn't make
+        // text skipped, like the reference
+        "contained" -> Contained,
         "extension" -> TypeRef("Extension"),
         "modifierExtension" -> TypeRef("Extension")
       )),
@@ -181,9 +196,10 @@ object DefaultScrubPolicy {
         "system" -> Val,
         "code" -> CheckSystem(Val)
       )),
+      // exactly the reference's Address section (scrub-rules.toml:24-29)
+      // — `use`/`type`/`city`/`line` are all skipped there, and a deid
+      // policy must never be WIDER than its source
       "Address" -> ElementPolicy(Some("Element"), Map(
-        "use" -> Val,
-        "type" -> Val,
         "state" -> Val,
         "postalCode" -> Zip,
         "country" -> Val
@@ -327,9 +343,23 @@ object DefaultScrubPolicy {
         "subject" -> Ref,
         "encounter" -> Ref,
         "onsetDateTime" -> Val,
+        "onsetAge" -> Qty,
+        "onsetPeriod" -> Per,
+        "onsetRange" -> TypeRef("Range"),
         "abatementDateTime" -> Val,
-        "recordedDate" -> Val
+        "abatementAge" -> Qty,
+        "abatementPeriod" -> Per,
+        "abatementRange" -> TypeRef("Range"),
+        "recordedDate" -> Val,
+        "recorder" -> Ref,
+        "asserter" -> Ref,
+        "stage" -> TypeRef("ConditionStage"),
+        "evidence" -> TypeRef("ConditionEvidence")
       )),
+      "ConditionStage" -> ElementPolicy(Some("BackboneElement"),
+        Map("summary" -> CC, "assessment" -> Ref, "type" -> CC)),
+      "ConditionEvidence" -> ElementPolicy(Some("BackboneElement"),
+        Map("code" -> CC, "detail" -> Ref)),
       "DocumentReference" -> ElementPolicy(Some("DomainResource"), Map(
         "status" -> Val,
         "docStatus" -> Val,
@@ -465,11 +495,44 @@ object DefaultScrubPolicy {
         "patient" -> Ref,
         "encounter" -> Ref,
         "occurrenceDateTime" -> Val,
+        "recorded" -> Val,
         "primarySource" -> Val,
+        "reportOrigin" -> CC,
+        "location" -> Ref,
+        "manufacturer" -> Ref,
+        "lotNumber" -> Val,
+        "expirationDate" -> Val,
         "site" -> CC,
         "route" -> CC,
-        "doseQuantity" -> TypeRef("Quantity")
+        "doseQuantity" -> Qty,
+        "performer" -> TypeRef("ImmunizationPerformer"),
+        "reasonCode" -> CC,
+        "reasonReference" -> Ref,
+        "isSubpotent" -> Val,
+        "subpotentReason" -> CC,
+        "education" -> TypeRef("ImmunizationEducation"),
+        "programEligibility" -> CC,
+        "fundingSource" -> CC,
+        "reaction" -> TypeRef("ImmunizationReaction"),
+        "protocolApplied" -> TypeRef("ImmunizationProtocolApplied")
       )),
+      "ImmunizationPerformer" -> ElementPolicy(Some("BackboneElement"),
+        Map("function" -> CC, "actor" -> Ref)),
+      "ImmunizationEducation" -> ElementPolicy(Some("BackboneElement"),
+        Map("documentType" -> Val, "publicationDate" -> Val,
+          "presentationDate" -> Val)),
+      "ImmunizationReaction" -> ElementPolicy(Some("BackboneElement"),
+        Map("date" -> Val, "detail" -> Ref, "reported" -> Val)),
+      "ImmunizationProtocolApplied" -> ElementPolicy(Some("BackboneElement"),
+        Map(
+          "series" -> Val,
+          "authority" -> Ref,
+          "targetDisease" -> CC,
+          "doseNumberPositiveInt" -> Val,
+          "doseNumberString" -> Val,
+          "seriesDosesPositiveInt" -> Val,
+          "seriesDosesString" -> Val
+        )),
       "AllergyIntolerance" -> ElementPolicy(Some("DomainResource"), Map(
         "clinicalStatus" -> CC,
         "verificationStatus" -> CC,
@@ -838,6 +901,10 @@ object DefaultScrubPolicy {
       // so primitive values pass (valueString "caution" comment kept) and
       // ids are pseudonymized
       "Extension" -> ElementPolicy(None, Map(
+        // complex extensions nest sub-extensions (us-core race/ethnicity
+        // ombCategory); once inside an allow-listed extension the url
+        // filter does NOT re-apply (scrubber.py inside_extension=True)
+        "extension" -> TypeRef("Extension"),
         "url" -> Val,
         "valueBase64Binary" -> Val,
         "valueBoolean" -> Val,

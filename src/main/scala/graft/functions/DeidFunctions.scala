@@ -45,21 +45,29 @@ object DeidFunctions {
   /** F11: content checksum for cache keys (nlp/utils.py:93-94). */
   def contentChecksum(c: Column): Column = sha2(c, 256)
 
-  /** F2: anonymize a FHIR reference string "Type/id" → "Type/hmac(id)";
-    * contained refs ("#id") keep their prefix with the bare id hashed;
-    * bare ids are hashed directly. reference: deid/scrubber.py:377-389,
-    * fhir/fhir_utils.py:26-72.
+  /** F2: anonymize a FHIR reference string "Type/id" → "Type/hmac(id)".
+    * The type/id split is on the FIRST '/' OR '?' (the reference's
+    * RELATIVE_SEPARATOR_REGEX, fhir/fhir_utils.py:13-14,68), so
+    * conditional references like "Practitioner?identifier=…" hash the
+    * whole search clause and re-emit as "Practitioner/{hash}" — exactly
+    * the reference's unref→ref round trip. Contained refs ("#id") keep
+    * their prefix with the bare id hashed; bare ids hash directly.
+    * reference: deid/scrubber.py:377-389.
     */
   def anonRef(salt: Array[Byte], ref: Column): Column = {
     val slash = instr(ref, "/")
-    val refType = substring_index(ref, "/", 1)
-    val bareId = ref.substr(slash + 1, length(ref))
+    val question = instr(ref, "?")
+    val sep = when(
+      question > 0 && (slash === 0 || question < slash), question)
+      .otherwise(slash)
+    val refType = ref.substr(lit(1), sep - 1)
+    val bareId = ref.substr(sep + 1, length(ref))
     when(ref.isNull, lit(null))
       .when(
         ref.startsWith("#"),
         concat(lit("#"), HmacSha256Hex(salt, ref.substr(lit(2), length(ref))))
       )
-      .when(slash > 0, concat(refType, lit("/"), HmacSha256Hex(salt, bareId)))
+      .when(sep > 0, concat(refType, lit("/"), HmacSha256Hex(salt, bareId)))
       .otherwise(HmacSha256Hex(salt, ref))
   }
 

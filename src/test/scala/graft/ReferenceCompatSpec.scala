@@ -59,6 +59,70 @@ class ReferenceCompatSpec extends SparkSpecBase {
     assert(ourRefs === goldenRefs)
   }
 
+  test("id mappings match the reference's output for ALL 20 resource types") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    val tables = Seq(
+      "AllergyIntolerance", "Condition", "Device", "DiagnosticReport",
+      "DocumentReference", "Encounter", "EpisodeOfCare", "Immunization",
+      "Location", "Medication", "MedicationDispense", "MedicationRequest",
+      "Observation", "Organization", "Patient", "Practitioner",
+      "PractitionerRole", "Procedure", "ServiceRequest", "Specimen")
+    val mismatches = tables.flatMap { rt =>
+      val table = rt.toLowerCase
+      val in = NdjsonSource.readResource(spark, s"$refData/input", rt)
+      val ours = ScrubCompiler.scrub(in, rt, cb)
+        .select("id").collect().map(_.getString(0)).toSet
+      val golden = outIds(table)
+      if (ours == golden) None
+      else Some(s"$rt: ours=${ours.size} golden=${golden.size} " +
+        s"onlyOurs=${(ours -- golden).take(2)} " +
+        s"onlyGolden=${(golden -- ours).take(2)}")
+    }
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
+  }
+
+  test("rows are BYTE-IDENTICAL to the goldens outside philter-masked text") {
+    assume(available)
+    val cb = Codebook.loadOrCreate(refData)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.configure(com.fasterxml.jackson.databind.SerializationFeature
+      .ORDER_MAP_ENTRIES_BY_KEYS, true)
+    def canon(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.select(to_json(struct(df.columns.map(col): _*),
+          Map("ignoreNullFields" -> "true")).as("j"))
+        .collect().map { r =>
+          val node = mapper.readTree(r.getString(0))
+          node.get("id").asText() -> mapper.writeValueAsString(
+            mapper.treeToValue(node, classOf[Object]))
+        }.toMap
+    val tables = Seq(
+      "AllergyIntolerance", "Condition", "Device", "DiagnosticReport",
+      "DocumentReference", "Encounter", "EpisodeOfCare", "Immunization",
+      "Location", "Medication", "MedicationDispense", "MedicationRequest",
+      "Observation", "Organization", "Patient", "Practitioner",
+      "PractitionerRole", "Procedure", "ServiceRequest", "Specimen")
+    var checked = 0
+    val bad = tables.flatMap { rt =>
+      val ours = canon(ScrubCompiler.scrub(
+        NdjsonSource.readResource(spark, s"$refData/input", rt), rt, cb))
+      val golden = canon(spark.read.json(
+        s"$refData/output/${rt.toLowerCase}/${rt.toLowerCase}.000.ndjson"))
+      golden.flatMap { case (id, g) =>
+        // rows the reference's FULL philter (POS-based name masking,
+        // which this engine's regex subset deliberately omits) touched
+        // carry '**' runs — everything else must match byte-for-byte
+        if (g.contains("**")) None
+        else {
+          checked += 1
+          if (ours.get(id).contains(g)) None else Some(s"$rt/$id")
+        }
+      }
+    }
+    assert(bad.isEmpty, bad.mkString(", "))
+    assert(checked >= 30, s"only $checked rows compared") // 32 of 39
+  }
+
   test("scalar generalizations match the reference's patient output") {
     assume(available)
     val cb = Codebook.loadOrCreate(refData)
