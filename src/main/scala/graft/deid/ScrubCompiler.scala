@@ -496,6 +496,16 @@ object ScrubCompiler {
       case Contained => c => c // unreachable; handled in compileField
       case TypeRef(_, _) => c => c // unreachable; handled in compileField
     }
-    Node(project, noReject)
+    // absolute/URN references are unsupported by the reference's parser
+    // (fhir_utils.py:65 RELATIVE_REFERENCE_REGEX; "FIXME: Support
+    // absolute resources") — the ValueError rejects the whole resource
+    // (scrubber.py unparsable value → row dropped)
+    val reject: Column => Column = rule match {
+      case AnonRef =>
+        c => c.isNotNull &&
+          (c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://") || c.startsWith("urn:"))
+      case _ => noReject
+    }
+    Node(project, reject)
   }
 }

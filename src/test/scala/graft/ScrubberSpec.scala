@@ -354,6 +354,18 @@ class ScrubberSpec extends SparkSpecBase {
       onset.getAs[Any]("extension") == null)
   }
 
+  test("absolute and urn references reject the resource, like the reference") {
+    val rows = Seq(
+      """{"resourceType":"Condition","id":"c1","subject":{"reference":"http://external.example.com/fhir/Patient/123"}}""",
+      """{"resourceType":"Condition","id":"c2","subject":{"reference":"urn:uuid:0e678f0a-3a6c-4a04-ac5a-0d3a0c5a0d3a"}}""",
+      """{"resourceType":"Condition","id":"c3","subject":{"reference":"Patient/p1"}}"""
+    )
+    val out = ScrubCompiler.scrub(spark.read.json(rows.toDS()),
+      "Condition", cb)
+    assert(out.count() === 1)
+    assert(out.head().getAs[String]("id") === hashOf("c3"))
+  }
+
   test("export log parsing extracts group and transaction time") {
     val dir = java.nio.file.Files.createTempDirectory("log").toString
     val log = java.nio.file.Paths.get(dir, "log.ndjson")
