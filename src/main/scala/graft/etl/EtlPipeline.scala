@@ -90,7 +90,10 @@ object EtlPipeline {
       philterEnabled: Boolean = false
   ): Seq[TaskResult] = {
     val codebook = Codebook.loadOrCreate(phiDir)
-    val available = NdjsonSource.detectResources(spark, inputDir)
+    // ONE detection pass (first line of each file) feeds resource
+    // reconciliation AND every task's file list
+    val filesByType = NdjsonSource.detectResourceFiles(spark, inputDir)
+    val available = filesByType.keySet
     JobConfig.write(outputDir, Map(
       "input_dir" -> inputDir,
       "group_name" -> groupName,
@@ -103,7 +106,8 @@ object EtlPipeline {
       if (!available.contains(task.resourceType)) {
         TaskResult(task.tableName, attempted = false, rows = 0)
       } else {
-        val raw = NdjsonSource.readResource(spark, inputDir,
+        val raw = NdjsonSource.readResourceFiles(spark,
+          filesByType.getOrElse(task.resourceType, Nil),
           task.resourceType,
           graft.fhir.FhirSchemas.forResource(task.resourceType),
           widen = true)

@@ -84,6 +84,22 @@ object NdjsonSource {
     // pass below sees only this type's data
     val files = detectResourceFiles(spark, dir)
       .getOrElse(resourceType, Nil)
+    readResourceFiles(spark, files, resourceType, schema, widen,
+      widenSamplingRatio)
+  }
+
+  /** Same as [[readResource]] with a pre-detected file list — callers
+    * that already ran [[detectResourceFiles]] (the ETL driver does it
+    * once per run) avoid re-opening every file's first line per task.
+    */
+  def readResourceFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      resourceType: String,
+      schema: Option[StructType] = None,
+      widen: Boolean = false,
+      widenSamplingRatio: Double = 1.0
+  ): DataFrame = {
     // "wide schema, widened by observed rows" (SURVEY §1.2, the
     // reference's cfs.pyarrow_schema_from_rows): the catalog schema is
     // authoritative on types, but fields the export nests DEEPER than
