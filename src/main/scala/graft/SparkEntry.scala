@@ -41,6 +41,9 @@ object SparkEntry {
     "q26_simhash_pairs" -> (TextQueries.qSimHashPairs _),
     "q27_ngram_jaccard" -> (TextQueries.qNgramJaccard _),
     "q28_fingerprint" -> (TextQueries.qFingerprint _),
+    "q29_winnow_fp" -> (TextQueries.qWinnowFp _),
+    "q35_simhash_md5" -> (TextQueries.qSimHashMd5 _),
+    "q36_band_pairs" -> (TextQueries.qBandPairs _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
     "q34_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
@@ -87,6 +90,9 @@ object SparkEntry {
     "q23_doc_quality" -> TextQueries.qDocQualitySql,
     "q24_minhash_sig" -> TextQueries.qMinHashSigSql,
     "q27_ngram_jaccard" -> TextQueries.qNgramJaccardSql,
+    "q29_winnow_fp" -> TextQueries.qWinnowFpSql,
+    "q35_simhash_md5" -> TextQueries.qSimHashMd5Sql,
+    "q36_band_pairs" -> TextQueries.qBandPairsSql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
     "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,

@@ -106,6 +106,88 @@ object TextFunctions {
       )
     ).cast("long")
 
+  // --- md5 shingle-hash kernels ------------------------------------------
+
+  /** Word 3-grams exactly as [[wordNgrams]] / the DuckDB oracles build
+    * them (`max(|toks|-2, 1)` shingles; empty text → one empty shingle),
+    * as a JVM array for the kernel paths below.
+    */
+  private def grams3(text: String): Array[String] = {
+    val t = if (text == null) "" else text.trim
+    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    val count = math.max(toks.length - 2, 1)
+    Array.tabulate(count)(i => toks.slice(i, i + 3).mkString(" "))
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 8-seed md5 minhash signature — the q24 family (`min md5("s:"+gram)`)
+    * as one primitive pass per document instead of 8 interpreted
+    * higher-order transforms. Oracle-identical: MessageDigest md5 is the
+    * same function DuckDB's `md5()` computes, and min over the multiset
+    * equals min over the distinct set.
+    */
+  val md5MinHash8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val gs = grams3(text)
+      val mins = Array.fill[String](8)(null)
+      var i = 0
+      while (i < gs.length) {
+        var s = 0
+        while (s < 8) {
+          val h = md5Hex(md, s.toString + ":" + gs(i))
+          if (mins(s) == null || h < mins(s)) mins(s) = h
+          s += 1
+        }
+        i += 1
+      }
+      mins.toSeq
+    }
+
+  /** 60-bit md5 SimHash (bit-majority over distinct 3-gram shingle
+    * hashes, hash = first 15 hex chars of md5 as a long) — one primitive
+    * pass per document; the oracle computes the identical family in SQL.
+    */
+  val md5SimHash60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.HashSet[String]()
+      val counts = new Array[Int](60)
+      val gs = grams3(text)
+      var i = 0
+      while (i < gs.length) {
+        if (seen.add(gs(i))) {
+          val hv = java.lang.Long.parseLong(md5Hex(md, gs(i)).substring(0, 15), 16)
+          var b = 0
+          while (b < 60) {
+            counts(b) += (if (((hv >> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 60) {
+        if (counts(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      sim
+    }
+
   // --- language ID -------------------------------------------------------
 
   /** Tiny per-language character-trigram profiles (hand-built from common

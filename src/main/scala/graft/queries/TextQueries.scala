@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions._
 import graft.operators.NearDedup
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table
@@ -214,7 +214,8 @@ object TextQueries {
       |FROM grams""".stripMargin
 
   /** q28 — per-doc fingerprint + heuristic language id (rows-only: both
-    * use engine-specific hashing/profiles; unit-tested in ScalaTest).
+    * use engine-specific hashing/profiles; unit-tested in ScalaTest; the
+    * oracle-exact winnowing variant is q29).
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -225,4 +226,161 @@ object TextQueries {
         langId(col("text")).as("lang_pred"),
         subwordCount(col("text")).as("n_subwords")
       )
+
+  /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
+    * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),
+    * giving hash-identical fingerprint/simhash oracles.
+    */
+  private def md5_60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q29 — winnowing document fingerprint (MOSS-style min-sampling over
+    * positional 3-gram hashes, window 4): the oracle-exact twin of q28's
+    * rolling-hash `fingerprint`. Sorted distinct window-minima joined to
+    * one signature string so the DuckDB hash compare is byte-stable.
+    */
+  def qWinnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(wordNgrams(col("text"), 3), g => md5_60(g))
+    val nw = greatest(size(hashes) - 3, lit(1))
+    val mins = transform(sequence(lit(0), nw - 1),
+      i => array_min(slice(hashes, i + 1, lit(4))))
+    val fp = array_sort(array_distinct(mins))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat_ws(":", transform(fp, x => x.cast("string"))).as("fp_sig"),
+      size(fp).cast("long").as("n_fp")
+    )
+  }
+
+  val qWinnowFpSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' ')) AS grams
+      |  FROM toks),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(grams, x ->
+      |      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(
+      |      list_transform(range(1, greatest(len(hv) - 3, 1) + 1),
+      |        i -> list_min(hv[i:i+3])))) AS fp
+      |  FROM h)
+      |SELECT doc_id, array_to_string(fp, ':') AS fp_sig,
+      |  CAST(len(fp) AS BIGINT) AS n_fp
+      |FROM w""".stripMargin
+
+  /** q35 — oracle-exact 60-bit SimHash signature: per bit, majority vote
+    * of ±1 over the distinct 3-gram shingle hashes (q26's fast FNV kernel
+    * is the scale path; this md5 family gets the DuckDB hash check).
+    * One primitive kernel pass per document — embarrassingly parallel,
+    * no shuffle at all.
+    */
+  def qSimHashMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5SimHash60Udf(col("text")).as("simhash"))
+
+  val qSimHashMd5Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+      |  FROM toks),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+      |bits AS (
+      |  SELECT doc_id, r.i AS i,
+      |    SUM(CASE WHEN (hv >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN range(0, 60) r(i)
+      |  GROUP BY doc_id, r.i)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+      |    AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** q36 — LSH banded candidate pairs over the q24 md5 minhash family
+    * (4 bands × 2 rows), oracle-exact end to end: the full
+    * signature → band → self-join → agreement pipeline that q25 runs
+    * with its fast FNV kernel. Only band-equal signatures meet in the
+    * join (cost ∝ Σ bucket², never O(n²)).
+    */
+  def qBandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val copies = docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // one kernel pass computes all 8 signature mins (NEVER localCheckpoint
+    // a frame like this: checkpoint materializes WITHOUT whole-stage
+    // codegen, so interpreted-expression sig variants went 0.3s → 28s)
+    val sigs = docs.unionByName(copies)
+      .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => col("sig")(i).as(s"mh_$i")): _*)
+    val bandArr = array((0 until 4).map { b =>
+      concat_ws("|", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band", "bv")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val agreement = (0 until 8).map { i =>
+      when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / lit(8.0)
+    cand
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), agreement.as("agreement"))
+  }
+
+  val qBandPairsSql: String = {
+    val mins = (0 until 8).map { s =>
+      s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
+    }.mkString(",\n      ")
+    s"""WITH input AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM input),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, [
+       |      $mins
+       |    ] AS sig
+       |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, r.i AS band,
+       |    sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
+       |  FROM sigs CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
+       |    AS DOUBLE) / 8.0 AS agreement
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = id_a
+       |JOIN sigs sb ON sb.doc_id = id_b""".stripMargin
+  }
 }
