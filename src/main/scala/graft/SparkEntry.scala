@@ -44,8 +44,11 @@ object SparkEntry {
     "q29_winnow_fp" -> (TextQueries.qWinnowFp _),
     "q35_simhash_md5" -> (TextQueries.qSimHashMd5 _),
     "q36_band_pairs" -> (TextQueries.qBandPairs _),
+    "q37_dedup_groups" -> (TextQueries.qDedupGroups _),
+    "q38_dedup_corpus" -> (TextQueries.qDedupCorpus _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
+    "q39_ivf_topk" -> (SimilarityQueries.qIvfTopK _),
     "q34_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _),
     "q40_deid_scalars" -> (DeidQueries.qDeidScalars _),
@@ -93,6 +96,8 @@ object SparkEntry {
     "q29_winnow_fp" -> TextQueries.qWinnowFpSql,
     "q35_simhash_md5" -> TextQueries.qSimHashMd5Sql,
     "q36_band_pairs" -> TextQueries.qBandPairsSql,
+    "q37_dedup_groups" -> TextQueries.qDedupGroupsSql,
+    "q38_dedup_corpus" -> TextQueries.qDedupCorpusSql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
     "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,

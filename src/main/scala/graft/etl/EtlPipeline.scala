@@ -115,9 +115,15 @@ object EtlPipeline {
         // reference prints at run end, persisted as a mergeable table)
         val census = ScrubCompiler.extensionCensus(raw,
           task.resourceType, policy)
-        if (!census.isEmpty)
+        // evaluate the census ONCE (it is small by definition: one row
+        // per distinct dropped-extension url) — `isEmpty` + `merge`
+        // would run the input aggregation twice
+        val censusRows = census.collect()
+        if (censusRows.nonEmpty)
           GraftTable(spark, s"$outputDir/etl__extension_census",
-            MergeSpec(Seq("resource_type", "url"))).merge(census)
+            MergeSpec(Seq("resource_type", "url"))).merge(
+            spark.createDataFrame(
+              java.util.Arrays.asList(censusRows: _*), census.schema))
         // A5: funnel metrics ride the merge action via observe() —
         // no extra jobs for the seen/scrubbed counts
         val readObs = org.apache.spark.sql.Observation()
@@ -143,7 +149,9 @@ object EtlPipeline {
 
         // bucketed incremental layout: re-runs merge only the key-hash
         // buckets their rows touch instead of rewriting the table
-        val table = GraftTable.bucketed(spark,
+        // (backend-pluggable: spark.graft.delta.enabled=true binds the
+        // same flow to Delta Lake when its jars are present)
+        val table = graft.sinks.MergeTable.open(spark,
           s"$outputDir/${task.tableName}", task.mergeSpec,
           buckets = ResourceTableBuckets)
         table.merge(deduped)
@@ -158,7 +166,7 @@ object EtlPipeline {
             MergeSpec(Seq("resource_type", "real_id"))).merge(mapping)
         }
 
-        val n = table.read().count()
+        val n = table.rowCount // footer metadata only — no table scan
         Completion.recordTable(spark, outputDir, task.tableName,
           groupName, exportTime)
         // J7: Encounter rows fan out into the per-encounter completion

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a pair/edge frame — the
+  * clustering stage of near-duplicate dedup (SURVEY §7.5): LSH banding
+  * (q25/q36) emits candidate PAIRS; deduplication needs GROUPS with one
+  * canonical survivor per group, i.e. the connected components of the
+  * pair graph, labeled by the minimum member id.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round does (a) a label exchange across edges (every node takes
+  * the min label in its neighborhood — one join + one partial-agg
+  * shuffle keyed on node id) and (b) a pointer-jumping shortcut
+  * (`comp := comp(comp)` — one self-join), which doubles label-path
+  * lengths per round, so convergence is O(log diameter) rounds rather
+  * than O(diameter). Everything is hash-partitioned equi-joins and
+  * partial aggregates — no driver-side state, no collect; the same
+  * shape published for MapReduce-style CC (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", two-phase star
+  * contractions) with the simpler label-propagation update, which is
+  * the right trade for LSH dedup graphs: components are band-bucket
+  * near-cliques, so diameters are tiny and most rounds are no-ops.
+  *
+  * Each iterate is localCheckpoint'ed: without truncation the logical
+  * plan doubles per round (the iterate appears twice in its own
+  * successor) and planning itself goes exponential. Checkpoint
+  * materialization skips codegen, but an iterate is two longs per
+  * node — the non-codegen cost that matters for wide expression
+  * pipelines is irrelevant here.
+  */
+object GraphOps {
+
+  /** Components of the undirected graph given by `edges` (any
+    * direction, duplicates fine). Returns one row per node appearing in
+    * `edges` ∪ `nodes`: (id, component) with component = min reachable
+    * id.
+    *
+    * @param nodes optional extra node universe (isolated nodes keep
+    *              their own id as component)
+    */
+  def connectedComponents(
+      spark: SparkSession,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: Option[DataFrame] = None,
+      maxIter: Int = 25
+  ): DataFrame = {
+    // the caller's edge frame may be an expensive pipeline (e.g. LSH
+    // banding) and every reference below re-evaluates it — persist the
+    // normalized frame BEFORE the direction union (the union alone
+    // would run the pipeline twice, once per branch)
+    val e1 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bidirect = e1.union(
+      e1.select(col("dst").as("src"), col("src").as("dst")))
+
+    // iterate ONLY over edge endpoints: isolated nodes are their own
+    // component by definition and would just multiply per-round work
+    // (in LSH dedup graphs most of the corpus is isolated)
+    val endpoints = bidirect.select(col("src").as("id")).distinct()
+
+    // self-loops carry each node's own label through the exchange, so
+    // the loop body is join + aggregate only (no union with the iterate,
+    // which also sidesteps Union constraint rewriting over a
+    // checkpointed plan)
+    val bi = bidirect
+      .unionByName(endpoints.select(col("id").as("src"),
+        col("id").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val obs0 = org.apache.spark.sql.Observation()
+    var labels = endpoints.select(col("id"), col("id").as("comp"))
+      .observe(obs0, sum("comp").as("s"))
+      .localCheckpoint(true)
+    var lastSum = obs0.get("s").asInstanceOf[Long]
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (a) neighborhood min: labels flow across every edge (+ self-loop)
+      val exchanged = bi
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+      // (b) pointer jumping: comp := comp(comp) — halves label depth,
+      // so convergence is O(log diameter) rounds
+      val obs = org.apache.spark.sql.Observation()
+      val jumped = exchanged.as("l")
+        .join(
+          exchanged.select(col("id").as("comp"),
+            col("comp").as("comp2")).as("r"),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp")))
+            .as("comp"))
+        // convergence sum rides the checkpoint materialization — one
+        // job per round, no separate aggregate action
+        .observe(obs, sum("comp").as("s"))
+        .localCheckpoint(true) // truncate the doubling plan (class doc)
+      // label sum decreases monotonically; fixed point = converged
+      val s = obs.get("s").asInstanceOf[Long]
+      labels = jumped
+      converged = s == lastSum
+      lastSum = s
+      iter += 1
+    }
+    // singletons (requested nodes that touch no edge) come back as
+    // their own component — no iteration needed for them
+    val result = nodes match {
+      case None => labels
+      case Some(n) =>
+        val ids = n.select(col(n.columns.head).cast("long").as("id"))
+        val singletons = ids
+          .join(endpoints, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("comp"))
+        labels.unionByName(singletons)
+    }
+    // materialize once (two longs per node) so the caches can be
+    // released before returning
+    val out = result.localCheckpoint(true)
+    bi.unpersist()
+    e1.unpersist()
+    out
+  }
+
+  /** Dedup-group summary: component id, member count, and the canonical
+    * (minimum) member — the "keep one per group" decision table.
+    */
+  def dedupGroups(components: DataFrame): DataFrame =
+    components
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), min("id").as("keep_id"))
+      .withColumnRenamed("comp", "component")
+}

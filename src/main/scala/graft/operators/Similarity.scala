@@ -217,6 +217,183 @@ object Similarity {
       .toDF("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) top-k — the centroid-partitioned ANN variant
+    * beside the hyperplane-LSH one ([[annTopK]]): train `nlist` coarse
+    * centroids with a few Lloyd iterations, assign every corpus row to
+    * its nearest centroid (the inverted lists), and answer each query
+    * from the `nprobe` lists whose centroids are nearest to it.
+    *
+    * Scale shape: training is `iters` linear passes (partition-local
+    * sum/count accumulators per centroid, one tiny reduce of
+    * nlist×dim doubles per pass — no posexplode blowup); search is the
+    * same ONE streaming corpus pass + per-(partition, query) bounded
+    * heaps as the other kernels — zero shuffled candidates. Centroid
+    * seeds are chosen by a deterministic md5 order; trained centroid
+    * values can differ in final ulps across partition orders (double
+    * sums), which moves no assignment in practice but keeps this an
+    * approximate operator: rows-only gate + recall assertion in
+    * SimilaritySpec, like q31.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val ds = corpus
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .as[(Long, Array[Float])]
+
+    def dist2(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val d = dist2(v, cs(ci))
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    }
+
+    // deterministic seed pick: nlist rows in md5(id) order
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2.map(_.toDouble))
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // partition-local accumulation: one (centroid, sums, count) row
+      // per centroid per partition enters the reduce
+      val updated = ds
+        .mapPartitions { rows =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          rows.foreach { case (_, v) =>
+            val ci = nearest(v, cs)
+            val s = sums(ci)
+            var i = 0
+            val n = math.min(v.length, dim)
+            while (i < n) { s(i) += v(i).toDouble; i += 1 }
+            counts(ci) += 1
+          }
+          sums.iterator.zipWithIndex.collect {
+            case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      updated.foreach { case (ci, s, n) =>
+        centroids(ci) = s.map(_ / n)
+      }
+      it += 1
+    }
+
+    // per query: the nprobe nearest centroid ids
+    val hs = centroids
+    val qData: Array[(Long, Array[Float], Double, Array[Int])] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        val probes = hs.indices
+          .sortBy(ci => (dist2(v, hs(ci)), ci))
+          .take(nprobe).toArray
+        (id, v, math.sqrt(n), probes)
+      }
+    val byList: Map[Int, Array[Int]] = qData.zipWithIndex
+      .flatMap { case ((_, _, _, ps), qi) => ps.map(_ -> qi) }
+      .groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2) }
+    val bcQ = spark.sparkContext.broadcast(qData)
+    val bcIdx = spark.sparkContext.broadcast(byList)
+    val bcC = spark.sparkContext.broadcast(centroids)
+
+    val partials = ds
+      .mapPartitions { rows =>
+        val qs = bcQ.value
+        val idx = bcIdx.value
+        val cs = bcC.value
+        implicit val worstFirst: Ordering[(Double, Long)] =
+          Ordering.fromLessThan { (a, b) =>
+            a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+          }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (cid, cv) =>
+          var cn = 0.0
+          var i = 0
+          while (i < cv.length) {
+            cn += cv(i).toDouble * cv(i).toDouble; i += 1
+          }
+          val cNorm = math.sqrt(cn)
+          idx.getOrElse(nearest(cv, cs), Array.empty[Int]).foreach { qi =>
+            val (qid, qv, qNorm, _) = qs(qi)
+            if (qid != cid) {
+              var d = 0.0
+              var j = 0
+              val n = math.min(cv.length, qv.length)
+              while (j < n) { d += cv(j).toDouble * qv(j).toDouble; j += 1 }
+              val denom = cNorm * qNorm
+              val cos = if (denom == 0.0) 0.0 else d / denom
+              val h = heaps.getOrElseUpdate(qi,
+                scala.collection.mutable.PriorityQueue
+                  .empty[(Double, Long)](worstFirst.reverse))
+              if (h.size < k) h.enqueue((cos, cid))
+              else if (worstFirst.gt((cos, cid), h.head)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          val qid = bcQ.value(qi)._1
+          h.iterator.map { case (cos, cid) => (qid, cid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Deterministic random hyperplanes for LSH bucketing. */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

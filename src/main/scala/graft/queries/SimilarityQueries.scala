@@ -61,6 +61,19 @@ object SimilarityQueries {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** q39 — IVF (centroid-partitioned) approximate top-5, the second ANN
+    * family beside q31's hyperplane LSH (rows-only: trained centroids
+    * are engine-internal; recall vs the exact baseline is asserted in
+    * SimilaritySpec).
+    */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** q32 — per-label centroids (mean pooling), exact-checkable form:
     * each (label, dimension) sums `floor(component × 1e6)` as integers —
     * float→double widening and the double multiply are bit-identical

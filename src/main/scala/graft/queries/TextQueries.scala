@@ -314,36 +314,168 @@ object TextQueries {
     * with its fast FNV kernel. Only band-equal signatures meet in the
     * join (cost ∝ Σ bucket², never O(n²)).
     */
-  def qBandPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The docs∪copies corpus q36/q38 near-dup over. */
+  private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val copies = docs
+    docs.unionByName(docs
       .filter(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L))
-    // one kernel pass computes all 8 signature mins (NEVER localCheckpoint
-    // a frame like this: checkpoint materializes WITHOUT whole-stage
-    // codegen, so interpreted-expression sig variants went 0.3s → 28s)
-    val sigs = docs.unionByName(copies)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** md5-minhash signatures as 8 columns. One kernel pass computes all 8
+    * mins (NEVER localCheckpoint a frame like this: checkpoint
+    * materializes WITHOUT whole-stage codegen, so interpreted-expression
+    * sig variants went 0.3s → 28s).
+    */
+  private def md5Sigs(input: DataFrame): DataFrame =
+    input
       .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
       .select(col("doc_id") +:
         (0 until 8).map(i => col("sig")(i).as(s"mh_$i")): _*)
+
+  /** LSH banding (4 bands × 2 rows) → distinct candidate pairs. */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
     val bandArr = array((0 until 4).map { b =>
       concat_ws("|", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))
     }: _*)
     val bands = sigs.select(col("doc_id"),
       posexplode(bandArr).as(Seq("band", "bv")))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  def qBandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = md5Sigs(corpusWithCopies(spark, dir))
     val agreement = (0 until 8).map { i =>
       when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0)
     }.reduce(_ + _).cast("double") / lit(8.0)
-    cand
+    bandCandidates(sigs)
       .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"), agreement.as("agreement"))
+  }
+
+  /** q37 — near-dup clustering: connected components over a pair graph
+    * (copy links + same-lang adjacency chains), labeled by min member
+    * id — the grouping stage that turns LSH candidate PAIRS into dedup
+    * GROUPS. Oracle = DuckDB recursive CTE reachability on the same
+    * edges, so the distributed label-propagation result is hash-checked
+    * against exact transitive closure.
+    */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // chain edges between same-lang neighbors, broken every 32 ids so
+    // component diameters stay bounded (the operator's long-chain
+    // behavior is covered by GraphOpsSpec's 200-node chain)
+    val chain = docs.as("a")
+      .join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") % 32 =!= 31)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("src"),
+        (col("doc_id") + lit(1000000L)).as("dst"))
+    val nodes = docs.select(col("doc_id").as("id"))
+      .unionByName(copies.select(col("dst").as("id")))
+    graft.operators.GraphOps
+      .connectedComponents(spark, chain.unionByName(copies),
+        "src", "dst", nodes = Some(nodes))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  val qDedupGroupsSql: String =
+    """WITH RECURSIVE base_edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+      |   AND a.doc_id % 32 <> 31
+      |  UNION ALL
+      |  SELECT doc_id AS src, doc_id + 1000000 AS dst
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |edges AS (
+      |  SELECT src, dst FROM base_edges
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM base_edges),
+      |nodes AS (
+      |  SELECT doc_id AS id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id FROM documents WHERE doc_id % 7 = 0),
+      |reach AS (
+      |  SELECT id, id AS comp FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.comp
+      |  FROM reach r JOIN edges e ON e.src = r.id
+      |  WHERE r.comp < e.dst)
+      |SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+      |FROM reach GROUP BY id""".stripMargin
+
+  /** q38 — END-TO-END corpus dedup, oracle-exact: md5-minhash
+    * signatures → LSH band candidate pairs → connected components →
+    * per-group summary (canonical survivor + member count). The whole
+    * distributed pipeline (kernel signatures, banded self-join,
+    * label-propagation components) is hash-checked against DuckDB
+    * computing the same signatures in SQL and the components by
+    * recursive-CTE transitive closure.
+    */
+  def qDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val input = corpusWithCopies(spark, dir)
+    val comps = graft.operators.GraphOps.connectedComponents(
+      spark, bandCandidates(md5Sigs(input)), "id_a", "id_b",
+      nodes = Some(input.select(col("doc_id"))))
+    graft.operators.GraphOps.dedupGroups(comps)
+  }
+
+  val qDedupCorpusSql: String = {
+    val mins = (0 until 8).map { s =>
+      s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
+    }.mkString(",\n      ")
+    s"""WITH RECURSIVE input AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM input),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, [
+       |      $mins
+       |    ] AS sig
+       |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, r.i AS band,
+       |    sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
+       |  FROM sigs CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM cand),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS comp FROM input
+       |  UNION
+       |  SELECT e.dst AS id, r.comp
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |  WHERE r.comp < e.dst),
+       |comps AS (
+       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+       |SELECT CAST(component AS BIGINT) AS component,
+       |  COUNT(*) AS n_members,
+       |  CAST(MIN(id) AS BIGINT) AS keep_id
+       |FROM comps GROUP BY component""".stripMargin
   }
 
   val qBandPairsSql: String = {

@@ -47,7 +47,7 @@ final class GraftTable(
     path: String,
     spec: MergeSpec,
     buckets: Int = 0
-) {
+) extends MergeTable {
 
   private val mapper = new ObjectMapper()
 
@@ -128,6 +128,34 @@ final class GraftTable(
       spark.read.parquet(dir.toString)
     }
 
+  /** Exact current row count from parquet FOOTERS only — no data scan
+    * (the role Delta's transaction-log stats play; a production bucket
+    * count would persist these in the manifest instead of re-reading
+    * footers, but either way counting never touches row data).
+    */
+  def rowCount: Long = {
+    val dirs: Seq[String] = currentVersion match {
+      case Some(v) if Files.exists(manifestFile(v)) => bucketDirs(v)
+      case Some(v) => Seq(s"$path/v$v")
+      case None =>
+        throw new IllegalStateException(s"GraftTable $path has no data yet")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val files = dirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    }
+    // footer opens are driver-side IO — read them concurrently
+    java.util.Arrays.stream(files.toArray).parallel().mapToLong { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum()
+  }
+
   /** All retained version numbers, oldest first. */
   def versions: Seq[Int] = {
     val dir = Paths.get(path)
@@ -194,7 +222,7 @@ final class GraftTable(
     * (bucketed tables compact every bucket into the new version, which
     * also collapses the manifest's version spread).
     */
-  def optimize(numFiles: Int = 1): Unit =
+  def optimize(numFiles: Int): Unit =
     if (exists) {
       if (!bucketed) publish(read().repartition(numFiles))
       else publishBuckets(read(), carryFrom = Map.empty)
@@ -240,7 +268,11 @@ final class GraftTable(
   private def publishBuckets(df: DataFrame, carryFrom: Map[Int, String]): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0)
     val dir = s"$path/v$next"
+    // co-locate each bucket's rows before the partitioned write: one
+    // file per bucket instead of (write tasks × buckets) small files —
+    // the compaction Delta's OPTIMIZE does, done at write time
     df.withColumn("__b", bucketCol)
+      .repartition(effectiveBuckets, col("__b"))
       .write.mode("overwrite").partitionBy("__b").parquet(dir)
     // buckets actually written = __b=K subdirs present on disk
     val written = {

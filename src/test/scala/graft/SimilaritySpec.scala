@@ -89,6 +89,27 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"ANN recall@5 vs exact baseline: $recall")
   }
 
+  test("IVF top-k recall against the exact baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall@5 too low: $recall")
+    info(s"IVF recall@5 vs exact baseline: $recall")
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb
