@@ -46,6 +46,7 @@ object SparkEntry {
     "q36_band_pairs" -> (TextQueries.qBandPairs _),
     "q37_dedup_groups" -> (TextQueries.qDedupGroups _),
     "q38_dedup_corpus" -> (TextQueries.qDedupCorpus _),
+    "q45_char_quality" -> (TextQueries.qCharQuality _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
     "q39_ivf_topk" -> (SimilarityQueries.qIvfTopK _),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q36_band_pairs" -> TextQueries.qBandPairsSql,
     "q37_dedup_groups" -> TextQueries.qDedupGroupsSql,
     "q38_dedup_corpus" -> TextQueries.qDedupCorpusSql,
+    "q45_char_quality" -> TextQueries.qCharQualitySql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
     "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,

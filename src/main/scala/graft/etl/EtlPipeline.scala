@@ -106,11 +106,17 @@ object EtlPipeline {
       if (!available.contains(task.resourceType)) {
         TaskResult(task.tableName, attempted = false, rows = 0)
       } else {
+        // parsed ONCE, read three times (census, scrub→merge, and the
+        // Patient/Encounter mapping side-output) — JSON parsing of
+        // nested resources dominates the cold path, so cache the parsed
+        // frame for the task's duration (MEMORY_AND_DISK: spills, never
+        // recomputes the parse)
         val raw = NdjsonSource.readResourceFiles(spark,
           filesByType.getOrElse(task.resourceType, Nil),
           task.resourceType,
           graft.fhir.FhirSchemas.forResource(task.resourceType),
           widen = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // P2/A4: dropped-extension census side-output (the report the
         // reference prints at run end, persisted as a mergeable table)
         val census = ScrubCompiler.extensionCensus(raw,
@@ -174,6 +180,7 @@ object EtlPipeline {
         if (task.resourceType == "Encounter")
           Completion.recordEncounters(spark, outputDir,
             deduped.select("id"), groupName, exportTime)
+        raw.unpersist()
         TaskResult(task.tableName, attempted = true, rows = n,
           rowsRead = readObs.get("n").asInstanceOf[Long],
           rowsScrubbed = scrubObs.get("n").asInstanceOf[Long])

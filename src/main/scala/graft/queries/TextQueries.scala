@@ -227,6 +227,45 @@ object TextQueries {
         subwordCount(col("text")).as("n_subwords")
       )
 
+  /** q45 — character-class + stopword quality ratios (the remaining
+    * quality-scoring functions beside q23's token metrics), oracle-exact:
+    * every ratio is an integer/integer division performed in double, so
+    * the values are bit-identical across engines.
+    */
+  private val StopwordsEn = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def qCharQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        // digit ratio rather than punctRatio: the synthetic corpus has
+        // no punctuation, so that column would be a vacuous check
+        (when(length(col("text")) === 0, lit(0.0)).otherwise(
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+            length(col("text")).cast("double"))).as("digit_ratio"),
+        stopwordRatio(col("text"), StopwordsEn).as("stopword_ratio")
+      )
+
+  val qCharQualitySql: String = {
+    val sw = StopwordsEn.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |        AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |        AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digit_ratio,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        t -> list_contains([$sw], t))) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |  END AS stopword_ratio
+       |FROM documents""".stripMargin
+  }
+
   /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
     * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),
     * giving hash-identical fingerprint/simhash oracles.
