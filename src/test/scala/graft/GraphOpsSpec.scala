@@ -40,6 +40,36 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got === Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("random graphs match a reference union-find") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // reference: plain union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { i =>
+        // canonical label = min member of the component
+        val root = find(i)
+        val minMember = (0 until n).filter(j => find(j) == root).min
+        i.toLong -> minMember.toLong
+      }.toMap
+      val got = components(edges, nodes = (0L until n.toLong))
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("dedupGroups summarizes size and canonical survivor") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
