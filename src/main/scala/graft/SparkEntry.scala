@@ -50,6 +50,7 @@ object SparkEntry {
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
     "q39_ivf_topk" -> (SimilarityQueries.qIvfTopK _),
+    "q46_quantize_i8" -> (SimilarityQueries.qQuantizeI8 _),
     "q34_embed_neardup" -> (SimilarityQueries.qEmbedNearDup _),
     "q32_label_centroids" -> (SimilarityQueries.qLabelCentroids _),
     "q40_deid_scalars" -> (DeidQueries.qDeidScalars _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q37_dedup_groups" -> TextQueries.qDedupGroupsSql,
     "q38_dedup_corpus" -> TextQueries.qDedupCorpusSql,
     "q45_char_quality" -> TextQueries.qCharQualitySql,
+    "q46_quantize_i8" -> SimilarityQueries.qQuantizeI8Sql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
     "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,

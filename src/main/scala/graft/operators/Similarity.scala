@@ -394,6 +394,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Symmetric int8 quantization of a float vector — the standard 4×
+    * memory reduction for large ANN corpora: per-vector
+    * `scale = max|v|/127`, `q_i = clip(floor(v_i/scale + 0.5), ±127)`.
+    * `floor(x+0.5)` rather than `round` so Spark and DuckDB agree at
+    * .5 boundaries (their `round` tie-break modes differ); every step
+    * is IEEE-double-exact, so quantization is oracle-checkable.
+    *
+    * Returns (scale, weighted checksum Σ q_i·(i+1), min q, max q) —
+    * the checksum is position-weighted so any reordering or off-by-one
+    * breaks the hash compare.
+    */
+  val quantizeI8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: scala.collection.Seq[Float]) =>
+      val v = floats(a)
+      var amax = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = math.abs(v(i).toDouble)
+        if (x > amax) amax = x
+        i += 1
+      }
+      val scale = amax / 127.0
+      var qsum = 0L
+      var qmin = 0
+      var qmax = 0
+      i = 0
+      while (i < v.length) {
+        val q =
+          if (scale == 0.0) 0
+          else {
+            val r = math.floor(v(i).toDouble / scale + 0.5).toInt
+            math.max(-127, math.min(127, r))
+          }
+        qsum += q.toLong * (i + 1)
+        if (q < qmin) qmin = q
+        if (q > qmax) qmax = q
+        i += 1
+      }
+      (scale, qsum, qmin, qmax)
+    }
+
   /** Deterministic random hyperplanes for LSH bucketing. */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

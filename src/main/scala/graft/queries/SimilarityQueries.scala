@@ -103,4 +103,45 @@ object SimilarityQueries {
       |    unnest(embedding) AS v
       |  FROM embeddings)
       |GROUP BY label, dim""".stripMargin
+
+  /** q46 — int8 embedding quantization (per-vector symmetric scale),
+    * oracle-exact: scale, position-weighted checksum of the quantized
+    * codes, and code range per vector. Every step (float→double abs
+    * max, division, floor(x+0.5), clip) is IEEE-identical on both
+    * engines.
+    */
+  def qQuantizeI8(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"),
+        Similarity.quantizeI8Udf(col("embedding")).as("q"))
+      .select(
+        col("vec_id"),
+        col("q._1").as("scale"),
+        col("q._2").as("qsum"),
+        col("q._3").cast("long").as("qmin"),
+        col("q._4").cast("long").as("qmax")
+      )
+
+  val qQuantizeI8Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN scale = 0 THEN 0
+      |        ELSE greatest(-127, least(127,
+      |          CAST(floor(e[i] / scale + 0.5) AS BIGINT)))
+      |      END) AS qs
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CAST(list_sum(list_transform(range(1, len(qs) + 1),
+      |    i -> qs[i] * i)) AS BIGINT) AS qsum,
+      |  CAST(list_min(list_concat(qs, [0])) AS BIGINT) AS qmin,
+      |  CAST(list_max(list_concat(qs, [0])) AS BIGINT) AS qmax
+      |FROM q""".stripMargin
 }

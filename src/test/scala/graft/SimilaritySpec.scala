@@ -110,6 +110,34 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"IVF recall@5 vs exact baseline: $recall")
   }
 
+  test("int8 quantization: codes in range, reconstruction error ≤ scale/2") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector → scale 0
+      (3L, Array(100.0f, -50.0f, 1.0f, 0.001f))
+    ).toDF("vec_id", "embedding")
+    val rows = vecs
+      .select(col("vec_id"), Similarity.quantizeI8Udf(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("scale"), col("q._3").as("qmin"),
+        col("q._4").as("qmax"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(rows(2) === ((0.0, 0, 0)))
+    assert(rows(1)._1 === 1.0 / 127.0)
+    assert(rows(1)._2 === -127 && rows(1)._3 === 64) // -1.0→-127, 0.5→64
+    assert(rows(3)._2 >= -127 && rows(3)._3 <= 127)
+    // reconstruction error bound on the non-saturated vector
+    val v = Array(0.5, -1.0, 0.25, 0.0)
+    val scale = rows(1)._1
+    val codes = v.map(x => math.max(-127,
+      math.min(127, math.floor(x / scale + 0.5).toInt)))
+    v.zip(codes).foreach { case (x, q) =>
+      assert(math.abs(x - q * scale) <= scale / 2 + 1e-12)
+    }
+  }
+
   test("lshBucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val buckets = emb
