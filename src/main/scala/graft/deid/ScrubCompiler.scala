@@ -66,12 +66,15 @@ object ScrubCompiler {
   ): DataFrame = {
     val cols = df.columns.toSet
     val sources = Seq("extension", "modifierExtension").filter(cols)
-    val allowed = array(
-      policy.allowedExtensions.toSeq.sorted.map(lit): _*)
+    // ignored urls are dropped but never counted (scrub-rules.toml
+    // [extensions] `ignored` — known urls the user needn't be warned of)
+    val uncounted = array(
+      (policy.allowedExtensions ++ policy.ignoredExtensions)
+        .toSeq.sorted.map(lit): _*)
     val perCol = sources.map { c =>
       df.select(explode(col(c)).as("__e"))
         .select(col("__e.url").as("url"))
-        .filter(!array_contains(allowed, col("url")))
+        .filter(!array_contains(uncounted, col("url")))
     }
     perCol
       .reduceOption(_ unionByName _)

@@ -71,7 +71,11 @@ final case class ElementPolicy(
 final case class ScrubPolicy(
     types: Map[String, ElementPolicy],
     allowedExtensions: Set[String],
-    allowedModifierExtensions: Set[String]
+    allowedModifierExtensions: Set[String],
+    /** Known-but-unwanted urls: dropped like unknown extensions but NOT
+      * counted in the census (scrub-rules.toml [extensions] `ignored`).
+      */
+    ignoredExtensions: Set[String] = Set.empty
 ) {
 
   /** Field rules for a type with the `_extends` chain folded in
@@ -945,15 +949,126 @@ object DefaultScrubPolicy {
         "valueMeta" -> TypeRef("Meta")
       ))
     ),
-    // mirrors scrub-rules.toml [extensions] intent: benign demographic
-    // extensions pass; anything unknown is dropped (counted) and unknown
-    // modifier extensions reject the whole resource
+    // the reference's full [extensions.normal] allowed list
+    // (scrub-rules.toml:888-994): base-spec, US Core (+ the DSTU1 urls
+    // still seen in the wild), Cerner, Epic, and Synthea extensions with
+    // clinical/QA relevance; anything unknown is dropped (counted) and
+    // unknown modifier extensions reject the whole resource
     allowedExtensions = Set(
+      "http://hl7.org/fhir/StructureDefinition/annotationType",
+      "http://hl7.org/fhir/StructureDefinition/condition-assertedDate",
+      "http://hl7.org/fhir/StructureDefinition/data-absent-reason",
+      "http://hl7.org/fhir/StructureDefinition/derivation-reference",
+      "http://hl7.org/fhir/StructureDefinition/event-performerFunction",
+      "http://hl7.org/fhir/StructureDefinition/individual-pronouns",
+      "http://hl7.org/fhir/StructureDefinition/iso21090-PQ-translation",
+      "http://hl7.org/fhir/StructureDefinition/patient-genderIdentity",
+      "http://hl7.org/fhir/StructureDefinition/patient-preferenceType",
+      "http://hl7.org/fhir/StructureDefinition/patient-proficiency",
+      "http://hl7.org/fhir/StructureDefinition/workflow-supportingInfo",
+      "http://hl7.org/fhir/5.0/StructureDefinition/extension-DocumentReference.attester",
+      "http://terminology.hl7.org/CodeSystem/data-absent-reason",
       "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex",
-      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
       "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity",
-      "http://hl7.org/fhir/StructureDefinition/data-absent-reason"
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-genderIdentity",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-jurisdiction",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-medication-adherence",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-sex",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-tribal-affiliation",
+      "http://hl7.org/fhir/Profile/us-core#ethnicity",
+      "http://hl7.org/fhir/Profile/us-core#race",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/client-organization",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/precision",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/pharmacy-verification-status",
+      "http://electronichealth.se/fhir/StructureDefinition/NLLDosePackaging",
+      "http://electronichealth.se/fhir/StructureDefinition/NLLPrescriptionFormat",
+      "http://electronichealth.se/fhir/StructureDefinition/NLLRegistrationBasis",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/accidentrelated",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/basis-at-begin-exam",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/calculated-pronouns-to-use-for-text",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-attached-media",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-authentication-instant",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-author-provider-type",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-interval-update",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-interval-update-source",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-post-procedure-diagnosis",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-pre-procedure-diagnosis",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/clinical-note-service",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/data-conversion-warning",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/edd-at-begin-exam",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/historical-fhir-id",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/ip-admit-datetime",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/legal-sex",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/log-level-procedure-codes",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/observation-datetime",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/patient-type",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/sex-for-clinical-use",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/smartdata",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/specialty",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/surgical-history-laterality",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/surgical-history-source",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/template-id",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-center",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-donor-or-recipient",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-admission-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-center-waitlist-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-committee-review-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-discharge-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-donated-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-evaluation",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-referral-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-transplanted-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-event-waitlist-date",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-organ",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-organ-coordinator",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-phase-status",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/transplant-waitlist-score",
+      "http://open.epic.com/FHIR/STU3/StructureDefinition/patient-preferred-provider-language",
+      "http://open.epic.com/FHIR/STU3/StructureDefinition/patient-preferred-provider-sex",
+      "http://open.epic.com/FHIR/STU3/StructureDefinition/temperature-in-fahrenheit",
+      "http://open.epic.com/FHIR/R4/StructureDefinition/patient-preferred-provider-sex",
+      "https://open.epic.com/fhir/extensions/specialty",
+      "https://open.epic.com/FHIR/StructureDefinition/patient-merge-target-reference",
+      "https://open.epic.com/FHIR/StructureDefinition/patient-merge-unmerge-instant",
+      "https://open.epic.com/FHIR/StructureDefinition/patient-unmerge-source",
+      "https://open.epic.com/FHIR/StructureDefinition/patient-unmerge-target",
+      "http://nictiz.nl/fhir/StructureDefinition/BodySite-Qualifier",
+      "http://synthetichealth.github.io/synthea/bed-count-extension",
+      "http://synthetichealth.github.io/synthea/disability-adjusted-life-years",
+      "http://synthetichealth.github.io/synthea/quality-adjusted-life-years",
+      "http://synthetichealth.github.io/synthea/utilization-encounters-extension",
+      "http://synthetichealth.github.io/synthea/utilization-labs-extension",
+      "http://synthetichealth.github.io/synthea/utilization-prescriptions-extension",
+      "http://synthetichealth.github.io/synthea/utilization-procedures-extension"
     ),
-    allowedModifierExtensions = Set.empty
+    // [extensions.modifier] allowed (scrub-rules.toml:1033-1040)
+    allowedModifierExtensions = Set(
+      "http://fhir-registry.smarthealthit.org/StructureDefinition/nlp-polarity",
+      "http://fhir-registry.smarthealthit.org/StructureDefinition/nlp-source"
+    ),
+    // [extensions] ignored (scrub-rules.toml:996-1031): dropped without
+    // a census entry — known urls that duplicate standard extensions or
+    // carry PHI
+    ignoredExtensions = Set(
+      "http://hl7.org/fhir/StructureDefinition/geolocation",
+      "http://hl7.org/fhir/StructureDefinition/iso21090-EN-qualifier",
+      "http://hl7.org/fhir/StructureDefinition/iso21090-TEL-address",
+      "http://hl7.org/fhir/StructureDefinition/patient-birthPlace",
+      "http://hl7.org/fhir/StructureDefinition/patient-birthTime",
+      "http://hl7.org/fhir/StructureDefinition/patient-mothersMaidenName",
+      "http://hl7.org/fhir/StructureDefinition/rendered-value",
+      "http://hl7.org/fhir/us/core/StructureDefinition/us-core-direct",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/clinical-instruction",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/custom-attribute",
+      "https://fhir-ehr.cerner.com/r4/StructureDefinition/estimated-financial-responsibility-amount",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/birth-location",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/ce-encounter-id",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/episode-comments",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/episode-name",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/lab-e-signature",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/team-name",
+      "http://open.epic.com/FHIR/StructureDefinition/extension/technical-details"
+    )
   )
 }

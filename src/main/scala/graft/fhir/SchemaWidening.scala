@@ -30,6 +30,12 @@ object SchemaWidening {
       case (c: StructType, o: StructType) => widen(c, o)
       case (ArrayType(c, _), ArrayType(o, _)) =>
         ArrayType(widenType(c, o))
-      case (c, _) => c // spec type is authoritative on conflicts
+      // shape conflicts (spec says array, export sends a bare object, or
+      // vice versa): follow the DATA's shape — the reference's dict walk
+      // is shape-agnostic and keeps such fields — while the catalog stays
+      // authoritative on the element/leaf types inside
+      case (ArrayType(c, _), o) => widenType(c, o)
+      case (c, ArrayType(o, _)) => ArrayType(widenType(c, o))
+      case (c, _) => c // spec type is authoritative on leaf conflicts
     }
 }

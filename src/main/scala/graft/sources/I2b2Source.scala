@@ -84,6 +84,9 @@ object I2b2Source {
     raw.select(
       lit("Patient").as("resourceType"),
       col("PATIENT_NUM").as("id"),
+      struct(array(lit(
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-patient"))
+        .as("profile")).as("meta"),
       when(col("BIRTH_DATE").isNotNull,
         substring(col("BIRTH_DATE"), 1, 10)).as("birthDate"),
       when(col("DEATH_DATE").isNotNull,
@@ -103,12 +106,34 @@ object I2b2Source {
   }
 
   /** visit_dimension.csv → FHIR Encounter rows (transform.py:87-123). */
+  /** INOUT_CD → v3-ActCode class (external_mappings.py:67-75). */
+  private val admissionMap = typedlit(Map(
+    "Day Surgery" -> "AMB",
+    "Emergency" -> "EMER",
+    "Inpatient" -> "IMP",
+    "Observation" -> "OBSENC",
+    "Outpatient" -> "AMB",
+    "Recurring Outpatient Series" -> "AMB"
+  ))
+
   def encounters(spark: SparkSession, path: String): DataFrame = {
     val raw = dedupFirstWins(readCsv(spark, path), "ENCOUNTER_NUM")
+    // i2b2 exports vary in column presence; absent columns read as null
+    // (the reference's row.get(...) tolerance, schema.py:141)
+    def colOr(name: String) =
+      if (raw.columns.contains(name)) col(name)
+      else lit(null).cast("string")
+    val los = colOr("LENGTH_OF_STAY").cast("double")
+    val inout = colOr("INOUT_CD")
     raw.select(
       lit("Encounter").as("resourceType"),
       col("ENCOUNTER_NUM").as("id"),
-      lit("finished").as("status"),
+      struct(array(lit(
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-encounter"))
+        .as("profile")).as("meta"),
+      // us-core demands status + type + class even when i2b2 has no
+      // signal — same constants the reference emits (transform.py:87-123)
+      lit("unknown").as("status"),
       struct(
         concat(lit("Patient/"), col("PATIENT_NUM")).as("reference")
       ).as("subject"),
@@ -117,14 +142,38 @@ object I2b2Source {
           substring(col("START_DATE"), 1, 10)).as("start"),
         when(col("END_DATE").isNotNull,
           substring(col("END_DATE"), 1, 10)).as("end")
-      ).as("period")
+      ).as("period"),
+      array(struct(array(struct(
+        lit("http://snomed.info/sct").as("system"),
+        lit("308335008").as("code"),
+        lit("Patient encounter procedure").as("display")
+      )).as("coding"))).as("type"),
+      // truthy in the reference: LENGTH_OF_STAY of 0/empty emits no field
+      when(los.isNotNull && los =!= 0.0,
+        struct(lit("d").as("unit"), los.as("value"))).as("length"),
+      struct(
+        lit("http://terminology.hl7.org/CodeSystem/v3-ActCode").as("system"),
+        coalesce(element_at(admissionMap, inout), lit("?")).as("code")
+      ).as("class")
     )
   }
 
   /** diagnosis observation facts → FHIR Condition rows with the ICD/
     * SNOMED system-prefix split (transform.py:195-243).
     */
-  def conditions(spark: SparkSession, path: String): DataFrame = {
+  def conditions(spark: SparkSession, path: String): DataFrame =
+    conditions(spark, path, Map.empty)
+
+  /** @param displayCodes system → code → display text, the reference's
+    *                     `icd.json` side input (loader.py:65-69) — an
+    *                     external vocabulary table (e.g. public
+    *                     ICD-10-CM descriptions) supplied by the caller;
+    *                     codes of a mapped system missing from the table
+    *                     display as "Unknown", exactly like make_concept
+    *                     (transform.py:382-393).
+    */
+  def conditions(spark: SparkSession, path: String,
+      displayCodes: Map[String, Map[String, String]]): DataFrame = {
     val raw = dedupFirstWins(readCsv(spark, path), "INSTANCE_NUM")
     val sysPrefix = split_part(col("CONCEPT_CD"), lit(":"), lit(1))
     val bareCode = split_part(col("CONCEPT_CD"), lit(":"), lit(2))
@@ -148,9 +197,28 @@ object I2b2Source {
     def concept(c: org.apache.spark.sql.Column,
         sys: org.apache.spark.sql.Column) =
       struct(array(struct(sys.as("system"), c.as("code"))).as("coding"))
+    // display lookup from the caller-supplied vocabulary: only when the
+    // resolved system is present in the table; unknown codes → "Unknown"
+    val display: org.apache.spark.sql.Column =
+      if (displayCodes.isEmpty) lit(null).cast("string")
+      else {
+        val dc = typedlit(displayCodes)
+        when(element_at(dc, system).isNotNull,
+          coalesce(element_at(element_at(dc, system), code),
+            lit("Unknown")))
+      }
     raw.select(
       lit("Condition").as("resourceType"),
       col("INSTANCE_NUM").as("id"),
+      struct(array(lit(
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-condition"))
+        .as("profile")).as("meta"),
+      array(struct(array(struct(
+        lit("http://terminology.hl7.org/CodeSystem/condition-category")
+          .as("system"),
+        lit("encounter-diagnosis").as("code"),
+        lit("Encounter Diagnosis").as("display")
+      )).as("coding"))).as("category"),
       struct(concat(lit("Patient/"), col("PATIENT_NUM")).as("reference"))
         .as("subject"),
       struct(concat(lit("Encounter/"), col("ENCOUNTER_NUM"))
@@ -163,7 +231,8 @@ object I2b2Source {
       concept(lit("unconfirmed"),
         lit("http://terminology.hl7.org/CodeSystem/condition-ver-status"))
         .as("verificationStatus"),
-      concept(code, system).as("code")
+      struct(array(struct(system.as("system"), code.as("code"),
+        display.as("display"))).as("coding")).as("code")
     )
   }
 
@@ -216,10 +285,13 @@ object I2b2Source {
             substring(col("END_DATE"), 1, 10)).as("end")
         ).as("period")
       ).as("context"),
+      // display (inside the coding, make_concept-style), not text —
+      // and truthy like the reference: empty TVAL_CHAR emits nothing
       struct(array(struct(
         lit("http://cumulus.smarthealthit.org/i2b2").as("system"),
-        col("CONCEPT_CD").as("code")
-      )).as("coding"), col("TVAL_CHAR").as("text")).as("type"),
+        col("CONCEPT_CD").as("code"),
+        when(length(col("TVAL_CHAR")) > 0, col("TVAL_CHAR")).as("display")
+      )).as("coding")).as("type"),
       array(struct(struct(
         lit("text/plain").as("contentType"),
         base64(encode(blob, "UTF-8")).as("data")
@@ -329,7 +401,12 @@ object I2b2Source {
     * identical behavior. Returns the detected resource types.
     */
   def loadToNdjson(spark: SparkSession, i2b2Dir: String,
-      outDir: String): Set[String] = {
+      outDir: String): Set[String] =
+    loadToNdjson(spark, i2b2Dir, outDir, Map.empty)
+
+  def loadToNdjson(spark: SparkSession, i2b2Dir: String,
+      outDir: String,
+      displayCodes: Map[String, Map[String, String]]): Set[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     def has(name: String): Boolean =
       java.nio.file.Files.exists(java.nio.file.Paths.get(i2b2Dir, name))
@@ -339,7 +416,8 @@ object I2b2Source {
       Seq(
         ("patient_dimension.csv", "Patient", patients),
         ("visit_dimension.csv", "Encounter", encounters),
-        ("observation_fact_diagnosis.csv", "Condition", conditions),
+        ("observation_fact_diagnosis.csv", "Condition",
+          (s: SparkSession, p: String) => conditions(s, p, displayCodes)),
         ("observation_fact_lab_views.csv", "Observation", labObservations),
         ("observation_fact_vitals.csv", "Observation", vitalsObservations),
         ("observation_fact_medications.csv", "MedicationRequest",
