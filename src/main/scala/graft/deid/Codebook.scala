@@ -90,21 +90,45 @@ object Codebook {
     val path = Paths.get(dir, "codebook.json")
     if (Files.exists(path)) {
       val node = mapper.readTree(Files.readAllBytes(path))
-      // extra object-valued sections are legacy per-type id mappings
-      // (the reference's old random-id storage, honored forever)
       val legacy = scala.collection.mutable.Map[String, Map[String, String]]()
+      // version-0 codebooks nest everything under "mrn":
+      // {patient: {deid, encounter: {enc: {deid, …}}}} — migrate those
+      // random UUIDs into the Patient/Encounter legacy maps, exactly the
+      // ids the reference's CodebookDB._load_version0 keeps honoring
+      Option(node.get("mrn")).filter(_.isObject).foreach { mrn =>
+        val pats = scala.collection.mutable.Map[String, String]()
+        val encs = scala.collection.mutable.Map[String, String]()
+        mrn.fields().forEachRemaining { p =>
+          Option(p.getValue.get("deid")).foreach(d =>
+            pats(p.getKey) = d.asText())
+          Option(p.getValue.get("encounter")).filter(_.isObject)
+            .foreach(_.fields().forEachRemaining { e =>
+              Option(e.getValue.get("deid")).foreach(d =>
+                encs(e.getKey) = d.asText())
+            })
+        }
+        if (pats.nonEmpty) legacy("Patient") = pats.toMap
+        if (encs.nonEmpty) legacy("Encounter") = encs.toMap
+      }
+      // version-1 extra object sections are flat legacy per-type id maps
       node.fields().forEachRemaining { e =>
-        if (e.getValue.isObject) {
+        if (e.getValue.isObject && e.getKey != "mrn") {
           val m = scala.collection.mutable.Map[String, String]()
           e.getValue.fields().forEachRemaining { f =>
-            m(f.getKey) = f.getValue.asText()
+            if (f.getValue.isTextual) m(f.getKey) = f.getValue.asText()
           }
-          legacy(e.getKey) = m.toMap
+          if (m.nonEmpty) legacy(e.getKey) = m.toMap
         }
+      }
+      // version 0 carried no salt; generate one like the migration does
+      val salt = Option(node.get("id_salt")).map(_.asText()).getOrElse {
+        val bytes = new Array[Byte](32)
+        new SecureRandom().nextBytes(bytes)
+        bytes.map("%02x".format(_)).mkString
       }
       Codebook(
         Option(node.get("codebook_id")).map(_.asText()).getOrElse(""),
-        node.get("id_salt").asText(),
+        salt,
         legacy.toMap)
     } else {
       val bytes = new Array[Byte](32)

@@ -56,6 +56,29 @@ class DeidCompatSpec extends SparkSpecBase {
       mapper.treeToValue(node, classOf[Object])))
   }
 
+  test("version-0 codebooks migrate to the reference's exact ids") {
+    // the reference's tests/data/codebook0 fixture + the ids its
+    // test_version0 asserts (tests/deid/test_deid_codebook.py:173-191)
+    val dir = "/root/reference/tests/data/codebook0"
+    assume(Files.exists(Paths.get(dir)))
+    val cb = Codebook.loadOrCreate(dir)
+    def fake(rt: String, id: String): String = {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(1).select(lit(id).as("id"))
+      df.select(cb.fakeIdFor(rt, col("id"))).collect()(0).getString(0)
+    }
+    assert(fake("Patient", "323456") ===
+      "1de9ea66-70d3-da1f-c735-df5ef7697fb9")
+    assert(fake("Patient", "3123456") ===
+      "c07666e7-9ef6-62f8-8dee-ba7ec0ea7563")
+    assert(fake("Patient", "3234567") ===
+      "861abd5d-c0ae-6995-27aa-e362c6c0ac72")
+    assert(fake("Encounter", "21") ===
+      "458c3cdb-2d66-5a7b-0a4a-db41ce779a93")
+    assert(fake("Encounter", "212") ===
+      "4e9e5e14-a289-0d0d-81ee-8062b8b984c3")
+  }
+
   test("every deid fixture file scrubs to its expected golden") {
     assume(available)
     val phi = Files.createTempDirectory("deid-compat").toString
