@@ -123,6 +123,46 @@ class ReferenceCompatSpec extends SparkSpecBase {
     assert(checked >= 30, s"only $checked rows compared") // 32 of 39
   }
 
+  test("replaying the reference's batched output merges to its single-batch state") {
+    assume(available)
+    // the reference's batched-output tree is the same ETL run with a
+    // forced batch split; merging the batches in index order must land
+    // on exactly the unbatched output rows (A2 cross-batch semantics,
+    // the convert/replay contract)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.configure(com.fasterxml.jackson.databind.SerializationFeature
+      .ORDER_MAP_ENTRIES_BY_KEYS, true)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(to_json(struct(df.columns.map(col): _*),
+          Map("ignoreNullFields" -> "true")).as("j"))
+        .collect().map { r =>
+          val node = mapper.readTree(r.getString(0))
+          mapper.writeValueAsString(mapper.treeToValue(node, classOf[Object]))
+        }.sorted.toSeq
+    val tables = Seq("patient", "condition", "observation",
+      "documentreference", "encounter")
+    tables.foreach { table =>
+      val batchedDir = s"$refData/batched-output/$table"
+      assume(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(batchedDir)))
+      val schema = spark.read.json(batchedDir).schema
+      val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get(batchedDir)).toArray
+        .map(_.toString).filter(_.endsWith(".ndjson")).sorted
+      val out = java.nio.file.Files
+        .createTempDirectory(s"replay-$table").toString
+      val gt = graft.sinks.GraftTable(spark, out,
+        graft.operators.MergeOps.MergeSpec(Seq("id")))
+      files.foreach { f =>
+        gt.merge(spark.read.schema(schema).json(f))
+      }
+      val replayed = canon(gt.read())
+      val golden = canon(spark.read.schema(schema)
+        .json(s"$refData/output/$table/$table.000.ndjson"))
+      assert(replayed === golden, s"table $table")
+    }
+  }
+
   test("scalar generalizations match the reference's patient output") {
     assume(available)
     val cb = Codebook.loadOrCreate(refData)
