@@ -163,6 +163,15 @@ class ReferenceCompatSpec extends SparkSpecBase {
     }
   }
 
+  test("the bulk-export log fixture parses to its group + transaction time") {
+    assume(available)
+    // S4 on the reference's own log.ndjson: no /Group/ segment in the
+    // export URL → blank group; transactionTime from status_complete
+    assert(NdjsonSource.parseExportLog(spark,
+      s"$refData/input/log.ndjson") ===
+      Some(("", "2024-08-06T14:00:00-04:00")))
+  }
+
   test("scalar generalizations match the reference's patient output") {
     assume(available)
     val cb = Codebook.loadOrCreate(refData)
