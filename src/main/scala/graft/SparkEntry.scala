@@ -47,7 +47,10 @@ object SparkEntry {
     "q37_dedup_groups" -> (TextQueries.qDedupGroups _),
     "q38_dedup_corpus" -> (TextQueries.qDedupCorpus _),
     "q45_char_quality" -> (TextQueries.qCharQuality _),
+    "q47_repetition" -> (TextQueries.qRepetition _),
+    "q48_tfidf" -> (TextQueries.qTfidf _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
+    "q49_kmeans_assign" -> (SimilarityQueries.qKmeansAssign _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
     "q39_ivf_topk" -> (SimilarityQueries.qIvfTopK _),
     "q46_quantize_i8" -> (SimilarityQueries.qQuantizeI8 _),
@@ -70,7 +73,8 @@ object SparkEntry {
     "q63_hash_sample" -> (NoteQueries.qHashSample _),
     "q50_window_agg" -> (StreamQueries.qWindowAgg _),
     "q51_sessions" -> (StreamQueries.qSessions _),
-    "q52_event_deltas" -> (StreamQueries.qEventDeltas _)
+    "q52_event_deltas" -> (StreamQueries.qEventDeltas _),
+    "q53_stream_enrich" -> (StreamQueries.qStreamEnrich _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
@@ -101,8 +105,11 @@ object SparkEntry {
     "q37_dedup_groups" -> TextQueries.qDedupGroupsSql,
     "q38_dedup_corpus" -> TextQueries.qDedupCorpusSql,
     "q45_char_quality" -> TextQueries.qCharQualitySql,
+    "q47_repetition" -> TextQueries.qRepetitionSql,
+    "q48_tfidf" -> TextQueries.qTfidfSql,
     "q46_quantize_i8" -> SimilarityQueries.qQuantizeI8Sql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
+    "q49_kmeans_assign" -> SimilarityQueries.qKmeansAssignSql,
     "q32_label_centroids" -> SimilarityQueries.qLabelCentroidsSql,
     "q33_media_pipeline" -> NoteQueries.qMediaPipelineSql,
     "q34_embed_neardup" -> SimilarityQueries.qEmbedNearDupSql,
@@ -120,6 +127,7 @@ object SparkEntry {
     "q61_group_notes" -> NoteQueries.qGroupNotesSql,
     "q50_window_agg" -> StreamQueries.qWindowAggSql,
     "q51_sessions" -> StreamQueries.qSessionsSql,
-    "q52_event_deltas" -> StreamQueries.qEventDeltasSql
+    "q52_event_deltas" -> StreamQueries.qEventDeltasSql,
+    "q53_stream_enrich" -> StreamQueries.qStreamEnrichSql
   )
 }

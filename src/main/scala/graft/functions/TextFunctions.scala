@@ -106,6 +106,43 @@ object TextFunctions {
       )
     ).cast("long")
 
+  /** Repetition-signal kernel (Gopher-style quality filters): one pass
+    * per document computing (n_tokens, max token freq, n_bigrams, max
+    * bigram freq, n_trigrams, n_distinct_trigrams) with per-doc hash
+    * maps. A single embarrassingly-parallel projection — no shuffle —
+    * where the equivalent explode + two-level aggregate costs two
+    * shuffles and re-evaluates interpreted n-gram expressions per
+    * branch (measured 7.1s vs 0.1s at sf0.1). Documents are bounded in
+    * size, so the per-doc maps are too. Shingle semantics mirror
+    * [[wordNgrams]] (docs shorter than n yield one whole-text shingle).
+    */
+  val repetitionStatsUdf = udf { (text: String) =>
+    val t = if (text == null) "" else text.trim
+    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+
+    def grams(n: Int): Array[String] = {
+      val count = math.max(toks.length - (n - 1), 1)
+      Array.tabulate(count)(i => toks.slice(i, i + n).mkString(" "))
+    }
+    def maxFreq(xs: Array[String]): Long = {
+      val m = new java.util.HashMap[String, Long](xs.length * 2)
+      var best = 0L
+      var i = 0
+      while (i < xs.length) {
+        val c = m.merge(xs(i), 1L, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      best
+    }
+    val bi = grams(2)
+    val tri = grams(3)
+    val triSet = new java.util.HashSet[String](tri.length * 2)
+    tri.foreach(triSet.add)
+    (toks.length.toLong, maxFreq(toks), bi.length.toLong, maxFreq(bi),
+      tri.length.toLong, triSet.size.toLong)
+  }
+
   // --- md5 shingle-hash kernels ------------------------------------------
 
   /** Word 3-grams exactly as [[wordNgrams]] / the DuckDB oracles build

@@ -217,6 +217,71 @@ object Similarity {
       .toDF("id_a", "id_b")
   }
 
+  /** One k-means assignment (E) step over cosine similarity: every row
+    * is labeled with the id of its nearest centroid. Centroids are the
+    * small side by contract (k vectors) — collected, sorted by id, and
+    * broadcast as primitive arrays; the data streams through one
+    * embarrassingly-parallel pass (no shuffle at all), which is the
+    * shape that holds at any corpus size. Ties (equal cosine) keep the
+    * lowest centroid id, so the assignment is deterministic and matches
+    * a `ROW_NUMBER() OVER (ORDER BY cos DESC, centroid_id ASC)` oracle.
+    *
+    * The cosine kernel uses the same left-to-right fold as
+    * [[bruteForceTopK]], so scores are bit-identical to that baseline.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidVec: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cData: Array[(Long, Array[Float], Double)] = centroids
+      .select(col(centroidId).cast("long"), col(centroidVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    require(cData.nonEmpty, "kmeansAssign needs at least one centroid")
+    val bc = spark.sparkContext.broadcast(cData)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          var vn = 0.0
+          var i = 0
+          while (i < v.length) { vn += v(i).toDouble * v(i).toDouble; i += 1 }
+          val vNorm = math.sqrt(vn)
+          var best = cs(0)._1
+          var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val (cid, cv, cNorm) = cs(ci)
+            var d = 0.0
+            var j = 0
+            val n = math.min(v.length, cv.length)
+            while (j < n) { d += v(j).toDouble * cv(j).toDouble; j += 1 }
+            val denom = vNorm * cNorm
+            val cos = if (denom == 0.0) 0.0 else d / denom
+            // strict > keeps the first (lowest-id) centroid on ties
+            if (cos > bestCos) { bestCos = cos; best = cid }
+            ci += 1
+          }
+          (id, best, bestCos)
+        }
+      }
+      .toDF(idCol, "cluster", "cosine")
+  }
+
   /** IVF (inverted-file) top-k — the centroid-partitioned ANN variant
     * beside the hyperplane-LSH one ([[annTopK]]): train `nlist` coarse
     * centroids with a few Lloyd iterations, assign every corpus row to

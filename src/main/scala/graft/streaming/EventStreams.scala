@@ -36,6 +36,37 @@ object EventStreams {
         col("total_value")
       )
 
+  /** Stream-static enrichment + windowed aggregation: events joined to a
+    * small static dimension (`user_id` → `segment`) then aggregated per
+    * (window, segment, event_type). The dimension side is explicitly
+    * broadcast — in streaming mode this is the canonical stream-static
+    * join (re-resolved per micro-batch, no state), and in batch mode the
+    * same plan is a map-side hash join; either way the only shuffle is
+    * the aggregation's. Works on a batch OR watermarked streaming
+    * events DataFrame.
+    */
+  def enrichedWindowedAgg(
+      events: DataFrame,
+      users: DataFrame,
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    events
+      .join(broadcast(users), Seq("user_id"))
+      .groupBy(window(col("ts"), windowLength), col("segment"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("total_value")
+      )
+      .select(
+        col("window.start").as("wstart"),
+        col("segment"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+
   /** Streaming variant with a watermark (late events beyond `lateness`
     * are dropped; state for closed windows is evicted — the scale knob
     * for unbounded streams).

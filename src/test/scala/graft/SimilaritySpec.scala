@@ -50,6 +50,37 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("kmeansAssign labels every row with its nearest centroid") {
+    val data = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)),
+      (13L, Seq(-0.1f, 0.9f)),
+      (14L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .kmeansAssign(data, "vec_id", "embedding", cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 13L -> 1L,
+      14L -> 1L)) // (-1,0): cos -1 vs 0 → centroid 1
+  }
+
+  test("kmeansAssign breaks equal-cosine ties toward the lowest centroid id") {
+    val data = Seq((20L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (5L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)) // same cosine to (1,1); 3 < 5 must win
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .kmeansAssign(data, "vec_id", "embedding", cents, "vec_id", "embedding")
+      .collect()
+    assert(got.head.getLong(1) === 3L)
+  }
+
   test("bruteForceTopK ranks nearest first with deterministic ties") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),

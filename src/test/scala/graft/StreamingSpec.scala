@@ -53,6 +53,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.toSet.subsetOf(b.toSet))
   }
 
+  test("stream-static enrichment join matches batch result") {
+    val dim = Tables.customer(spark, "/root/testdata/sf0.001")
+      .join(Tables.nation(spark, "/root/testdata/sf0.001"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("segment"))
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      EventStreams.enrichedWindowedAgg(
+        stream.withWatermark("ts", "2 hours"), dim),
+      "enrich_test"
+    )
+    val batch = EventStreams
+      .enrichedWindowedAgg(spark.read.parquet(eventsDir), dim)
+
+    val maxTs = spark.read.parquet(eventsDir)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 3 * 3600 * 1000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getString(2), r.getLong(3), r.getDouble(4)))
+    val s = rows(streamed)
+    val b = rows(batch)
+    assert(s.nonEmpty)
+    assert(s.filter(_._1.before(horizon)).toSet ===
+      b.filter(_._1.before(horizon)).toSet)
+    assert(s.toSet.subsetOf(b.toSet))
+  }
+
   test("streaming dedup drops key duplicates within the watermark") {
     val schema = spark.read.parquet(eventsDir).schema
     // duplicate the whole stream: every key arrives at least twice
