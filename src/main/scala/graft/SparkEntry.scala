@@ -49,6 +49,8 @@ object SparkEntry {
     "q45_char_quality" -> (TextQueries.qCharQuality _),
     "q47_repetition" -> (TextQueries.qRepetition _),
     "q48_tfidf" -> (TextQueries.qTfidf _),
+    "q54_contamination" -> (TextQueries.qContamination _),
+    "q56_corpus_prepare" -> (TextQueries.qCorpusPrepare _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q49_kmeans_assign" -> (SimilarityQueries.qKmeansAssign _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q45_char_quality" -> TextQueries.qCharQualitySql,
     "q47_repetition" -> TextQueries.qRepetitionSql,
     "q48_tfidf" -> TextQueries.qTfidfSql,
+    "q54_contamination" -> TextQueries.qContaminationSql,
+    "q56_corpus_prepare" -> TextQueries.qCorpusPrepareSql,
     "q46_quantize_i8" -> SimilarityQueries.qQuantizeI8Sql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q49_kmeans_assign" -> SimilarityQueries.qKmeansAssignSql,

@@ -156,6 +156,22 @@ object TextFunctions {
     Array.tabulate(count)(i => toks.slice(i, i + 3).mkString(" "))
   }
 
+  /** Distinct word n-grams, first-occurrence order, same shingle
+    * convention as [[wordNgrams]] — the JVM form for kernel operators
+    * (e.g. [[graft.operators.Decontaminate]]).
+    */
+  private[graft] def distinctGramsJvm(text: String, n: Int): Array[String] = {
+    val t = if (text == null) "" else text.trim
+    val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    val count = math.max(toks.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) { seen.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {

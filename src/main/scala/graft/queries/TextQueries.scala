@@ -370,6 +370,105 @@ object TextQueries {
       |  FROM scored)
       |WHERE rank <= 3""".stripMargin
 
+  /** q54 — benchmark decontamination: find corpus documents sharing
+    * 5-gram shingles with a benchmark set (here: the 60%-token prefixes
+    * of every 97th doc — a deterministic stand-in for an eval set's
+    * questions). The benchmark grams broadcast as one hash map and the
+    * corpus streams through a single kernel pass (no explode, no join,
+    * no shuffle — see [[graft.operators.Decontaminate]]; the exploded
+    * join form measured 3.9s vs 0.1s at sf0.1).
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val prefix = concat_ws(" ",
+      slice(toks, lit(1),
+        greatest(floor(size(toks) * 0.6), lit(1)).cast("int")))
+    val bench = docs
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), prefix.as("text"))
+    graft.operators.Decontaminate.contaminationReport(
+      docs, "doc_id", "text", bench, "bench_id", "text", n = 5)
+  }
+
+  val qContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |bench AS (
+      |  SELECT doc_id AS bench_id,
+      |    t[1:CAST(greatest(floor(len(t) * 0.6), 1) AS INT)] AS p
+      |  FROM toks WHERE doc_id % 97 = 0),
+      |bgrams AS (
+      |  SELECT DISTINCT bench_id, g FROM (
+      |    SELECT bench_id,
+      |      unnest(list_transform(range(1, greatest(len(p) - 4, 1) + 1),
+      |        i -> array_to_string(p[i:i+4], ' '))) AS g
+      |    FROM bench)),
+      |cgrams AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+      |        i -> array_to_string(t[i:i+4], ' '))) AS g
+      |    FROM toks))
+      |SELECT doc_id, COUNT(DISTINCT c.g) AS n_shared_grams,
+      |  COUNT(DISTINCT bench_id) AS n_bench_hit
+      |FROM cgrams c JOIN bgrams b ON c.g = b.g
+      |GROUP BY doc_id""".stripMargin
+
+  /** q56 — end-to-end corpus preparation, the composed training-data
+    * pipeline a user would actually run: exact dedup (min-id survivor
+    * per content hash) → quality gates (length, type-token ratio,
+    * alpha ratio — all integer-ratio doubles, so threshold membership
+    * is bit-identical across engines) → per-language corpus stats.
+    * One dedup shuffle + one stats shuffle; the gates are pure
+    * projections.
+    */
+  def qCorpusPrepare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(docs
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val keep = corpus
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    corpus
+      .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(
+        tokenCount(col("text")) >= 20 &&
+          typeTokenRatio(col("text")) >= 0.45 &&
+          alphaRatio(col("text")) >= 0.80)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("total_tokens")
+      )
+      .orderBy("lang")
+  }
+
+  val qCorpusPrepareSql: String =
+    """WITH corpus AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+      |m AS (
+      |  SELECT c.doc_id, lang, text,
+      |    string_split_regex(trim(text), '\s+') AS t
+      |  FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+      |f AS (
+      |  SELECT doc_id, lang, len(t) AS n_tok FROM m
+      |  WHERE len(t) >= 20
+      |    AND CAST(len(list_distinct(t)) AS DOUBLE)
+      |        / CAST(len(t) AS DOUBLE) >= 0.45
+      |    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |        AS DOUBLE) / CAST(length(text) AS DOUBLE) >= 0.80)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
     * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),
     * giving hash-identical fingerprint/simhash oracles.

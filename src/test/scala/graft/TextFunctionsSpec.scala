@@ -73,6 +73,40 @@ class TextFunctionsSpec extends SparkSpecBase {
         s"predicted ${r.getString(0)}, expected ${r.getString(1)}"))
   }
 
+  test("contamination report counts shared grams and bench docs hit") {
+    import graft.operators.Decontaminate
+    val docs = Seq(
+      (1L, "a b c d e f"), // shares "a b c" with bench 10, "d e f" with 11
+      (2L, "x y z w v u"), // clean
+      (3L, "a b c q r s")  // shares "a b c" with bench 10 only
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c"),
+      (11L, "d e f")
+    ).toDF("bench_id", "text")
+    val got = Decontaminate
+      .contaminationReport(docs, "doc_id", "text", bench, "bench_id",
+        "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === Map(1L -> ((2L, 2L)), 3L -> ((1L, 1L)))) // doc 2 absent
+  }
+
+  test("repetition kernel counts tokens, top grams, and distinct trigrams") {
+    val r = Seq("a a a b a b x")
+      .toDF("text")
+      .select(repetitionStatsUdf(col("text")).as("s"))
+      .select("s._1", "s._2", "s._3", "s._4", "s._5", "s._6")
+      .head()
+    assert(r.getLong(0) === 7) // tokens
+    assert(r.getLong(1) === 4) // "a" appears 4×
+    assert(r.getLong(2) === 6) // bigrams
+    assert(r.getLong(3) === 2) // "a a" and "a b" both twice; max 2
+    assert(r.getLong(4) === 5) // trigrams
+    assert(r.getLong(5) === 5) // "a a a","a a b","a b a","b a b","a b x" all distinct
+  }
+
   test("quality ratios on punctuation-bearing text") {
     val r = Seq("Hello, world! This is fine.")
       .toDF("text")
