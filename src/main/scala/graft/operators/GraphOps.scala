@@ -83,12 +83,18 @@ object GraphOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (a) neighborhood min: labels flow across every edge (+ self-loop)
+      // (a) neighborhood min: labels flow across every edge (+ self-loop).
+      // Checkpointed eagerly: the pointer-jump below self-joins this
+      // frame, and Spark plans the join-aggregate subtree once PER
+      // REFERENCE (no ReusedExchange across the differing join keys —
+      // verified in the formatted plan), so without materialization
+      // every round paid the exchange twice.
       val exchanged = bi
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
         .groupBy("id")
         .agg(min("comp").as("comp"))
+        .localCheckpoint(true)
       // (b) pointer jumping: comp := comp(comp) — halves label depth,
       // so convergence is O(log diameter) rounds
       val obs = org.apache.spark.sql.Observation()
