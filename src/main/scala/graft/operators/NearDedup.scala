@@ -144,9 +144,15 @@ object NearDedup {
         sig
       }
     }
+    // Materialized once: the band self-join below references this frame
+    // on both sides and Spark plans the subtree per reference (no
+    // ReusedExchange) — without truncation the signature kernel runs
+    // twice over the corpus. One row of 64 longs per doc, tiny next to
+    // the text it replaces.
     val withSig = df
       .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
+      .localCheckpoint(true)
 
     val banded = withSig
       .select(
@@ -283,6 +289,9 @@ object NearDedup {
     // hot bucket still meets its near-dups through its other blocks.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block"), col("blockBits"))
+    // Materialized once: both join sides below reference this frame and
+    // Spark plans the subtree per reference (no ReusedExchange), which
+    // would run the simhash kernel AND the bucket-cap window twice.
     val blocked = withSig
       .select(col("__id"), col("__sh"), explode(array(blocks: _*)).as("__blk"))
       .select(col("__id"), col("__sh"), col("__blk.block"),
@@ -290,6 +299,7 @@ object NearDedup {
       .withColumn("__bcount", count(lit(1)).over(w))
       .filter(col("__bcount") <= maxBucketSize)
       .drop("__bcount")
+      .localCheckpoint(true)
 
     val left = blocked.select(col("block"), col("blockBits"),
       col("__id").as("id_a"), col("__sh").as("sh_a"))

@@ -564,16 +564,21 @@ object TextQueries {
       .withColumn("doc_id", col("doc_id") + lit(1000000L)))
   }
 
-  /** md5-minhash signatures as 8 columns. One kernel pass computes all 8
-    * mins (NEVER localCheckpoint a frame like this: checkpoint
-    * materializes WITHOUT whole-stage codegen, so interpreted-expression
-    * sig variants went 0.3s → 28s).
+  /** md5-minhash signatures as 8 columns, materialized once: q36/q38
+    * reference this frame four times (both band-join sides + both
+    * agreement joins) and Spark plans the subtree per reference, so
+    * without truncation the md5 kernel runs 4× over the corpus.
+    * Checkpointing is safe here BECAUSE the projection is a primitive
+    * kernel UDF — for interpreted higher-order expression trees the
+    * same move is a trap (checkpoint materializes WITHOUT whole-stage
+    * codegen; a sig variant in that form went 0.3s → 28s).
     */
   private def md5Sigs(input: DataFrame): DataFrame =
     input
       .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
       .select(col("doc_id") +:
         (0 until 8).map(i => col("sig")(i).as(s"mh_$i")): _*)
+      .localCheckpoint(true)
 
   /** LSH banding (4 bands × 2 rows) → distinct candidate pairs. */
   private def bandCandidates(sigs: DataFrame): DataFrame = {
