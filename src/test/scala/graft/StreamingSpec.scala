@@ -103,6 +103,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(deduped.count() === distinctKeys)
   }
 
+  test("streaming corpus ingestion: quality gates + dedup match batch") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // copies make the dedup stage meaningful
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val dir = Files.createTempDirectory("docs-stream").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    def ingest(df: org.apache.spark.sql.DataFrame) =
+      df.filter(
+          tokenCount(col("text")) >= 20 &&
+            typeTokenRatio(col("text")) >= 0.45 &&
+            alphaRatio(col("text")) >= 0.80)
+        .withColumn("h", md5(col("text")))
+        .dropDuplicates("h")
+
+    val schema = spark.read.parquet(dir).schema
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      ingest(spark.readStream.schema(schema).parquet(dir)),
+      "corpus_ingest_test"
+    )
+    val batch = ingest(spark.read.parquet(dir))
+    // which duplicate row survives depends on arrival order — compare
+    // the surviving CONTENT set, which is deterministic
+    val sH = streamed.select("h").collect().map(_.getString(0)).toSet
+    val bH = batch.select("h").collect().map(_.getString(0)).toSet
+    assert(sH.nonEmpty)
+    assert(sH === bH)
+  }
+
   test("flatMapGroupsWithState session count matches session_window") {
     val events = spark.read.parquet(eventsDir)
       .select(col("user_id"), col("ts"))
