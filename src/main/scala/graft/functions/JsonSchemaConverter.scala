@@ -46,6 +46,19 @@ object JsonSchemaConverter {
       val target = path.foldLeft(root)((n, p) => n.get(p))
       return convertType(target, root)
     }
+    // anyOf nullable unions (pydantic emits `anyOf: [{type: X},
+    // {type: "null"}]` for `X | None`): take the first non-null member,
+    // mirroring the reference's Union handling (nlp_task.py:370-374
+    // "just grab first arg"; everything is nullable at the schema layer)
+    val anyOf = node.get("anyOf")
+    if (anyOf != null && anyOf.isArray) {
+      val members = (0 until anyOf.size()).map(anyOf.get)
+      val nonNull = members.find { m =>
+        val t = m.get("type")
+        t == null || t.asText() != "null"
+      }
+      return nonNull.map(convertType(_, root)).getOrElse(StringType)
+    }
     if (node.has("enum")) return StringType
 
     val t = node.get("type")

@@ -1,0 +1,150 @@
+package graft
+
+import graft.nlp.{ModelRunner, StudyTasks}
+import org.apache.spark.sql.types._
+
+/** Parses the reference's OWN study tasks.toml files (read-only
+  * fixtures) and checks the expansion matches the reference's rules
+  * (nlp_task.py:485-560): shared fallbacks, per-model task naming,
+  * versioning, prompt placeholder assembly, and response-schema →
+  * StructType conversion with the spans rewrite.
+  */
+class StudyTasksSpec extends SparkSpecBase {
+
+  private val studies = "/root/reference/cumulus_etl/etl/studies"
+
+  test("example study: nameless task expands per model with age schema") {
+    val tasks = StudyTasks.load("example", s"$studies/example/tasks.toml")
+    // example/tasks.toml: one nameless task, six models
+    assert(tasks.length === 6)
+    assert(tasks.map(_.tableName).contains("example__nlp_gpt4"))
+    assert(tasks.map(_.tableName).contains("example__nlp_claude_sonnet45"))
+    assert(tasks.map(_.tableName).contains("example__nlp_gpt_oss_120b"))
+    val t = tasks.find(_.model == "gpt4").get
+    assert(t.version === 1)
+    assert(t.name.isEmpty)
+    // system prompt: schema inlined, placeholder gone
+    assert(t.systemPrompt.contains("\"AgeMention\""))
+    assert(!t.systemPrompt.contains("%JSON-SCHEMA%"))
+    // no user-prompt in the file → bare note
+    assert(t.userPrompt("NOTE TEXT") === "NOTE TEXT")
+    // age.json: has_mention bool?, spans list[str] → array<array<int>>,
+    // age int?
+    val result = t.resultSchema
+    assert(result("has_mention").dataType === BooleanType)
+    assert(result("age").dataType === IntegerType)
+    assert(result("spans").dataType === ArrayType(ArrayType(IntegerType)))
+    // full output row matches the reference's get_schema column set
+    assert(t.outputSchema.fieldNames.toSeq === Seq("note_ref",
+      "encounter_ref", "subject_ref", "generated_on", "task_version",
+      "system_fingerprint", "result"))
+    assert(t.cacheNamespace === "example__nlp_gpt4_v1")
+  }
+
+  test("ibd study: shared prompts fall back; named tasks expand per model") {
+    val tasks = StudyTasks.load("ibd", s"$studies/ibd/tasks.toml")
+    val names = tasks.map(_.tableName)
+    assert(names.contains("ibd__nlp_diagnosis_claude_sonnet45"))
+    assert(names.contains("ibd__nlp_diagnosis_gpt51"))
+    assert(names.contains("ibd__nlp_genetic_findings_gpt_oss_120b"))
+    // every task gets the shared prompts and model list
+    val byName = tasks.groupBy(_.name.get)
+    assert(byName("diagnosis").length === 3) // 3 shared models
+    val diag = byName("diagnosis").head
+    assert(diag.version === 4)
+    assert(diag.systemPromptTemplate.contains("chart reviewer"))
+    assert(diag.userPromptTemplate.contains("%CLINICAL-NOTE%"))
+    assert(diag.userPrompt("the note").contains("the note"))
+    assert(!diag.userPrompt("the note").contains("%CLINICAL-NOTE%"))
+    // nested span fields rewritten at depth too
+    def hasRawSpanStrings(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists { f =>
+        (f.name == "spans" && f.dataType == ArrayType(StringType)) ||
+          hasRawSpanStrings(f.dataType)
+      }
+      case ArrayType(e, _) => hasRawSpanStrings(e)
+      case _ => false
+    }
+    assert(!hasRawSpanStrings(diag.resultSchema))
+  }
+
+  test("glioma and irae studies parse without errors") {
+    val g = StudyTasks.load("glioma", s"$studies/glioma/tasks.toml")
+    val i = StudyTasks.load("irae", s"$studies/irae/tasks.toml")
+    assert(g.nonEmpty && i.nonEmpty)
+    // table names are unique across the expansion
+    assert(g.map(_.tableName).distinct.length === g.length)
+    assert(i.map(_.tableName).distinct.length === i.length)
+  }
+
+  test("annotate runs a study task over notes with typed results") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tasks = StudyTasks.load("example", s"$studies/example/tasks.toml")
+    val task = tasks.find(_.model == "gpt4").get
+    val notes = Seq(
+      (1L, "Patient is 42 years old."),
+      (2L, "No age documented.")
+    ).toDF("note_id", "text")
+    val emptyCache = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("checksum", StringType),
+        StructField("result", StringType))))
+    // fake model: proves the full prompt (system with inlined schema +
+    // user with inlined note) reaches the client, answers with JSON
+    // conforming to the response schema
+    val client = new ModelRunner.ModelClient {
+      def complete(prompts: Seq[String]): Seq[String] = prompts.map { p =>
+        assert(p.contains("AgeMention")) // schema inlined via system
+        val age = if (p.contains("42")) "42" else "null"
+        s"""{"has_mention": ${age != "null"}, "spans": [], "age": $age}"""
+      }
+    }
+    val (annotated, fresh) = StudyTasks.annotate(
+      task, notes, "note_id", "text", emptyCache, client)
+    val byId = annotated
+      .select(col("note_id"), col("result.age"), col("result.has_mention"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2)))
+      .toMap
+    assert(byId(1L) === ((Some(42), true)))
+    assert(byId(2L) === ((None, false)))
+    assert(fresh.count() === 2) // both notes were cache misses
+  }
+
+  test("validation failures mirror the reference's required keys") {
+    val dir = java.nio.file.Files.createTempDirectory("toml-test")
+    def write(body: String): String = {
+      val f = dir.resolve("tasks.toml")
+      java.nio.file.Files.write(f, body.getBytes("UTF-8"))
+      f.toString
+    }
+    java.nio.file.Files.write(dir.resolve("s.json"),
+      """{"type":"object","properties":{"x":{"type":"string"}}}"""
+        .getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { // missing response-schema
+      StudyTasks.load("t", write(
+        "[[task]]\nsystem-prompt = \"p\"\nmodels = [\"m\"]\n"))
+    }
+    intercept[IllegalArgumentException] { // missing system-prompt
+      StudyTasks.load("t", write(
+        "[[task]]\nresponse-schema = \"s.json\"\nmodels = [\"m\"]\n"))
+    }
+    intercept[IllegalArgumentException] { // missing models
+      StudyTasks.load("t", write(
+        "[[task]]\nresponse-schema = \"s.json\"\nsystem-prompt = \"p\"\n"))
+    }
+    intercept[IllegalArgumentException] { // path elements forbidden
+      StudyTasks.load("t", write(
+        "[[task]]\nresponse-schema = \"../s.json\"\n" +
+          "system-prompt = \"p\"\nmodels = [\"m\"]\n"))
+    }
+    // minimal valid file
+    val ok = StudyTasks.load("t", write(
+      "[[task]]\nresponse-schema = \"s.json\"\n" +
+        "system-prompt = \"p %JSON-SCHEMA%\"\nmodels = [\"m-1\"]\n"))
+    assert(ok.length === 1)
+    assert(ok.head.tableName === "t__nlp_m_1")
+    assert(ok.head.version === 0)
+    assert(ok.head.resultSchema("x").dataType === StringType)
+  }
+}
