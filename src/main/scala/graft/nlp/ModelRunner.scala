@@ -99,6 +99,11 @@ object ModelRunner {
     * answered entirely from the updated cache. Returns (annotated,
     * fresh cache entries).
     */
+  /** @param promptCol column holding the full prompt to submit when it
+    *                  differs from `textCol` (study tasks assemble
+    *                  system+user prompts around the note, but the
+    *                  cache stays keyed on the note text)
+    */
   def annotateViaBatch(
       notes: DataFrame,
       idCol: String,
@@ -108,7 +113,8 @@ object ModelRunner {
       spoolDir: String,
       maxLines: Int = 50000,
       pollIntervalMs: Long = 1000L,
-      maxPolls: Int = 10000
+      maxPolls: Int = 10000,
+      promptCol: Option[String] = None
   ): (DataFrame, DataFrame) = {
     val spark = notes.sparkSession
     val jobsFile = java.nio.file.Paths.get(spoolDir, "batch-jobs.json")
@@ -123,7 +129,8 @@ object ModelRunner {
         val withSum = notes.withColumn("checksum", sha2(col(textCol), 256))
         val misses = withSum
           .join(cache.select("checksum"), Seq("checksum"), "left_anti")
-          .select(col("checksum"), col(textCol).as("prompt"))
+          .select(col("checksum"),
+            col(promptCol.getOrElse(textCol)).as("prompt"))
           .dropDuplicates("checksum")
         val promptDir = s"$spoolDir/prompts"
         misses.write.option("maxRecordsPerFile", maxLines)

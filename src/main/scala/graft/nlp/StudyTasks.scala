@@ -164,6 +164,38 @@ object StudyTasks {
       from_json(col("result"), task.resultSchema)), fresh)
   }
 
+  /** Batch-mode variant (the reference's `--batch` flag, 0.5× provider
+    * pricing): cache-miss prompts spool to capped JSONL files, jobs
+    * submit with crash-safe resume, results land in the cache — see
+    * [[ModelRunner.annotateViaBatch]]. The spooled prompt is the full
+    * assembled (system + user) prompt; the cache key stays the note
+    * text, so batch and per-row modes share one cache.
+    */
+  def annotateBatch(
+      task: StudyTask,
+      notes: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      cache: org.apache.spark.sql.DataFrame,
+      client: ModelRunner.BatchModelClient,
+      spoolDir: String,
+      maxLines: Int = 50000,
+      pollIntervalMs: Long = 1000L,
+      maxPolls: Int = 10000
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val t = task
+    val promptUdf = udf { (note: String) =>
+      t.systemPrompt + "\n\n" + t.userPrompt(note)
+    }
+    val withPrompt = notes.withColumn("__prompt", promptUdf(col(textCol)))
+    val (annotated, fresh) = ModelRunner.annotateViaBatch(
+      withPrompt, idCol, textCol, cache, client, spoolDir,
+      maxLines, pollIntervalMs, maxPolls, promptCol = Some("__prompt"))
+    (annotated.withColumn("result",
+      from_json(col("result"), task.resultSchema)), fresh)
+  }
+
   /** Rewrite every field named `spans` (a list of quoted strings in the
     * model's response) to `array<array<int>>` — the span back-matcher
     * (F12, NoteOps.matchSpans) replaces the text spans with (begin, end)

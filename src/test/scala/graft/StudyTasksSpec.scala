@@ -111,6 +111,54 @@ class StudyTasksSpec extends SparkSpecBase {
     assert(fresh.count() === 2) // both notes were cache misses
   }
 
+  test("annotateBatch spools full prompts but keys the cache on note text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val task = StudyTasks.load("example", s"$studies/example/tasks.toml")
+      .find(_.model == "gpt4").get
+    val notes = Seq((1L, "note one"), (2L, "note two"), (3L, "note one"))
+      .toDF("note_id", "text")
+    val emptyCache = Seq.empty[(String, String)].toDF("checksum", "result")
+    // fake provider: answers each spooled prompt with a schema-typed
+    // JSON embedding proof the FULL prompt (system+user) was submitted
+    val client = new ModelRunner.BatchModelClient {
+      def submit(promptFile: String): String = promptFile
+      def poll(jobId: String): Option[String] = {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.lines(java.nio.file.Paths.get(jobId))
+            .iterator()).asScala.map { l =>
+          val row = mapper.readTree(l)
+          val p = row.get("prompt").asText()
+          assert(p.contains("AgeMention")) // system prompt w/ schema
+          val res = mapper.createObjectNode()
+          res.put("has_mention", true)
+          res.set("spans", mapper.createArrayNode())
+          res.put("age", p.length) // distinguishes prompts
+          val out = mapper.createObjectNode()
+          out.put("checksum", row.get("checksum").asText())
+          out.put("result", res.toString)
+          out.toString
+        }.mkString("\n")
+        val out = jobId + ".results"
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          lines.getBytes("UTF-8"))
+        Some(out)
+      }
+    }
+    val spool = java.nio.file.Files.createTempDirectory("study-spool")
+    val (annotated, fresh) = StudyTasks.annotateBatch(
+      task, notes, "note_id", "text", emptyCache, client, spool.toString,
+      pollIntervalMs = 1L)
+    val byId = annotated
+      .select(col("note_id"), col("result.has_mention"), col("result.age"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2)))
+      .toMap
+    assert(byId.keySet === Set(1L, 2L, 3L))
+    assert(byId(1L) === byId(3L)) // same note text → same cached answer
+    assert(fresh.count() === 2) // distinct note contents only
+  }
+
   test("validation failures mirror the reference's required keys") {
     val dir = java.nio.file.Files.createTempDirectory("toml-test")
     def write(body: String): String = {
