@@ -51,6 +51,8 @@ object SparkEntry {
     "q48_tfidf" -> (TextQueries.qTfidf _),
     "q54_contamination" -> (TextQueries.qContamination _),
     "q56_corpus_prepare" -> (TextQueries.qCorpusPrepare _),
+    "q57_source_mix" -> (TextQueries.qSourceMix _),
+    "q58_seq_pack" -> (TextQueries.qSeqPack _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q49_kmeans_assign" -> (SimilarityQueries.qKmeansAssign _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q48_tfidf" -> TextQueries.qTfidfSql,
     "q54_contamination" -> TextQueries.qContaminationSql,
     "q56_corpus_prepare" -> TextQueries.qCorpusPrepareSql,
+    "q57_source_mix" -> TextQueries.qSourceMixSql,
+    "q58_seq_pack" -> TextQueries.qSeqPackSql,
     "q46_quantize_i8" -> SimilarityQueries.qQuantizeI8Sql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q49_kmeans_assign" -> SimilarityQueries.qKmeansAssignSql,

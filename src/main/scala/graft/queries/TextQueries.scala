@@ -469,6 +469,80 @@ object TextQueries {
       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q57 — deterministic source mixing: sample each source at its own
+    * rate using a content-independent hash draw (`md5(doc_id)`'s top 60
+    * bits against `rate × 2^60`), the reproducible way training
+    * pipelines reweight corpora — no RNG state, any engine or rerun
+    * selects the identical rows, and the filter is a pure projection
+    * (no shuffle before the stats aggregate). Rates here: even sources
+    * 100%, odd sources 25%.
+    */
+  def qSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    // floor(rate * 2^60) as exact long thresholds
+    val full = 1152921504606846976L // 2^60
+    val quarter = full / 4
+    val threshold = when(
+      regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2 === 0,
+      lit(full)).otherwise(lit(quarter))
+    Tables.documents(spark, dir)
+      .filter(h < threshold)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(tokenCount(col("text"))).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val qSourceMixSql: String =
+    """SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS kept_tokens
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |  < CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+      |              % 2 = 0
+      |         THEN 1152921504606846976
+      |         ELSE 288230376151711744 END
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q58 — sequence packing: greedily pack documents (in id order) into
+    * fixed token-budget training sequences via a running-sum window,
+    * partitioned by language so packing parallelizes across groups (the
+    * scale shape: one window shuffle keyed on the partition column, no
+    * global sort). A doc starts a new pack when the budget would
+    * overflow — `pack = floor(cum_before / budget)` over the
+    * language-ordered stream.
+    */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tok")) / budget).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+  }
+
+  val qSeqPackSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT lang, n_tok,
+      |    CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0) AS BIGINT)
+      |      AS pack_id
+      |  FROM toks)
+      |SELECT lang, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+      |FROM packed GROUP BY lang, pack_id""".stripMargin
+
   /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
     * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),
     * giving hash-identical fingerprint/simhash oracles.
