@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.StructType
   */
 object NdjsonSource {
 
+  /** NDJSON-bearing file names: .ndjson/.jsonl, plain or gzipped (the
+    * reference tolerates .gz exports — SURVEY §2.1 S1).
+    */
+  private def isNdjsonName(name: String): Boolean =
+    name.endsWith(".ndjson") || name.endsWith(".jsonl") ||
+      name.endsWith(".ndjson.gz") || name.endsWith(".jsonl.gz")
+
   /** Per-resource file map: each file typed by its first row's
     * resourceType (the reference's per-file detection,
     * loaders/fhir/ndjson_loader.py:31-38) — driver-side planning (S2),
@@ -28,13 +35,19 @@ object NdjsonSource {
     val path = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(path)) return Map.empty
     val files = fs.listStatus(path).toSeq
-      .filter(s => s.isFile && (s.getPath.getName.endsWith(".ndjson") ||
-        s.getPath.getName.endsWith(".jsonl")))
+      .filter(s => s.isFile && isNdjsonName(s.getPath.getName))
     files.flatMap { s =>
       val in = fs.open(s.getPath)
       try {
+        // .gz exports decompress transparently for detection (the
+        // reference tolerates gzipped NDJSON, common.py:228; Spark's
+        // JSON scan decompresses by extension on its own)
+        val stream: java.io.InputStream =
+          if (s.getPath.getName.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(in)
+          else in
         val reader = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8"))
+          new java.io.InputStreamReader(stream, "UTF-8"))
         Option(reader.readLine()).flatMap { line =>
           "\"resourceType\"\\s*:\\s*\"([A-Za-z]+)\"".r
             .findFirstMatchIn(line).map(_.group(1) -> s.getPath.toString)
@@ -58,8 +71,7 @@ object NdjsonSource {
     val path = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(path)) return Nil
     fs.listStatus(path).toSeq
-      .filter(s => s.isFile && (s.getPath.getName.endsWith(".ndjson") ||
-        s.getPath.getName.endsWith(".jsonl")))
+      .filter(s => s.isFile && isNdjsonName(s.getPath.getName))
       .map(_.getPath.toString)
       .sorted
   }

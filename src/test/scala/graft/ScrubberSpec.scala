@@ -252,6 +252,27 @@ class ScrubberSpec extends SparkSpecBase {
     assert(NdjsonSource.readResource(spark, dir, "Patient").count() === 1)
   }
 
+  test("gzipped ndjson files are detected AND read") {
+    val dir = java.nio.file.Files.createTempDirectory("gz").toString
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/Patient.ndjson.gz"))
+    out.write(
+      """{"resourceType":"Patient","id":"pg1","gender":"other"}"""
+        .getBytes("UTF-8"))
+    out.close()
+    assert(NdjsonSource.detectResources(spark, dir) === Set("Patient"))
+    assert(NdjsonSource.readResource(spark, dir, "Patient").count() === 1)
+    // and the reference's own gzipped example-study export detects too
+    val example =
+      "/root/reference/cumulus_etl/etl/studies/example/ndjson"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(example))) {
+      val types = NdjsonSource.detectResources(spark, example)
+      assert(types.contains("DocumentReference"))
+      assert(NdjsonSource
+        .readResource(spark, example, "DocumentReference").count() > 0)
+    }
+  }
+
   test("last-wins dedup follows export FILE order, not partition order") {
     val dir = java.nio.file.Files.createTempDirectory("fileorder").toString
     // earlier file is much larger: size-ordered split packing would rank
