@@ -53,6 +53,7 @@ object SparkEntry {
     "q56_corpus_prepare" -> (TextQueries.qCorpusPrepare _),
     "q57_source_mix" -> (TextQueries.qSourceMix _),
     "q58_seq_pack" -> (TextQueries.qSeqPack _),
+    "q59_chunking" -> (TextQueries.qChunking _),
     "q30_cosine_topk" -> (SimilarityQueries.qCosineTopK _),
     "q49_kmeans_assign" -> (SimilarityQueries.qKmeansAssign _),
     "q31_ann_topk" -> (SimilarityQueries.qAnnTopK _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q56_corpus_prepare" -> TextQueries.qCorpusPrepareSql,
     "q57_source_mix" -> TextQueries.qSourceMixSql,
     "q58_seq_pack" -> TextQueries.qSeqPackSql,
+    "q59_chunking" -> TextQueries.qChunkingSql,
     "q46_quantize_i8" -> SimilarityQueries.qQuantizeI8Sql,
     "q30_cosine_topk" -> SimilarityQueries.qCosineTopKSql,
     "q49_kmeans_assign" -> SimilarityQueries.qKmeansAssignSql,

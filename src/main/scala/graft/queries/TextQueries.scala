@@ -543,6 +543,41 @@ object TextQueries {
       |  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
       |FROM packed GROUP BY lang, pack_id""".stripMargin
 
+  /** q59 — document chunking: split every document into 128-token
+    * windows with a 112-token stride (16-token overlap) — the step
+    * before embedding/packing in a training pipeline. Pure integer
+    * arithmetic (`(n+111) div 112` chunks, `least(128, n - i·112)`
+    * tokens per chunk) exploded map-side: no shuffle, and the chunk
+    * count per doc is derived, not data-dependent state.
+    */
+  def qChunking(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      .withColumn("n_chunks",
+        expr("(n_tok + 111) div 112"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(128L), col("n_tok") - col("chunk_idx") * 112)
+          .as("chunk_tokens")
+      )
+
+  val qChunkingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    unnest(range(0, (n_tok + 111) // 112)) AS chunk_idx
+      |  FROM toks)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(least(128, n_tok - chunk_idx * 112) AS BIGINT) AS chunk_tokens
+      |FROM c""".stripMargin
+
   /** Shared md5-60-bit shingle hash: `conv` of the first 15 hex chars is
     * a positive long on any engine (DuckDB: `('0x'||substr)::BIGINT`),
     * giving hash-identical fingerprint/simhash oracles.
