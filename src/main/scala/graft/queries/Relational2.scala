@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.SkewOps
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,4 +128,33 @@ object Relational2 {
       |  SELECT 1 FROM lineitem
       |  WHERE l_partkey = p_partkey
       |    AND l_extendedprice / l_quantity < p_retailprice)""".stripMargin
+
+  /** q64 — salted equi-join: the hot-key mitigation (skewed side salted
+    * in [0,8), compact dimension exploded 8×) must produce EXACTLY the
+    * plain join's result — which is what the oracle checks. At local SF
+    * the join isn't skewed; the point is the REWRITE's correctness, so
+    * the same operator is safe to reach for when a 100 TB key
+    * distribution is (q64 pairs with SkewOps.keySkewProfile, the
+    * diagnostic that decides).
+    */
+  def q64SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    SkewOps.saltedJoin(events, dim, "user_id", saltFactor = 8)
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("total_value")
+      )
+      .orderBy("segment")
+  }
+
+  val q64SaltedJoinSql: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
