@@ -140,7 +140,10 @@ object StudyTasks {
     * note_text, not the prompt — nlp_task.py:259); results parse
     * against the task's response schema. Returns (annotated, fresh
     * cache rows) like [[ModelRunner.annotate]], with `result` as a
-    * typed struct column.
+    * typed struct column. An answer that is not valid JSON parses to a
+    * NULL result (the reference pydantic-validates and routes failures
+    * to the error sink, K8) — callers route `result IS NULL` rows to
+    * their ErrorSink for the same semantics.
     */
   def annotate(
       task: StudyTask,
