@@ -100,8 +100,12 @@ object StudyTasks {
         .getOrElse(throw new IllegalArgumentException(
           "The 'system-prompt' key is required for each task"))
         .trim
+      // filter(_.nonEmpty) mirrors the reference's
+      // `self.user_prompt or "%CLINICAL-NOTE%"` (nlp_task.py): an
+      // explicitly-empty prompt is falsy there, so it falls back to the
+      // bare note rather than sending an empty template
       val user = t.get("user-prompt").map(_.toString).orElse(fallbackUser)
-        .map(_.trim).getOrElse("%CLINICAL-NOTE%")
+        .map(_.trim).filter(_.nonEmpty).getOrElse("%CLINICAL-NOTE%")
       val models = t.get("models").map(_.asInstanceOf[Seq[String]])
         .getOrElse(fallbackModels)
       if (models.isEmpty)
@@ -285,7 +289,7 @@ object StudyTasks {
                     text.charAt(pos) == '\t' || text.charAt(pos) == '\n'))
                   pos += 1
               } else {
-                sb.append(unescape(text.charAt(pos + 1))); pos += 2
+                sb.append(readEscape())
               }
             } else { sb.append(c); pos += 1 }
           }
@@ -294,23 +298,55 @@ object StudyTasks {
         } else {
           pos += 1 // opening "
           val sb = new StringBuilder
-          while (text.charAt(pos) != '"') {
+          while (pos < n && text.charAt(pos) != '"') {
             val c = text.charAt(pos)
-            if (c == '\\') { sb.append(unescape(text.charAt(pos + 1))); pos += 2 }
+            if (c == '\n')
+              // TOML basic strings are single-line; a raw newline means
+              // the file is malformed (or uses a construct we don't
+              // support) — fail loudly rather than silently absorb it
+              throw new IllegalArgumentException(
+                "raw newline inside single-line basic string")
+            if (c == '\\') sb.append(readEscape())
             else { sb.append(c); pos += 1 }
           }
+          if (pos >= n) throw new IllegalArgumentException(
+            "unterminated basic string")
           pos += 1
           sb.toString
         }
       }
 
-      def unescape(c: Char): Char = c match {
-        case 'n' => '\n'
-        case 't' => '\t'
-        case 'r' => '\r'
-        case '"' => '"'
-        case '\\' => '\\'
-        case other => other
+      // at a backslash inside a basic string: consume the escape
+      // sequence, return its value. Unrecognized escapes throw (TOML
+      // reserves them) instead of silently passing the char through.
+      def readEscape(): String = {
+        if (pos + 1 >= n) throw new IllegalArgumentException(
+          "dangling backslash at end of input")
+        val c = text.charAt(pos + 1)
+        c match {
+          case 'n' => pos += 2; "\n"
+          case 't' => pos += 2; "\t"
+          case 'r' => pos += 2; "\r"
+          case 'b' => pos += 2; "\b"
+          case 'f' => pos += 2; "\f"
+          case '"' => pos += 2; "\""
+          case '\\' => pos += 2; "\\"
+          case 'u' | 'U' =>
+            val width = if (c == 'u') 4 else 8
+            if (pos + 2 + width > n) throw new IllegalArgumentException(
+              s"truncated \\$c escape")
+            val hex = text.substring(pos + 2, pos + 2 + width)
+            val cp = try Integer.parseInt(hex, 16)
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"invalid hex in \\$c escape: '$hex'")
+            }
+            pos += 2 + width
+            new String(Character.toChars(cp))
+          case other => throw new IllegalArgumentException(
+            s"unsupported escape sequence '\\$other'")
+        }
       }
 
       def parseValue(): Any = {

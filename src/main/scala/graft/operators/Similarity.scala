@@ -251,6 +251,9 @@ object Similarity {
         (id, v, math.sqrt(n))
       }
     require(cData.nonEmpty, "kmeansAssign needs at least one centroid")
+    val dim = cData(0)._2.length
+    require(cData.forall(_._2.length == dim),
+      s"centroid vectors disagree on dimension (expected $dim)")
     val bc = spark.sparkContext.broadcast(cData)
     df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -261,6 +264,12 @@ object Similarity {
           var i = 0
           while (i < v.length) { vn += v(i).toDouble * v(i).toDouble; i += 1 }
           val vNorm = math.sqrt(vn)
+          // mismatched dims would silently truncate the dot product to
+          // a wrong-but-plausible cosine; fail fast like the oracle's
+          // list_cosine_similarity does
+          require(v.length == cs(0)._2.length,
+            s"row $id vector has dimension ${v.length}, " +
+              s"centroids have ${cs(0)._2.length}")
           var best = cs(0)._1
           var bestCos = Double.NegativeInfinity
           var ci = 0
@@ -268,7 +277,7 @@ object Similarity {
             val (cid, cv, cNorm) = cs(ci)
             var d = 0.0
             var j = 0
-            val n = math.min(v.length, cv.length)
+            val n = v.length
             while (j < n) { d += v(j).toDouble * cv(j).toDouble; j += 1 }
             val denom = vNorm * cNorm
             val cos = if (denom == 0.0) 0.0 else d / denom

@@ -483,6 +483,10 @@ object TextQueries {
     // floor(rate * 2^60) as exact long thresholds
     val full = 1152921504606846976L // 2^60
     val quarter = full / 4
+    // a source with no trailing digits extracts "" → null id; null % 2
+    // is never 0, so such sources get the default 25% rate — mirrored
+    // in the oracle with TRY_CAST (NULL CASE falls to ELSE) so both
+    // engines agree on data outside the generator's naming convention
     val threshold = when(
       regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 2 === 0,
       lit(full)).otherwise(lit(quarter))
@@ -500,7 +504,7 @@ object TextQueries {
       |    AS kept_tokens
       |FROM documents
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |  < CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+      |  < CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
       |              % 2 = 0
       |         THEN 1152921504606846976
       |         ELSE 288230376151711744 END
@@ -554,6 +558,10 @@ object TextQueries {
     Tables
       .documents(spark, dir)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      // 0-token docs yield no chunks: without this guard
+      // sequence(0, -1) steps backwards and emits spurious rows,
+      // where the oracle's range(0, 0) emits none
+      .filter(col("n_tok") > 0)
       .withColumn("n_chunks",
         expr("(n_tok + 111) div 112"))
       .select(col("doc_id"), col("n_tok"),
@@ -573,7 +581,7 @@ object TextQueries {
       |c AS (
       |  SELECT doc_id, n_tok,
       |    unnest(range(0, (n_tok + 111) // 112)) AS chunk_idx
-      |  FROM toks)
+      |  FROM toks WHERE n_tok > 0)
       |SELECT doc_id, chunk_idx,
       |  CAST(least(128, n_tok - chunk_idx * 112) AS BIGINT) AS chunk_tokens
       |FROM c""".stripMargin

@@ -81,6 +81,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.head.getLong(1) === 3L)
   }
 
+  test("kmeansAssign fails fast on dimension mismatches") {
+    // a truncated dot product would be a wrong-but-plausible cosine;
+    // the oracle (list_cosine_similarity) errors, so we must too
+    val cents2 = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val data = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(data, "vec_id", "embedding", cents2,
+        "vec_id", "embedding")
+    }
+    val cents = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val bad = Seq((10L, Seq(1.0f, 0.0f, 0.3f))).toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.kmeansAssign(bad, "vec_id", "embedding", cents,
+        "vec_id", "embedding").collect()
+    }
+    assert(ex.getMessage.contains("dimension") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension")))
+  }
+
   test("bruteForceTopK ranks nearest first with deterministic ties") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),

@@ -195,4 +195,42 @@ class StudyTasksSpec extends SparkSpecBase {
     assert(ok.head.version === 0)
     assert(ok.head.resultSchema("x").dataType === StringType)
   }
+
+  test("explicitly-empty user-prompt falls back to the bare note") {
+    // mirrors the reference's `self.user_prompt or "%CLINICAL-NOTE%"`:
+    // "" is falsy, so the note must still reach the model
+    val dir = java.nio.file.Files.createTempDirectory("toml-empty")
+    java.nio.file.Files.write(dir.resolve("s.json"),
+      """{"type":"object","properties":{"x":{"type":"string"}}}"""
+        .getBytes("UTF-8"))
+    val f = dir.resolve("tasks.toml")
+    java.nio.file.Files.write(f,
+      ("[[task]]\nresponse-schema = \"s.json\"\n" +
+        "system-prompt = \"p\"\nuser-prompt = \"\"\n" +
+        "models = [\"m\"]\n").getBytes("UTF-8"))
+    val t = StudyTasks.load("t", f.toString).head
+    assert(t.userPromptTemplate === "%CLINICAL-NOTE%")
+    assert(t.userPrompt("NOTE") === "NOTE")
+    // whitespace-only behaves the same (trim-then-falsy)
+    java.nio.file.Files.write(f,
+      ("[[task]]\nresponse-schema = \"s.json\"\n" +
+        "system-prompt = \"p\"\nuser-prompt = \"  \"\n" +
+        "models = [\"m\"]\n").getBytes("UTF-8"))
+    assert(StudyTasks.load("t", f.toString).head.userPrompt("N") === "N")
+  }
+
+  test("TOML strings: unicode escapes decode, bad constructs fail loudly") {
+    import graft.nlp.StudyTasks.Toml
+    val doc = Toml.parse("k = \"a\\u00e9b \\U0001F600 c\"\n")
+    assert(doc.tables("")("k") === "a\u00e9b \ud83d\ude00 c")
+    // unknown escape: TOML reserves it — must throw, not pass through
+    intercept[IllegalArgumentException] { Toml.parse("k = \"a\\qb\"\n") }
+    // truncated/invalid hex
+    intercept[IllegalArgumentException] { Toml.parse("k = \"\\u12\"\n") }
+    intercept[IllegalArgumentException] { Toml.parse("k = \"\\uZZZZ\"\n") }
+    // raw newline inside a single-line basic string
+    intercept[IllegalArgumentException] { Toml.parse("k = \"a\nb\"\n") }
+    // unterminated string
+    intercept[IllegalArgumentException] { Toml.parse("k = \"abc") }
+  }
 }

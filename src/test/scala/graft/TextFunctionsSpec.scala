@@ -120,4 +120,18 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.getDouble(1) > 0.7)
     assert(r.getDouble(2) === 0.2) // "is" of 5 tokens ("This" differs by case)
   }
+
+  test("qChunking emits no rows for empty/whitespace-only documents") {
+    // without the n_tok > 0 guard, sequence(0, n_chunks - 1) becomes
+    // sequence(0, -1) whose implicit -1 step emits spurious chunks
+    val dir = java.nio.file.Files.createTempDirectory("chunk-test")
+    Seq((1L, "one two three"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQueries.qChunking(spark, dir.toString)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L))
+    assert(rows.length === 1) // 3 tokens → one 3-token chunk
+    assert(rows.head.getLong(2) === 3L)
+  }
 }
