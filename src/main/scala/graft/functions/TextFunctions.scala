@@ -174,8 +174,7 @@ object TextFunctions {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def digestHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -186,33 +185,51 @@ object TextFunctions {
     new String(out)
   }
 
+  private def md5Hex(md: java.security.MessageDigest, s: String): String =
+    digestHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** 8-seed md5 minhash signature — the q24 family (`min md5("s:"+gram)`)
     * as one primitive pass per document instead of 8 interpreted
     * higher-order transforms. Oracle-identical: MessageDigest md5 is the
     * same function DuckDB's `md5()` computes, and min over the multiset
-    * equals min over the distinct set.
+    * equals min over the distinct set (so hashing each DISTINCT gram
+    * once is both correct and cheaper on repetitive text). Minima are
+    * tracked as raw digests — unsigned byte order IS hex-string order —
+    * and only the 8 winners are hexified; the per-seed prefix feeds the
+    * digest incrementally so the gram is UTF-8-encoded once, not 8×.
     */
   val md5MinHash8Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val prefixes = Array.tabulate(8)(s =>
+        (s.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val gs = grams3(text)
-      val mins = Array.fill[String](8)(null)
+      val seen = new java.util.HashSet[String]()
+      val mins = Array.fill[Array[Byte]](8)(null)
       var i = 0
       while (i < gs.length) {
-        var s = 0
-        while (s < 8) {
-          val h = md5Hex(md, s.toString + ":" + gs(i))
-          if (mins(s) == null || h < mins(s)) mins(s) = h
-          s += 1
+        if (seen.add(gs(i))) {
+          val gb = gs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var s = 0
+          while (s < 8) {
+            md.update(prefixes(s))
+            md.update(gb)
+            val d = md.digest() // digest() resets the instance
+            if (mins(s) == null ||
+              java.util.Arrays.compareUnsigned(d, mins(s)) < 0) mins(s) = d
+            s += 1
+          }
         }
         i += 1
       }
-      mins.toSeq
+      mins.map(digestHex).toSeq
     }
 
   /** 60-bit md5 SimHash (bit-majority over distinct 3-gram shingle
     * hashes, hash = first 15 hex chars of md5 as a long) — one primitive
     * pass per document; the oracle computes the identical family in SQL.
+    * The 60-bit value comes straight from the digest bytes (7 full bytes
+    * + the high nibble of the 8th), no hex round-trip.
     */
   val md5SimHash60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
@@ -223,7 +240,14 @@ object TextFunctions {
       var i = 0
       while (i < gs.length) {
         if (seen.add(gs(i))) {
-          val hv = java.lang.Long.parseLong(md5Hex(md, gs(i)).substring(0, 15), 16)
+          val d = md.digest(
+            gs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars big-endian = bytes 0..6 plus high nibble
+          // of byte 7 — identical to parseLong(hex.substring(0,15), 16)
+          var hv = 0L
+          var bi = 0
+          while (bi < 7) { hv = (hv << 8) | (d(bi) & 0xffL); bi += 1 }
+          hv = (hv << 4) | ((d(7) & 0xf0L) >> 4)
           var b = 0
           while (b < 60) {
             counts(b) += (if (((hv >> b) & 1L) == 1L) 1 else -1)

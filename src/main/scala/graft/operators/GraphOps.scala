@@ -60,25 +60,31 @@ object GraphOps {
     val bidirect = e1.union(
       e1.select(col("dst").as("src"), col("src").as("dst")))
 
-    // iterate ONLY over edge endpoints: isolated nodes are their own
-    // component by definition and would just multiply per-round work
-    // (in LSH dedup graphs most of the corpus is isolated)
-    val endpoints = bidirect.select(col("src").as("id")).distinct()
-
     // self-loops carry each node's own label through the exchange, so
     // the loop body is join + aggregate only (no union with the iterate,
     // which also sidesteps Union constraint rewriting over a
-    // checkpointed plan)
+    // checkpointed plan). Duplicate edges are tolerated — the min-agg
+    // dedups for free, so no distinct shuffle on the edge list.
+    // Iterate ONLY over edge endpoints: isolated nodes are their own
+    // component by definition and would just multiply per-round work
+    // (in LSH dedup graphs most of the corpus is isolated).
     val bi = bidirect
-      .unionByName(endpoints.select(col("id").as("src"),
-        col("id").as("dst")))
-      .distinct()
+      .unionByName(bidirect.select(col("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Round 1 needs no label join: every node's label IS its id, so the
+    // first neighborhood-min exchange is a single aggregate over the
+    // edge list. In LSH dedup graphs components are band-bucket
+    // near-cliques, so for most inputs this one aggregate already
+    // produces the final labels and the loop below exits on its first
+    // convergence check — the whole CC then costs two shuffles.
     val obs0 = org.apache.spark.sql.Observation()
-    var labels = endpoints.select(col("id"), col("id").as("comp"))
+    var labels = bi
+      .select(col("dst").as("id"), col("src").as("comp"))
+      .groupBy("id")
+      .agg(min("comp").as("comp"))
       .observe(obs0, sum("comp").as("s"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // truncate the per-round doubling (class doc)
     var lastSum = obs0.get("s").asInstanceOf[Long]
     var converged = false
     var iter = 0
@@ -89,32 +95,43 @@ object GraphOps {
       // REFERENCE (no ReusedExchange across the differing join keys —
       // verified in the formatted plan), so without materialization
       // every round paid the exchange twice.
+      val obsEx = org.apache.spark.sql.Observation()
       val exchanged = bi
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
         .groupBy("id")
         .agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      // (b) pointer jumping: comp := comp(comp) — halves label depth,
-      // so convergence is O(log diameter) rounds
-      val obs = org.apache.spark.sql.Observation()
-      val jumped = exchanged.as("l")
-        .join(
-          exchanged.select(col("id").as("comp"),
-            col("comp").as("comp2")).as("r"),
-          Seq("comp"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("comp2"), col("comp")))
-            .as("comp"))
         // convergence sum rides the checkpoint materialization — one
         // job per round, no separate aggregate action
-        .observe(obs, sum("comp").as("s"))
-        .localCheckpoint(true) // truncate the doubling plan (class doc)
-      // label sum decreases monotonically; fixed point = converged
-      val s = obs.get("s").asInstanceOf[Long]
-      labels = jumped
-      converged = s == lastSum
-      lastSum = s
+        .observe(obsEx, sum("comp").as("s"))
+        .localCheckpoint(true)
+      val sEx = obsEx.get("s").asInstanceOf[Long]
+      if (sEx == lastSum) {
+        // exchange at fixpoint ⇒ labels are constant within each
+        // component (u~v implies label(u) ≤ label(v) and vice versa), so
+        // the pointer jump would be the identity — skip it and exit
+        labels = exchanged
+        converged = true
+      } else {
+        // (b) pointer jumping: comp := comp(comp) — halves label depth,
+        // so convergence is O(log diameter) rounds
+        val obs = org.apache.spark.sql.Observation()
+        val jumped = exchanged.as("l")
+          .join(
+            exchanged.select(col("id").as("comp"),
+              col("comp").as("comp2")).as("r"),
+            Seq("comp"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp")))
+              .as("comp"))
+          .observe(obs, sum("comp").as("s"))
+          .localCheckpoint(true) // truncate the doubling plan (class doc)
+        // s ≤ sEx < lastSum here, so never converged this round; the
+        // next exchange performs the fixpoint check
+        val s = obs.get("s").asInstanceOf[Long]
+        labels = jumped
+        lastSum = s
+      }
       iter += 1
     }
     // singletons (requested nodes that touch no edge) come back as
@@ -124,7 +141,7 @@ object GraphOps {
       case Some(n) =>
         val ids = n.select(col(n.columns.head).cast("long").as("id"))
         val singletons = ids
-          .join(endpoints, Seq("id"), "left_anti")
+          .join(labels.select("id"), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("comp"))
         labels.unionByName(singletons)
     }

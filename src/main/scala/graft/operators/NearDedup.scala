@@ -154,35 +154,37 @@ object NearDedup {
       .filter(col("__sig").isNotNull)
       .localCheckpoint(true)
 
+    // Band structs as a LITERAL expression array (not a higher-order
+    // transform over sequence(), which evaluates interpreted): slice
+    // with literal offsets + xxhash64 stays inside whole-stage codegen.
+    // Only (id, band, bandHash) goes through the banding shuffle — with
+    // 64-hash signatures the sig payload is ~0.5 KB/row × bands copies,
+    // and carrying it measured ~3× the shuffle volume of joining the
+    // small candidate set back to the checkpointed sig frame.
+    val bandArr = array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
+          .as("bandHash"))
+    }: _*)
     val banded = withSig
-      .select(
-        col("__id"),
-        col("__sig"),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                xxhash64(concat_ws(",",
-                  slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-                  .as("bandHash")
-              )
-          )
-        ).as("__b")
-      )
-      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bandHash"))
+      .select(col("__id"), explode(bandArr).as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bandHash"))
 
-    val left = banded.select(
-      col("band"), col("bandHash"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val right = banded.select(
-      col("band"), col("bandHash"),
-      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
-    left
-      .join(right, Seq("band", "bandHash"))
-      .filter(col("id_a") < col("id_b"))
+    cand
+      .join(withSig.select(col("__id").as("id_a"),
+        col("__sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("__id").as("id_b"),
+        col("__sig").as("sig_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -191,7 +193,6 @@ object NearDedup {
         // candidate pair (same CodegenFallback trap as the shingle path)
         sigAgreementUdf(col("sig_a"), col("sig_b")).as("jaccard_est")
       )
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Fraction of signature positions that agree (the MinHash Jaccard

@@ -681,29 +681,37 @@ object TextQueries {
       .withColumn("doc_id", col("doc_id") + lit(1000000L)))
   }
 
-  /** md5-minhash signatures as 8 columns, materialized once: q36/q38
-    * reference this frame four times (both band-join sides + both
-    * agreement joins) and Spark plans the subtree per reference, so
-    * without truncation the md5 kernel runs 4× over the corpus.
-    * Checkpointing is safe here BECAUSE the projection is a primitive
-    * kernel UDF — for interpreted higher-order expression trees the
-    * same move is a trap (checkpoint materializes WITHOUT whole-stage
-    * codegen; a sig variant in that form went 0.3s → 28s).
+  /** md5-minhash signatures (doc_id, sig array<string>), materialized
+    * once: q36/q38 reference this frame on both band-join sides and
+    * Spark plans the subtree per reference, so without truncation the
+    * md5 kernel runs twice over the corpus. Checkpointing is safe here
+    * BECAUSE the projection is a primitive kernel UDF — for interpreted
+    * higher-order expression trees the same move is a trap (checkpoint
+    * materializes WITHOUT whole-stage codegen; a sig variant in that
+    * form went 0.3s → 28s).
     */
   private def md5Sigs(input: DataFrame): DataFrame =
     input
       .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
-      .select(col("doc_id") +:
-        (0 until 8).map(i => col("sig")(i).as(s"mh_$i")): _*)
       .localCheckpoint(true)
 
-  /** LSH banding (4 bands × 2 rows) → distinct candidate pairs. */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
+  /** LSH banding (4 bands × 2 rows) of an md5Sigs frame. `withSig`
+    * carries the whole signature as join payload — the agreement column
+    * then comes straight off the matched rows instead of two join-backs
+    * against the corpus (the q25 FNV pipeline's shape; two fewer
+    * shuffles, and the payload is 8 short strings per row).
+    */
+  private def bandedSigs(sigs: DataFrame, withSig: Boolean): DataFrame = {
     val bandArr = array((0 until 4).map { b =>
-      concat_ws("|", col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))
+      concat_ws("|", col("sig")(2 * b), col("sig")(2 * b + 1))
     }: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandArr).as(Seq("band", "bv")))
+    val cols = col("doc_id") +: (if (withSig) Seq(col("sig")) else Nil)
+    sigs.select(cols :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
+  }
+
+  /** Banding → distinct candidate pairs (ids only, for clustering). */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
+    val bands = bandedSigs(sigs, withSig = false)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -712,15 +720,30 @@ object TextQueries {
       .distinct()
   }
 
+  /** Signature-position agreement fraction in one primitive pass
+    * (mirrors the oracle's `len(list_filter(range(1,9), i -> sa.sig[i]
+    * = sb.sig[i])) / 8.0`).
+    */
+  private val sigAgreement8Udf = udf {
+    (a: scala.collection.Seq[String], b: scala.collection.Seq[String]) =>
+      var same = 0
+      var i = 0
+      while (i < 8) { if (a(i) == b(i)) same += 1; i += 1 }
+      same.toDouble / 8.0
+  }
+
   def qBandPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = md5Sigs(corpusWithCopies(spark, dir))
-    val agreement = (0 until 8).map { i =>
-      when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0)
-    }.reduce(_ + _).cast("double") / lit(8.0)
-    bandCandidates(sigs)
-      .join(sigs.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sigs.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"), agreement.as("agreement"))
+    val bands = bandedSigs(md5Sigs(corpusWithCopies(spark, dir)),
+      withSig = true)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        sigAgreement8Udf(col("a.sig"), col("b.sig")).as("agreement"))
+      // pairs meeting in several bands carry identical agreement values,
+      // so pair-key dedup is safe
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** q37 — near-dup clustering: connected components over a pair graph
