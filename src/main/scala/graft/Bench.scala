@@ -25,7 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional args = subset of query names (dev loop); default all
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to math.max(1, runs)).map { _ =>
           val t0 = System.nanoTime()

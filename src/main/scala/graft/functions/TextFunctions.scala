@@ -149,12 +149,43 @@ object TextFunctions {
     * them (`max(|toks|-2, 1)` shingles; empty text → one empty shingle),
     * as a JVM array for the kernel paths below.
     */
-  private def grams3(text: String): Array[String] = {
+  private[graft] def posGrams(text: String, n: Int): Array[String] = {
     val t = if (text == null) "" else text.trim
     val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
-    val count = math.max(toks.length - 2, 1)
-    Array.tabulate(count)(i => toks.slice(i, i + 3).mkString(" "))
+    val count = math.max(toks.length - (n - 1), 1)
+    Array.tabulate(count)(i => toks.slice(i, i + n).mkString(" "))
   }
+
+  private def grams3(text: String): Array[String] = posGrams(text, 3)
+
+  /** Positional word n-grams as one primitive kernel pass — the
+    * explode-side twin of [[wordNgrams]] (whose higher-order transform
+    * evaluates interpreted; under an explode + aggregate that measured
+    * ~20× slower than this UDF at sf0.1). Identical gram convention.
+    */
+  val wordNgramsKernelUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) => posGrams(text, n) }
+
+  def wordNgramsKernel(text: Column, n: Int): Column =
+    wordNgramsKernelUdf(text, lit(n))
+
+  /** Positional word n-grams hashed to the md5-60-bit family (first 15
+    * hex chars of `md5(gram)` as a long — DuckDB:
+    * `('0x'||substr(md5(g),1,15))::BIGint`) in one kernel pass, value
+    * taken straight from the digest bytes. Narrow explode payload for
+    * corpus-wide gram statistics.
+    */
+  val md5Grams60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      posGrams(text, n).map { g =>
+        val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var hv = 0L
+        var bi = 0
+        while (bi < 7) { hv = (hv << 8) | (d(bi) & 0xffL); bi += 1 }
+        (hv << 4) | ((d(7) & 0xf0L) >> 4)
+      }
+    }
 
   /** Distinct word n-grams, first-occurrence order, same shingle
     * convention as [[wordNgrams]] — the JVM form for kernel operators

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the reference lacks but a large-scale event/training
+  * pipeline needs: as-of (latest-at-or-before) enrichment and bounded
+  * time-range aggregation. Both are built so NO range-explosion join
+  * ever materializes:
+  *
+  *  - [[asOfJoin]] is one shuffle on the key + one window pass over the
+  *    time-sorted union — the classic distributed as-of shape. A naive
+  *    `l JOIN r ON key AND r.ts <= l.ts` + max-pick would generate
+  *    |matches| intermediate rows (quadratic on active keys); the union
+  *    form is linear and AQE-friendly.
+  *  - [[slidingCountJoin]] buckets the time axis at the window width, so
+  *    each probe row meets only candidates from its own and the previous
+  *    bucket (a banded band-join, cost ∝ bucket occupancy, never |l|×|r|
+  *    per key).
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: every `left` row picks up the latest `right`
+    * row with `right.tsCol <= left.tsCol` for the same key, as a
+    * nullable struct column `asof` (null when no prior right row
+    * exists — LEFT ASOF semantics).
+    *
+    * Equal timestamps count as "at or before" (right sorts first), like
+    * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`. If several right rows
+    * share (key, ts) the winner is deterministic but arbitrary (last in
+    * struct sort order); feed pre-deduped right frames when that
+    * matters.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String
+  ): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("__key"),
+      col(leftTsCol).as("__ts"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val r = right.select(
+      col(keyCol).as("__key"),
+      col(rightTsCol).as("__ts"),
+      struct(right.columns.map(col): _*).as("__r"))
+    // allowMissingColumns fills the other side's struct with null —
+    // the union stays two narrow struct columns, no schema surgery
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts so "<=" matches;
+    // __r as the final key makes equal-(key,ts) right rows deterministic
+    val w = Window
+      .partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__l").isNotNull.cast("int"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+      .select(col("__l.*"), col("asof"))
+  }
+
+  /** Per-probe-row count/sum of `candidates` rows with the same key in
+    * the half-open window `[probe.ts - windowMicros, probe.ts)`.
+    *
+    * Implementation: candidates are bucketed at the window width; each
+    * probe row is exploded into its own and the previous bucket, so a
+    * candidate can meet a probe row at most once and the join degree is
+    * bounded by per-bucket occupancy. Timestamps compare as epoch
+    * microseconds (`unix_micros`) — engine-neutral integer arithmetic.
+    *
+    * Output: all probe columns + `n_in_window` (count) + `sum_value`
+    * (sum of `valueCol`, 0.0 when empty).
+    */
+  def slidingCountJoin(
+      probe: DataFrame,
+      candidates: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowMicros: Long
+  ): DataFrame = {
+    // integer `div`, not `/` — double division would lose precision on
+    // large epoch values
+    val cand = candidates.select(
+      col(keyCol).as("__key"),
+      unix_micros(col(tsCol)).as("__cu"),
+      col(valueCol).as("__cv"),
+      expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__bucket"))
+    val probed = probe
+      .withColumn("__pu", unix_micros(col(tsCol)))
+      .withColumn("__bucket",
+        explode(array(expr(s"__pu div ${windowMicros}L") - 1,
+          expr(s"__pu div ${windowMicros}L"))))
+    probed
+      .join(cand,
+        probed("__bucket") === cand("__bucket") &&
+          col(keyCol) === col("__key") &&
+          col("__cu") >= col("__pu") - windowMicros &&
+          col("__cu") < col("__pu"),
+        "left")
+      .groupBy(probe.columns.map(col) :+ col("__pu"): _*)
+      .agg(
+        count(col("__cv")).as("n_in_window"),
+        coalesce(sum(col("__cv")), lit(0.0)).as("sum_value"))
+      .drop("__pu")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators beyond the near-dup family
+  * (SURVEY §7.5): exact substring-duplication profiling, deterministic
+  * stratified sampling, and per-language n-gram vocabularies.
+  */
+object CorpusQueries {
+
+  /** q68 — exact substring-duplication profile (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" signal):
+    * hash every positional word-5-gram, count occurrences corpus-wide,
+    * and report per document how much of it is covered by 5-grams that
+    * appear elsewhere too. Two aggregations, both map-side-combinable:
+    * (doc, gram)-local counts first (the explode never leaves the map
+    * side), then the global gram frequency joined back on the narrow
+    * hash. At 100 TB the (doc,gram) pre-aggregation is what keeps the
+    * global count shuffle proportional to distinct-grams-per-doc, not
+    * total tokens.
+    */
+  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(md5Grams60Udf(col("text"), lit(5))).as("h"))
+    // per-(doc, gram) occurrence counts — partial agg combines map-side
+    val local = grams.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("n_local"))
+      .localCheckpoint(true) // referenced twice below (global + join)
+    val global = local.groupBy("h")
+      .agg(sum("n_local").as("n_global"))
+    local
+      .join(global, "h")
+      .groupBy("doc_id")
+      .agg(
+        sum("n_local").as("n_grams"),
+        sum(when(col("n_global") > 1, col("n_local")).otherwise(0L))
+          .as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  val qSubstrDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+      |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+      |  FROM toks),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      |  FROM g),
+      |local AS (
+      |  SELECT doc_id, h, COUNT(*) AS n_local FROM h GROUP BY doc_id, h),
+      |global AS (
+      |  SELECT h, SUM(n_local) AS n_global FROM local GROUP BY h)
+      |SELECT l.doc_id,
+      |  CAST(SUM(l.n_local) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN g.n_global > 1 THEN l.n_local ELSE 0 END)
+      |    AS BIGINT) AS n_dup_grams,
+      |  CAST(SUM(CASE WHEN g.n_global > 1 THEN l.n_local ELSE 0 END)
+      |      AS DOUBLE) / CAST(SUM(l.n_local) AS DOUBLE) AS dup_ratio
+      |FROM local l JOIN global g ON l.h = g.h
+      |GROUP BY l.doc_id""".stripMargin
+
+  /** q69 — deterministic stratified sampling: keep ceil(10%) of every
+    * language stratum, chosen by md5(doc_id) order — reproducible
+    * across engines, reruns, and cluster sizes (no RNG state), the
+    * property a training pipeline needs for auditable subsampling.
+    * One window shuffle on the stratum key.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")))
+    val n = Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(col("rn") <= ceil(col("n") * 0.1))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rank"))
+  }
+
+  val qStratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= CEIL(n * 0.1)""".stripMargin
+
+  /** q70 — per-language trigram vocabulary: global trigram counts, then
+    * the top 3 per language by (count desc, gram asc). The rank filter
+    * is pushed below the final sort by Spark's WindowGroupLimit, so
+    * only ~3·|langs| rows survive the rank exchange.
+    */
+  def qLangTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(wordNgramsKernel(col("text"), 3)).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val rank = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("gram").asc)
+    counts
+      .withColumn("rk", row_number().over(rank))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("gram"), col("cnt"),
+        col("rk").cast("long").as("rank"))
+  }
+
+  val qLangTrigramsSql: String =
+    """WITH g AS (
+      |  SELECT lang,
+      |    unnest(list_transform(
+      |      range(1, greatest(len(string_split_regex(trim(text), '\s+'))
+      |        - 2, 1) + 1),
+      |      i -> array_to_string(
+      |        string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+      |      AS gram
+      |  FROM documents),
+      |c AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram),
+      |r AS (
+      |  SELECT lang, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, gram ASC) AS rk
+      |  FROM c)
+      |SELECT lang, gram, cnt, CAST(rk AS BIGINT) AS rank
+      |FROM r WHERE rk <= 3""".stripMargin
+}

@@ -3,6 +3,7 @@ package graft.queries
 import graft.operators.SkewOps
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -157,4 +158,48 @@ object Relational2 {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q67 — exact per-group percentiles by rank selection: the value at
+    * row `ceil(p·n)` of each group's sorted stream (discrete/type-1
+    * quantile). Engine-neutral by construction — selecting a member of
+    * the multiset needs no interpolation arithmetic, so the hash compare
+    * is safe where `percentile_cont` families differ in float rounding.
+    * Shape at scale: ONE shuffle on the group key; the window sort and
+    * the rank filter pipeline map-side after it.
+    */
+  def q67Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity")))
+          .as("median_qty"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("l_quantity")))
+          .as("p95_qty"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity")))
+          .as("p99_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val q67PercentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_quantity END)
+      |    AS median_qty,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.95) THEN l_quantity END)
+      |    AS p95_qty,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN l_quantity END)
+      |    AS p99_qty,
+      |  COUNT(*) AS n_rows
+      |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

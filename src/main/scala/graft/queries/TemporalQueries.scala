@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.operators.TemporalJoins
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join queries over the `events` table: as-of enrichment and
+  * bounded-window counting — operators a training/event pipeline needs
+  * that the reference doesn't ship (SURVEY §7.5 extension).
+  */
+object TemporalQueries {
+
+  /** q65 — as-of join: every purchase event picks up the same user's
+    * latest click at or before it. One key shuffle + one window pass
+    * ([[TemporalJoins.asOfJoin]]); the oracle is DuckDB's native
+    * `ASOF LEFT JOIN`. (user_id, ts) is unique in the data, so the
+    * match is deterministic.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts", "ts")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value").as("purchase_value"),
+        col("asof.click_id").as("click_id"),
+        // engine-neutral integer gap; null when no prior click
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .as("micros_since_click"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.value AS purchase_value,
+      |  c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** q66 — sliding-window count join: for every error event, how many
+    * clicks (and their value sum) the same user produced in the 10
+    * minutes just before it. Bucketed band join
+    * ([[TemporalJoins.slidingCountJoin]]) — never |errors|×|clicks| per
+    * user; the oracle does the naive inequality join (fine at oracle
+    * scale).
+    */
+  def qRangeCount(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      // decimal-exact sum (then one cast to double) so the hash compare
+      // can't flake on partial-agg add order
+      .select(col("user_id"), col("ts"),
+        col("value").cast("decimal(28,6)").as("value"))
+    TemporalJoins
+      .slidingCountJoin(errors, clicks, "user_id", "ts", "value",
+        windowMicros = 10L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"),
+        col("n_in_window").as("n_clicks"),
+        col("sum_value").cast("double").as("click_value_sum"))
+  }
+
+  val qRangeCountSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(date_trunc('microseconds', ts)) AS u
+      |  FROM events),
+      |err AS (SELECT * FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT err.event_id, err.user_id,
+      |  COUNT(clk.u) AS n_clicks,
+      |  CAST(COALESCE(SUM(CAST(clk.value AS DECIMAL(28,6))), 0)
+      |    AS DOUBLE) AS click_value_sum
+      |FROM err LEFT JOIN clk
+      |  ON err.user_id = clk.user_id
+      |  AND clk.u >= err.u - 600000000 AND clk.u < err.u
+      |GROUP BY err.event_id, err.user_id""".stripMargin
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at or before each left row") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00")),
+      (2L, 10L, ts("2024-01-01 00:30:00")),
+      (3L, 20L, ts("2024-01-01 00:05:00")) // key 20 has no prior right
+    ).toDF("lid", "key", "lts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:00")),
+      (102L, 10L, ts("2024-01-01 00:20:00")),
+      (103L, 20L, ts("2024-01-01 00:06:00")) // after the key-20 left row
+    ).toDF("rid", "key", "rts")
+    val got = TemporalJoins.asOfJoin(left, right, "key", "lts", "rts")
+      .select(col("lid"), col("asof.rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 101L, 2L -> 102L, 3L -> -1L))
+  }
+
+  test("asOfJoin: equal timestamps count as at-or-before") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:10:00")))
+      .toDF("lid", "key", "lts")
+    val right = Seq((201L, 5L, ts("2024-01-01 00:10:00")))
+      .toDF("rid", "key", "rts")
+    val got = TemporalJoins.asOfJoin(left, right, "key", "lts", "rts")
+      .select(col("asof.rid")).collect()
+    assert(got.head.getLong(0) === 201L)
+  }
+
+  test("slidingCountJoin counts the half-open preceding window only") {
+    // window [ts - 10min, ts): candidate AT the probe ts excluded,
+    // candidate exactly 10min before included, across bucket boundaries
+    val probe = Seq(
+      (1L, 7L, ts("2024-01-01 01:00:00")),
+      (2L, 7L, ts("2024-01-01 02:00:00")), // empty window → 0
+      (3L, 8L, ts("2024-01-01 01:00:00")) // other key sees nothing
+    ).toDF("pid", "key", "t")
+    val cand = Seq(
+      (7L, ts("2024-01-01 00:50:00"), 1.0), // exactly -10min: included
+      (7L, ts("2024-01-01 00:55:30"), 2.0), // in window, previous bucket
+      (7L, ts("2024-01-01 01:00:00"), 4.0), // at probe ts: excluded
+      (7L, ts("2024-01-01 00:49:59"), 8.0) // just outside
+    ).toDF("key", "t", "v")
+    val got = TemporalJoins
+      .slidingCountJoin(probe, cand, "key", "t", "v", 10L * 60 * 1000000)
+      .select(col("pid"), col("n_in_window"), col("sum_value"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 3.0)),
+      2L -> ((0L, 0.0)),
+      3L -> ((0L, 0.0))))
+  }
+}
