@@ -106,4 +106,50 @@ object TemporalJoins {
         coalesce(sum(col("__cv")), lit(0.0)).as("sum_value"))
       .drop("__pu")
   }
+
+  /** First-touch attribution join: for every probe row, the EARLIEST
+    * `candidates` row with the same key in `[probe.ts - windowMicros,
+    * probe.ts)` — null columns when the window is empty. Same bucketed
+    * band-join shape as [[slidingCountJoin]] (join degree bounded by
+    * bucket occupancy, never per-key quadratic — the batch-at-scale
+    * counterpart of a stream-stream interval join, which bounds the
+    * same work with watermark state instead).
+    *
+    * Output: probe columns + `touch_<idCol>` + `touch_micros` (epoch µs
+    * of the matched row).
+    */
+  def firstTouchJoin(
+      probe: DataFrame,
+      candidates: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      windowMicros: Long
+  ): DataFrame = {
+    val cand = candidates.select(
+      col(keyCol).as("__key"),
+      unix_micros(col(tsCol)).as("__cu"),
+      col(idCol).as("__cid"),
+      expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__bucket"))
+    val probed = probe
+      .withColumn("__pu", unix_micros(col(tsCol)))
+      .withColumn("__bucket",
+        explode(array(expr(s"__pu div ${windowMicros}L") - 1,
+          expr(s"__pu div ${windowMicros}L"))))
+    probed
+      .join(cand,
+        probed("__bucket") === cand("__bucket") &&
+          col(keyCol) === col("__key") &&
+          col("__cu") >= col("__pu") - windowMicros &&
+          col("__cu") < col("__pu"),
+        "left")
+      .groupBy(probe.columns.map(col) :+ col("__pu"): _*)
+      // min over (ts, id) structs skips nulls, so an empty window
+      // yields a null struct rather than a null-field winner
+      .agg(min(when(col("__cu").isNotNull,
+        struct(col("__cu"), col("__cid")))).as("__m"))
+      .select(probe.columns.map(col) :+
+        col("__m.__cid").as(s"touch_$idCol") :+
+        col("__m.__cu").as("touch_micros"): _*)
+  }
 }

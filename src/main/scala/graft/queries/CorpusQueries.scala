@@ -117,6 +117,25 @@ object CorpusQueries {
         col("rk").cast("long").as("rank"))
   }
 
+  /** q72 — sketched gram cardinality per source: HyperLogLog++
+    * (`approx_count_distinct`, 2% rsd) over the md5-60 5-gram stream —
+    * the sketch that replaces an exact distinct-count shuffle when the
+    * corpus no longer fits one (mergeable across partitions, fixed
+    * memory). Engine sketches differ, so no value oracle: the driver
+    * records a rows-only check and CorpusQueriesSpec pins the relative
+    * error against the exact count (≤5%).
+    */
+  def qSketchDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(md5Grams60Udf(col("text"), lit(5))).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        approx_count_distinct(col("h"), rsd = 0.02)
+          .as("approx_distinct_grams"))
+      .orderBy("source")
+
   val qLangTrigramsSql: String =
     """WITH g AS (
       |  SELECT lang,

@@ -86,4 +86,40 @@ object TemporalQueries {
       |  ON err.user_id = clk.user_id
       |  AND clk.u >= err.u - 600000000 AND clk.u < err.u
       |GROUP BY err.event_id, err.user_id""".stripMargin
+
+  /** q71 — first-touch attribution: every purchase attributed to the
+    * same user's EARLIEST click in the preceding 30 minutes (null when
+    * none). Bucketed band join ([[TemporalJoins.firstTouchJoin]]);
+    * StreamingSpec proves the stream-stream interval-join form emits
+    * the identical pair set. Oracle: DuckDB `arg_min` over the naive
+    * inequality join — deterministic because (user_id, ts) is unique.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    TemporalJoins
+      .firstTouchJoin(purchases, clicks, "user_id", "ts", "click_id",
+        windowMicros = 30L * 60 * 1000000)
+      .select(col("purchase_id"), col("user_id"),
+        col("touch_click_id").as("first_click_id"),
+        col("touch_micros").as("first_click_micros"))
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(date_trunc('microseconds', ts)) AS u
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  arg_min(c.event_id, c.u) AS first_click_id,
+      |  MIN(c.u) AS first_click_micros
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      |  AND c.u >= p.u - 1800000000 AND c.u < p.u
+      |GROUP BY p.event_id, p.user_id""".stripMargin
 }

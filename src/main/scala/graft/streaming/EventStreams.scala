@@ -147,6 +147,38 @@ object EventStreams {
       }
   }
 
+  /** Click→purchase attribution pairs: every purchase joined to the
+    * same user's clicks in the `window` just before it (half-open —
+    * the click at the purchase instant is excluded). On BATCH frames
+    * this is a hash join on user_id with the interval as residual
+    * filter; on STREAMING frames (pass `lateness`) it is a genuine
+    * stream-stream interval self-join — the two-sided time bound lets
+    * the state store evict rows once the watermark passes, so state
+    * stays proportional to the window, not the stream. StreamingSpec
+    * proves both modes emit the identical pair set.
+    */
+  def attributionPairs(
+      events: DataFrame,
+      window: String = "30 minutes",
+      lateness: Option[String] = None
+  ): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String) = {
+      val s = lateness.fold(events)(events.withWatermark("ts", _))
+      s.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+    }
+    val purchases = side("purchase", "purchase_id", "p_ts")
+    val clicks = side("click", "click_id", "c_ts")
+      .withColumnRenamed("user_id", "c_user_id")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"interval $window") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Run a streaming query over a parquet directory with
     * Trigger.AvailableNow and collect the result via a memory sink —
     * the harness used by StreamingSpec to execute the REAL streaming

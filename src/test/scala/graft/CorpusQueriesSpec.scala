@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TemporalJoins
+import graft.queries.CorpusQueries
+import graft.streaming.EventStreams
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusQueriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sketched gram cardinality stays within 5% of the exact count") {
+    val exact = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(TextFunctions.md5Grams60Udf(col("text"), lit(5))).as("h"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = CorpusQueries.qSketchDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (src, a) =>
+      val e = exact(src)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"$src: approx $a vs exact $e")
+    }
+  }
+
+  test("first-touch attribution matches the interval-join pair minimum") {
+    // the bucketed firstTouchJoin and the plain interval join are two
+    // routes to the same answer — cross-check them on real events
+    val events = Tables.events(spark, sf)
+    val viaPairs = EventStreams.attributionPairs(events, "30 minutes")
+      .groupBy("purchase_id")
+      .agg(min(struct(col("c_ts"), col("click_id"))).as("m"))
+      .select(col("purchase_id"), col("m.click_id").as("first_click_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBuckets = graft.queries.TemporalQueries.qAttribution(spark, sf)
+      .filter(col("first_click_id").isNotNull)
+      .select("purchase_id", "first_click_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuckets === viaPairs)
+    // and purchases with no prior click survive with nulls
+    val total = graft.queries.TemporalQueries.qAttribution(spark, sf).count()
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    assert(total === purchases)
+  }
+
+  test("wordNgramsKernel agrees with the expression-form wordNgrams") {
+    val df = Seq("one two three four five", "short", "").toDF("text")
+    val a = df.select(TextFunctions.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val b = df.select(TextFunctions.wordNgramsKernel(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(a === b)
+  }
+}

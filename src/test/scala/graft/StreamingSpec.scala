@@ -84,6 +84,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.toSet.subsetOf(b.toSet))
   }
 
+  test("stream-stream interval join (attribution) matches batch pairs") {
+    // a genuine stream-stream self-join: purchases and clicks both read
+    // from the stream, joined on user within a two-sided time bound so
+    // the state store can evict on watermark. Inner-join matches emit
+    // as found, so the full pair set appears even at stream end.
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      EventStreams.attributionPairs(stream, "30 minutes",
+        lateness = Some("1 hour")),
+      "attr_test"
+    )
+    val batch = EventStreams
+      .attributionPairs(spark.read.parquet(eventsDir), "30 minutes")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = pairs(streamed)
+    val b = pairs(batch)
+    assert(s.nonEmpty)
+    assert(s === b)
+  }
+
   test("streaming dedup drops key duplicates within the watermark") {
     val schema = spark.read.parquet(eventsDir).schema
     // duplicate the whole stream: every key arrives at least twice
