@@ -296,6 +296,28 @@ object TextFunctions {
       sim
     }
 
+  /** Deflate compression ratio (compressed/raw bytes, level 6) — the
+    * classic redundancy quality signal (Gopher/RefinedWeb family):
+    * boilerplate and degenerate repetition compress far below natural
+    * text. Deterministic for a given JVM zlib; engine-internal, so
+    * spec-pinned rather than oracle-compared.
+    */
+  val deflateRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) 1.0
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(bytes)
+        d.finish()
+        var out = 0L
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out += d.deflate(buf)
+        d.end()
+        out.toDouble / bytes.length
+      }
+    }
+
   // --- language ID -------------------------------------------------------
 
   /** Tiny per-language character-trigram profiles (hand-built from common

@@ -468,6 +468,306 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids ×
+    * (dim/m) dims, trained per subspace by Lloyd iterations with
+    * partition-local accumulators (one (subspace, centroid, sums,
+    * count) row per partition enters each reduce — no explode). Seeds
+    * are the first `ksub` rows in deterministic md5(id) order, like
+    * [[ivfTopK]].
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int
+  ): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+
+    // codebooks(s)(c) = centroid c of subspace s
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(ksub)
+      .as[(Long, Array[Float])]
+      .collect()
+    require(seeds.length == ksub, s"need at least $ksub training rows")
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
+      (s, c) =>
+        Array.tabulate(subDim)(j => seeds(c)._2(s * subDim + j).toDouble)
+    }
+
+    def subNearest(v: Array[Float], s: Int,
+        cb: Array[Array[Array[Double]]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb(s).length) {
+        var d = 0.0
+        var j = 0
+        while (j < cb(s)(c).length) {
+          val x = v(s * cb(s)(c).length + j).toDouble - cb(s)(c)(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(codebooks)
+      val updated = ds
+        .mapPartitions { rows =>
+          val cb = bc.value
+          val sums = Array.fill(m, ksub)(new Array[Double](subDim))
+          val counts = Array.fill(m, ksub)(0L)
+          rows.foreach { case (_, v) =>
+            if (v != null && v.length == dim) {
+              var s = 0
+              while (s < m) {
+                val c = subNearest(v, s, cb)
+                val acc = sums(s)(c)
+                var j = 0
+                while (j < subDim) {
+                  acc(j) += v(s * subDim + j).toDouble; j += 1
+                }
+                counts(s)(c) += 1
+                s += 1
+              }
+            }
+          }
+          (for {
+            s <- (0 until m).iterator
+            c <- (0 until ksub).iterator
+            if counts(s)(c) > 0
+          } yield (s * ksub + c, sums(s)(c), counts(s)(c)))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val acc = new Array[Double](subDim)
+          var j = 0
+          while (j < subDim) { acc(j) = a._2(j) + b._2(j); j += 1 }
+          (a._1, acc, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      updated.foreach { case (sc, sums, n) =>
+        codebooks(sc / ksub)(sc % ksub) = sums.map(_ / n)
+      }
+      it += 1
+    }
+    codebooks
+  }
+
+  /** PQ-encode a corpus: every vector becomes `m` small centroid codes
+    * (m bytes at ksub ≤ 256) — a 32× memory cut for 64-dim floats at
+    * m=8. The scan side of [[pqTopK]], exposed for storage use.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val dim = m * subDim
+    val bc = spark.sparkContext.broadcast(codebooks)
+    corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = bc.value
+        rows.collect {
+          case (id, v) if v != null && v.length == dim =>
+            val codes = new Array[Int](m)
+            var s = 0
+            while (s < m) {
+              var best = 0
+              var bestD = Double.MaxValue
+              var c = 0
+              while (c < cb(s).length) {
+                var d = 0.0
+                var j = 0
+                while (j < subDim) {
+                  val x = v(s * subDim + j).toDouble - cb(s)(c)(j)
+                  d += x * x
+                  j += 1
+                }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              codes(s) = best
+              s += 1
+            }
+            (id, codes)
+        }
+      }
+      .toDF(idCol, "codes")
+  }
+
+  /** PQ approximate top-k (asymmetric distance computation with exact
+    * re-ranking): corpus vectors are scanned as `m` centroid codes;
+    * every query pre-computes an m×ksub lookup table of partial dot
+    * products (plus centroid norms), so scoring a corpus row is m table
+    * adds — no float-vector reads at all in the shortlist pass. The ADC
+    * shortlist (`rerank`×k per query) then joins back to the original
+    * vectors for exact cosine re-ranking — the standard two-stage PQ
+    * pipeline: the cheap code scan touches everything, the expensive
+    * float reads touch only the shortlist. Third ANN variant beside
+    * hyperplane-LSH ([[annTopK]]) and IVF ([[ivfTopK]]); approximate by
+    * construction, so rows-only gate + recall assertion in
+    * SimilaritySpec.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      rerank: Int = 8
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val shortK = k * rerank
+    val codebooks = pqTrain(corpus, corpusId, corpusVec, dim, m, ksub, iters)
+    val codes = pqEncode(corpus, corpusId, corpusVec, codebooks)
+      .as[(Long, Array[Int])]
+
+    // per-query ADC tables: dot(s)(c) = q_sub·centroid, plus centroid
+    // norm² per (s, c) for the denominator estimate
+    val norm2: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
+      var n = 0.0
+      var j = 0
+      while (j < subDim) { n += codebooks(s)(c)(j) * codebooks(s)(c)(j); j += 1 }
+      n
+    }
+    val qData: Array[(Long, Array[Array[Double]], Double)] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        val lut = Array.tabulate(m, ksub) { (s, c) =>
+          var d = 0.0
+          var j = 0
+          while (j < subDim) {
+            d += v(s * subDim + j).toDouble * codebooks(s)(c)(j); j += 1
+          }
+          d
+        }
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, lut, math.sqrt(n))
+      }
+    val bcQ = spark.sparkContext.broadcast(qData)
+    val bcN = spark.sparkContext.broadcast(norm2)
+
+    val partials = codes
+      .mapPartitions { rows =>
+        val qs = bcQ.value
+        val n2 = bcN.value
+        implicit val worstFirst: Ordering[(Double, Long)] =
+          Ordering.fromLessThan { (a, b) =>
+            a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+          }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](worstFirst.reverse))
+        rows.foreach { case (cid, cs) =>
+          // reconstructed norm is query-independent: compute once
+          var vn = 0.0
+          var s = 0
+          while (s < m) { vn += n2(s)(cs(s)); s += 1 }
+          val vNorm = math.sqrt(vn)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, lut, qNorm) = qs(qi)
+            if (qid != cid) {
+              var d = 0.0
+              var t = 0
+              while (t < m) { d += lut(t)(cs(t)); t += 1 }
+              val denom = vNorm * qNorm
+              val score = if (denom == 0.0) 0.0 else d / denom
+              val h = heaps(qi)
+              if (h.size < shortK) h.enqueue((score, cid))
+              else if (worstFirst.gt((score, cid), h.head)) {
+                h.dequeue(); h.enqueue((score, cid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (score, cid) => (qs(qi)._1, cid) }
+        }
+      }
+      .toDF("query_id", "neighbor_id")
+    // ADC shortlist (≤ partitions×shortK rows per query), then exact
+    // re-rank: only shortlisted ids read their float vectors again
+    val shortlist = partials.dropDuplicates("query_id", "neighbor_id")
+
+    val qVecs: Map[Long, (Array[Float], Double)] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        id -> (v, math.sqrt(n))
+      }
+      .toMap
+    val bcV = spark.sparkContext.broadcast(qVecs)
+    val exactCos = udf { (qid: Long, v: scala.collection.Seq[Float]) =>
+      val (qv, qNorm) = bcV.value(qid)
+      var d = 0.0
+      var vn = 0.0
+      var i = 0
+      val n = math.min(qv.length, v.length)
+      while (i < n) {
+        val x = v(i).toDouble
+        d += x * qv(i).toDouble
+        vn += x * x
+        i += 1
+      }
+      val denom = math.sqrt(vn) * qNorm
+      if (denom == 0.0) 0.0 else d / denom
+    }
+    val reranked = shortlist
+      .join(corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+        col(corpusVec).as("__v")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        exactCos(col("query_id"), col("__v")).as("cosine"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reranked
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Symmetric int8 quantization of a float vector — the standard 4×
     * memory reduction for large ANN corpora: per-vector
     * `scale = max|v|/127`, `q_i = clip(floor(v_i/scale + 0.5), ±127)`.

@@ -71,7 +71,10 @@ object TemporalJoins {
     * microseconds (`unix_micros`) — engine-neutral integer arithmetic.
     *
     * Output: all probe columns + `n_in_window` (count) + `sum_value`
-    * (sum of `valueCol`, 0.0 when empty).
+    * (sum of `valueCol`, 0.0 when empty). Probe rows must be unique
+    * (the regroup after the bucket explode keys on them — duplicates
+    * would collapse into one row with summed counts); carry a unique id
+    * column when in doubt.
     */
   def slidingCountJoin(
       probe: DataFrame,
@@ -116,7 +119,8 @@ object TemporalJoins {
     * same work with watermark state instead).
     *
     * Output: probe columns + `touch_<idCol>` + `touch_micros` (epoch µs
-    * of the matched row).
+    * of the matched row). Probe rows must be unique, as in
+    * [[slidingCountJoin]].
     */
   def firstTouchJoin(
       probe: DataFrame,

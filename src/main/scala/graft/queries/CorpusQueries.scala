@@ -136,6 +136,23 @@ object CorpusQueries {
           .as("approx_distinct_grams"))
       .orderBy("source")
 
+  /** q74 — compression-ratio quality gate: per-source mean deflate
+    * ratio and the count of high-redundancy documents (ratio < 0.3).
+    * Pure projection + one partial-agg shuffle — embarrassingly
+    * parallel at any corpus size. Engine-internal codec → rows-only
+    * gate; the signal's direction is pinned in CorpusQueriesSpec.
+    */
+  def qCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), deflateRatioUdf(col("text")).as("ratio"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("ratio")).as("mean_ratio"),
+        sum(when(col("ratio") < 0.3, 1L).otherwise(0L))
+          .as("n_high_redundancy"))
+      .orderBy("source")
+
   val qLangTrigramsSql: String =
     """WITH g AS (
       |  SELECT lang,

@@ -74,6 +74,21 @@ object SimilarityQueries {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** q73 — product-quantization approximate top-5, the third ANN family
+    * (q31 hyperplane LSH, q39 IVF): the search pass reads m=8 centroid
+    * codes per corpus row instead of 64 floats — the 100 TB shape where
+    * the original vectors no longer fit hot storage. Rows-only (trained
+    * codebooks are engine-internal); recall vs exact asserted in
+    * SimilaritySpec.
+    */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .pqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** q32 — per-label centroids (mean pooling), exact-checkable form:
     * each (label, dimension) sums `floor(component × 1e6)` as integers —
     * float→double widening and the double multiply are bit-identical

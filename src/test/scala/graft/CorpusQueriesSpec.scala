@@ -49,6 +49,21 @@ class CorpusQueriesSpec extends SparkSpecBase {
     assert(total === purchases)
   }
 
+  test("deflate ratio separates redundant from diverse text") {
+    val redundant = ("spam " * 400).trim
+    val diverse = (1 to 400).map(i => s"w${i}x${i * 7 % 97}").mkString(" ")
+    val df = Seq(("r", redundant), ("d", diverse)).toDF("k", "text")
+    val m = df.select(col("k"),
+      TextFunctions.deflateRatioUdf(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("r") < 0.1, s"repetition should compress hard: ${m("r")}")
+    assert(m("d") > 0.3, s"diverse text should not: ${m("d")}")
+    // empty text defined as ratio 1.0 (no evidence of redundancy)
+    val e = Seq("").toDF("text")
+      .select(TextFunctions.deflateRatioUdf(col("text"))).head().getDouble(0)
+    assert(e === 1.0)
+  }
+
   test("wordNgramsKernel agrees with the expression-form wordNgrams") {
     val df = Seq("one two three four five", "short", "").toDF("text")
     val a = df.select(TextFunctions.wordNgrams(col("text"), 3).as("g"))

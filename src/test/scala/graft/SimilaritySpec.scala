@@ -161,6 +161,38 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"IVF recall@5 vs exact baseline: $recall")
   }
 
+  test("PQ top-k recall against the exact baseline; codes are m small ints") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pq = Similarity
+      .pqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"PQ recall@5 too low: $recall")
+    info(s"PQ recall@5 vs exact baseline: $recall")
+    // the encoded form really is m codes in [0, ksub)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect()
+    assert(codes.length === emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
   test("int8 quantization: codes in range, reconstruction error ≤ scale/2") {
     import spark.implicits._
     val vecs = Seq(
