@@ -202,4 +202,132 @@ object Relational2 {
       |    AS p99_qty,
       |  COUNT(*) AS n_rows
       |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q75 — TPC-H Q5 shape: six-table join (region→nation→customer→
+    * orders→lineitem→supplier with the customer-and-supplier-same-
+    * nation condition), selective region/date filters, revenue
+    * aggregate. The canonical join-order/broadcast-planning workout:
+    * region and nation broadcast, the orders date filter pushes to the
+    * scan, and only the orders⋈lineitem⋈customer backbone shuffles.
+    */
+  def q75RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val lineitem = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q75RegionRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q76 — per-user outlier flags from decimal-exact moments: mean and
+    * variance are DERIVED from exact decimal sums (Σv, Σv², n) so the
+    * float arithmetic that follows is a fixed per-row scalar sequence —
+    * identical on any engine and any partial-agg order, making a
+    * statistical operator hash-comparable. Flags events beyond 3σ and
+    * reports per-user counts. One groupBy shuffle + one broadcast-able
+    * join back.
+    */
+  def q76UserOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast(DecimalType(28, 6)).as("v"))
+    val stats = events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        // sample variance from exact sums: (s2 - s1²/n) / (n-1)
+        ((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("variance"))
+    events
+      .join(stats, "user_id")
+      .filter(col("variance") > 0.0)
+      .groupBy(col("user_id"), col("n"))
+      .agg(
+        sum(when(
+          abs(col("v").cast("double") - col("mean")) >
+            lit(3.0) * sqrt(col("variance")), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("user_id"), col("n").as("n_events"), col("n_outliers"))
+      .orderBy("user_id")
+  }
+
+  val q76UserOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(value AS DECIMAL(28,6)) AS v
+      |  FROM events),
+      |stats AS (
+      |  SELECT user_id, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+      |  FROM e GROUP BY user_id HAVING COUNT(*) >= 2),
+      |m AS (
+      |  SELECT user_id, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS variance
+      |  FROM stats)
+      |SELECT e.user_id, m.n AS n_events,
+      |  CAST(SUM(CASE WHEN ABS(CAST(e.v AS DOUBLE) - m.mean)
+      |    > 3.0 * SQRT(m.variance) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM e JOIN m ON e.user_id = m.user_id
+      |WHERE m.variance > 0.0
+      |GROUP BY e.user_id, m.n ORDER BY e.user_id""".stripMargin
+
+  /** q77 — table profile (the Deequ shape): per-column row/null/exact-
+    * distinct counts over lineitem in ONE aggregation pass (multiple
+    * count-distincts plan as a single Expand + aggregate — one shuffle
+    * of rows×cols).
+    */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_quantity",
+    "l_returnflag", "l_shipdate")
+
+  def q77Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .profile(Tables.lineitem(spark, dir), profileCols)
+      .orderBy("col_name")
+
+  val q77ProfileSql: String = profileCols.sorted.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($c) AS n_nulls,
+       |  COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
 }
