@@ -161,10 +161,15 @@ object TextFunctions {
   /** Positional word n-grams as one primitive kernel pass — the
     * explode-side twin of [[wordNgrams]] (whose higher-order transform
     * evaluates interpreted; under an explode + aggregate that measured
-    * ~20× slower than this UDF at sf0.1). Identical gram convention.
+    * ~20× slower than this UDF at sf0.1). Identical gram convention,
+    * including NULL text → NULL array (explode then emits no rows, like
+    * the expression form and the SQL oracles — a `[""]` here would
+    * fabricate one empty gram per null doc).
     */
   val wordNgramsKernelUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String, n: Int) => posGrams(text, n) }
+    udf { (text: String, n: Int) =>
+      if (text == null) null else posGrams(text, n)
+    }
 
   def wordNgramsKernel(text: Column, n: Int): Column =
     wordNgramsKernelUdf(text, lit(n))
@@ -173,12 +178,14 @@ object TextFunctions {
     * hex chars of `md5(gram)` as a long — DuckDB:
     * `('0x'||substr(md5(g),1,15))::BIGint`) in one kernel pass, value
     * taken straight from the digest bytes. Narrow explode payload for
-    * corpus-wide gram statistics.
+    * corpus-wide gram statistics. NULL text → NULL, as in
+    * [[wordNgramsKernelUdf]].
     */
   val md5Grams60Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String, n: Int) =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      posGrams(text, n).map { g =>
+      if (text == null) null
+      else posGrams(text, n).map { g =>
         val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var hv = 0L
         var bi = 0

@@ -336,12 +336,12 @@ object StudyTasks {
             if (pos + 2 + width > n) throw new IllegalArgumentException(
               s"truncated \\$c escape")
             val hex = text.substring(pos + 2, pos + 2 + width)
-            val cp = try Integer.parseInt(hex, 16)
-            catch {
-              case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"invalid hex in \\$c escape: '$hex'")
-            }
+            // strict hex-digit check: parseInt alone would accept a
+            // leading '+'/'-' sign and mis-decode a malformed escape
+            if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+              throw new IllegalArgumentException(
+                s"invalid hex in \\$c escape: '$hex'")
+            val cp = Integer.parseInt(hex, 16)
             pos += 2 + width
             new String(Character.toChars(cp))
           case other => throw new IllegalArgumentException(

@@ -475,6 +475,30 @@ object Similarity {
     * are the first `ksub` rows in deterministic md5(id) order, like
     * [[ivfTopK]].
     */
+  /** Nearest sub-centroid of subspace `s` for vector `v` — shared by
+    * training and encoding so assignment (incl. the lowest-index
+    * tie-break of strict `<`) can never desynchronize between them.
+    */
+  private def subNearest(v: Array[Float], s: Int,
+      cb: Array[Array[Array[Double]]]): Int = {
+    val subDim = cb(s)(0).length
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb(s).length) {
+      var d = 0.0
+      var j = 0
+      while (j < subDim) {
+        val x = v(s * subDim + j).toDouble - cb(s)(c)(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def pqTrain(
       corpus: DataFrame,
       idCol: String,
@@ -505,25 +529,6 @@ object Similarity {
         Array.tabulate(subDim)(j => seeds(c)._2(s * subDim + j).toDouble)
     }
 
-    def subNearest(v: Array[Float], s: Int,
-        cb: Array[Array[Array[Double]]]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cb(s).length) {
-        var d = 0.0
-        var j = 0
-        while (j < cb(s)(c).length) {
-          val x = v(s * cb(s)(c).length + j).toDouble - cb(s)(c)(j)
-          d += x * x
-          j += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(codebooks)
@@ -532,8 +537,13 @@ object Similarity {
           val cb = bc.value
           val sums = Array.fill(m, ksub)(new Array[Double](subDim))
           val counts = Array.fill(m, ksub)(0L)
-          rows.foreach { case (_, v) =>
-            if (v != null && v.length == dim) {
+          rows.foreach { case (id, v) =>
+            // null vectors carry no information and are skipped; a
+            // WRONG-dimension vector is a data defect — fail fast like
+            // kmeansAssign rather than silently train on a truncation
+            if (v != null) {
+              require(v.length == dim,
+                s"row $id vector has dimension ${v.length}, expected $dim")
               var s = 0
               while (s < m) {
                 val c = subNearest(v, s, cb)
@@ -592,25 +602,16 @@ object Similarity {
       .mapPartitions { rows =>
         val cb = bc.value
         rows.collect {
-          case (id, v) if v != null && v.length == dim =>
+          // null vectors are un-encodable and skipped (documented);
+          // wrong dimensions fail fast — silent truncation would
+          // produce wrong-but-plausible codes
+          case (id, v) if v != null =>
+            require(v.length == dim,
+              s"row $id vector has dimension ${v.length}, expected $dim")
             val codes = new Array[Int](m)
             var s = 0
             while (s < m) {
-              var best = 0
-              var bestD = Double.MaxValue
-              var c = 0
-              while (c < cb(s).length) {
-                var d = 0.0
-                var j = 0
-                while (j < subDim) {
-                  val x = v(s * subDim + j).toDouble - cb(s)(c)(j)
-                  d += x * x
-                  j += 1
-                }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              codes(s) = best
+              codes(s) = subNearest(v, s, cb)
               s += 1
             }
             (id, codes)
@@ -662,11 +663,23 @@ object Similarity {
       while (j < subDim) { n += codebooks(s)(c)(j) * codebooks(s)(c)(j); j += 1 }
       n
     }
-    val qData: Array[(Long, Array[Array[Double]], Double)] = queries
+    // ONE driver collect builds both the ADC tables and the re-rank
+    // vector map (norms shared too)
+    val qRaw: Array[(Long, Array[Float], Double)] = queries
       .select(col(queryId).cast("long"), col(queryVec))
       .as[(Long, Array[Float])]
       .collect()
       .map { case (id, v) =>
+        require(v != null && v.length == dim,
+          s"query $id vector has dimension " +
+            s"${if (v == null) "null" else v.length}, expected $dim")
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    val qData: Array[(Long, Array[Array[Double]], Double)] =
+      qRaw.map { case (id, v, norm) =>
         val lut = Array.tabulate(m, ksub) { (s, c) =>
           var d = 0.0
           var j = 0
@@ -675,10 +688,7 @@ object Similarity {
           }
           d
         }
-        var n = 0.0
-        var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        (id, lut, math.sqrt(n))
+        (id, lut, norm)
       }
     val bcQ = spark.sparkContext.broadcast(qData)
     val bcN = spark.sparkContext.broadcast(norm2)
@@ -727,25 +737,18 @@ object Similarity {
     // re-rank: only shortlisted ids read their float vectors again
     val shortlist = partials.dropDuplicates("query_id", "neighbor_id")
 
-    val qVecs: Map[Long, (Array[Float], Double)] = queries
-      .select(col(queryId).cast("long"), col(queryVec))
-      .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) =>
-        var n = 0.0
-        var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        id -> (v, math.sqrt(n))
-      }
-      .toMap
+    val qVecs: Map[Long, (Array[Float], Double)] =
+      qRaw.map { case (id, v, norm) => id -> (v, norm) }.toMap
     val bcV = spark.sparkContext.broadcast(qVecs)
     val exactCos = udf { (qid: Long, v: scala.collection.Seq[Float]) =>
       val (qv, qNorm) = bcV.value(qid)
+      // corpus dims were validated by pqEncode; no silent truncation
+      require(v.length == qv.length,
+        s"re-rank vector has dimension ${v.length}, expected ${qv.length}")
       var d = 0.0
       var vn = 0.0
       var i = 0
-      val n = math.min(qv.length, v.length)
-      while (i < n) {
+      while (i < qv.length) {
         val x = v(i).toDouble
         d += x * qv(i).toDouble
         vn += x * x

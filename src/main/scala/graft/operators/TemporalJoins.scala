@@ -83,14 +83,40 @@ object TemporalJoins {
       tsCol: String,
       valueCol: String,
       windowMicros: Long
+  ): DataFrame =
+    bucketedWindowJoin(probe, candidates, keyCol, tsCol, windowMicros,
+      Seq(col(valueCol).as("__cv")))
+      .groupBy(probe.columns.map(col) :+ col("__pu"): _*)
+      .agg(
+        // count matched ROWS (__cu is non-null exactly when a candidate
+        // matched) — counting __cv would silently skip candidates whose
+        // value is null, diverging from the oracle's COUNT of joined rows
+        count(col("__cu")).as("n_in_window"),
+        coalesce(sum(col("__cv")), lit(0.0)).as("sum_value"))
+      .drop("__pu")
+
+  /** Shared scaffolding of the bucketed band joins: candidates keyed and
+    * bucketed at the window width (integer `div`, not `/` — double
+    * division would lose precision on large epoch values), probe rows
+    * exploded into their own and the previous bucket, left-joined on
+    * (bucket, key) with the half-open `[ts - W, ts)` residual. Returns
+    * the joined frame with probe columns + `__pu` + `__cu` + the given
+    * candidate payload columns (null when unmatched).
+    */
+  private def bucketedWindowJoin(
+      probe: DataFrame,
+      candidates: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowMicros: Long,
+      payload: Seq[org.apache.spark.sql.Column]
   ): DataFrame = {
-    // integer `div`, not `/` — double division would lose precision on
-    // large epoch values
     val cand = candidates.select(
-      col(keyCol).as("__key"),
-      unix_micros(col(tsCol)).as("__cu"),
-      col(valueCol).as("__cv"),
-      expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__bucket"))
+      Seq(
+        col(keyCol).as("__key"),
+        unix_micros(col(tsCol)).as("__cu"),
+        expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__bucket")
+      ) ++ payload: _*)
     val probed = probe
       .withColumn("__pu", unix_micros(col(tsCol)))
       .withColumn("__bucket",
@@ -103,11 +129,6 @@ object TemporalJoins {
           col("__cu") >= col("__pu") - windowMicros &&
           col("__cu") < col("__pu"),
         "left")
-      .groupBy(probe.columns.map(col) :+ col("__pu"): _*)
-      .agg(
-        count(col("__cv")).as("n_in_window"),
-        coalesce(sum(col("__cv")), lit(0.0)).as("sum_value"))
-      .drop("__pu")
   }
 
   /** First-touch attribution join: for every probe row, the EARLIEST
@@ -129,24 +150,9 @@ object TemporalJoins {
       tsCol: String,
       idCol: String,
       windowMicros: Long
-  ): DataFrame = {
-    val cand = candidates.select(
-      col(keyCol).as("__key"),
-      unix_micros(col(tsCol)).as("__cu"),
-      col(idCol).as("__cid"),
-      expr(s"unix_micros($tsCol) div ${windowMicros}L").as("__bucket"))
-    val probed = probe
-      .withColumn("__pu", unix_micros(col(tsCol)))
-      .withColumn("__bucket",
-        explode(array(expr(s"__pu div ${windowMicros}L") - 1,
-          expr(s"__pu div ${windowMicros}L"))))
-    probed
-      .join(cand,
-        probed("__bucket") === cand("__bucket") &&
-          col(keyCol) === col("__key") &&
-          col("__cu") >= col("__pu") - windowMicros &&
-          col("__cu") < col("__pu"),
-        "left")
+  ): DataFrame =
+    bucketedWindowJoin(probe, candidates, keyCol, tsCol, windowMicros,
+      Seq(col(idCol).as("__cid")))
       .groupBy(probe.columns.map(col) :+ col("__pu"): _*)
       // min over (ts, id) structs skips nulls, so an empty window
       // yields a null struct rather than a null-field winner
@@ -155,5 +161,4 @@ object TemporalJoins {
       .select(probe.columns.map(col) :+
         col("__m.__cid").as(s"touch_$idCol") :+
         col("__m.__cu").as("touch_micros"): _*)
-  }
 }

@@ -263,7 +263,11 @@ object Relational2 {
   def q76UserOutliers(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-        col("value").cast(DecimalType(28, 6)).as("v"))
+        // DECIMAL(18,6), not (28,6): the square must stay exact, and
+        // 18+18+1 = 37 ≤ 38 keeps Spark's product type at scale 12
+        // (a (28,6) square would round to DecimalType(38,6) while the
+        // oracle keeps 12 decimals)
+        col("value").cast(DecimalType(18, 6)).as("v"))
     val stats = events
       .groupBy("user_id")
       .agg(
@@ -293,7 +297,7 @@ object Relational2 {
 
   val q76UserOutliersSql: String =
     """WITH e AS (
-      |  SELECT event_id, user_id, CAST(value AS DECIMAL(28,6)) AS v
+      |  SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS v
       |  FROM events),
       |stats AS (
       |  SELECT user_id, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2

@@ -72,4 +72,16 @@ class CorpusQueriesSpec extends SparkSpecBase {
       .collect().map(_.getSeq[String](0).toList).toList
     assert(a === b)
   }
+
+  test("null text yields no grams under explode (kernel and md5 forms)") {
+    // the expression form propagates NULL and explode emits nothing;
+    // the kernels must match (a [\"\"] would fabricate one gram per doc)
+    val df = Seq(Some("a b c d e"), None).toDF("text")
+    val kernel = df.select(explode(
+      TextFunctions.wordNgramsKernel(col("text"), 3)).as("g")).count()
+    val md5g = df.select(explode(
+      TextFunctions.md5Grams60Udf(col("text"), lit(5))).as("h")).count()
+    assert(kernel === 3) // only the non-null doc's 3-grams (5 tokens)
+    assert(md5g === 1) // 5 tokens → one 5-gram; null doc contributes none
+  }
 }

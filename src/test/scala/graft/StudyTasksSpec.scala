@@ -228,6 +228,8 @@ class StudyTasksSpec extends SparkSpecBase {
     // truncated/invalid hex
     intercept[IllegalArgumentException] { Toml.parse("k = \"\\u12\"\n") }
     intercept[IllegalArgumentException] { Toml.parse("k = \"\\uZZZZ\"\n") }
+    // parseInt would accept a sign character — strict digits only
+    intercept[IllegalArgumentException] { Toml.parse("k = \"\\u+12f\"\n") }
     // raw newline inside a single-line basic string
     intercept[IllegalArgumentException] { Toml.parse("k = \"a\nb\"\n") }
     // unterminated string

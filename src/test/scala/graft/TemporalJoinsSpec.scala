@@ -62,4 +62,37 @@ class TemporalJoinsSpec extends SparkSpecBase {
       2L -> ((0L, 0.0)),
       3L -> ((0L, 0.0))))
   }
+
+  test("slidingCountJoin counts matched rows even when their value is null") {
+    // n_in_window must count joined candidate ROWS (like the oracle's
+    // COUNT over the join), not non-null values
+    val probe = Seq((1L, 7L, ts("2024-01-01 01:00:00"))).toDF("pid", "key", "t")
+    val cand = Seq(
+      (7L, ts("2024-01-01 00:55:00"), Some(2.0)),
+      (7L, ts("2024-01-01 00:56:00"), None) // matched, null value
+    ).toDF("key", "t", "v")
+    val r = TemporalJoins
+      .slidingCountJoin(probe, cand, "key", "t", "v", 10L * 60 * 1000000)
+      .select("n_in_window", "sum_value").head()
+    assert(r.getLong(0) === 2L) // both rows matched
+    assert(r.getDouble(1) === 2.0) // sum skips the null value
+  }
+
+  test("firstTouchJoin picks the earliest candidate; empty window → nulls") {
+    val probe = Seq(
+      (1L, 7L, ts("2024-01-01 01:00:00")),
+      (2L, 9L, ts("2024-01-01 01:00:00"))
+    ).toDF("pid", "key", "t")
+    val cand = Seq(
+      (100L, 7L, ts("2024-01-01 00:57:00")),
+      (101L, 7L, ts("2024-01-01 00:52:00")) // earlier → first touch
+    ).toDF("cid", "key", "t")
+    val got = TemporalJoins
+      .firstTouchJoin(probe, cand, "key", "t", "cid", 10L * 60 * 1000000)
+      .select("pid", "touch_cid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 101L, 2L -> -1L))
+  }
 }
