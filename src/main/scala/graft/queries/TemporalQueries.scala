@@ -122,4 +122,31 @@ object TemporalQueries {
       |  ON p.user_id = c.user_id
       |  AND c.u >= p.u - 1800000000 AND c.u < p.u
       |GROUP BY p.event_id, p.user_id""".stripMargin
+
+  /** q78 — the attribution PAIR set itself ([[graft.streaming
+    * .EventStreams.attributionPairs]] in batch mode): every
+    * (purchase, click-within-30-min-before) pair. The same transform
+    * runs as a genuine stream-stream interval join (StreamingSpec
+    * proves the pair sets identical); this registers its batch twin
+    * under the DuckDB gate.
+    */
+  def qAttrPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams
+      .attributionPairs(Tables.events(spark, dir), "30 minutes")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_micros"),
+        unix_micros(col("c_ts")).as("c_micros"))
+
+  val qAttrPairsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(date_trunc('microseconds', ts)) AS u
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  c.event_id AS click_id, p.u AS p_micros, c.u AS c_micros
+      |FROM p JOIN c
+      |  ON p.user_id = c.user_id
+      |  AND c.u >= p.u - 1800000000 AND c.u < p.u""".stripMargin
 }
