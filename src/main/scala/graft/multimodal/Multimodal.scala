@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns + typed metadata structs, with decode / resize /
   * frame-sample / feature-extract as partition-parallel operators.
   *
-  * The actual codecs are NOT in this container, so the decode kernels are
-  * STUBBED with deterministic fakes (clearly marked below). Everything
-  * around them — schema contract, mapPartitions batch shape, partition
-  * sizing, null/error routing — is real and tested; swapping in a real
-  * codec (javacv, TwelveMonkeys, ffmpeg via pipe) only replaces the
-  * marked function bodies.
+  * Codec status: IMAGE decode/resize/embed are REAL via the JDK's
+  * built-in codecs (`javax.imageio` PNG/JPEG/BMP/GIF + `Graphics2D`
+  * resampling — headless-safe, no external libraries); AUDIO metadata
+  * is REAL for WAV/AIFF/AU via `javax.sound.sampled`. Payloads no JDK
+  * codec can parse (and all VIDEO, which the JDK cannot decode) fall
+  * back to deterministic fakes (clearly marked below) so the pipeline
+  * stays total and testable; swapping in a full codec stack (javacv,
+  * ffmpeg via pipe) only replaces those fallback bodies. Schema
+  * contract, mapPartitions batch shape, partition sizing, and
+  * null/error routing are identical on both paths.
   */
 object Multimodal {
 
@@ -40,12 +44,102 @@ object Multimodal {
       meta: MediaMeta
   )
 
-  // ---- STUB KERNELS ----------------------------------------------------
-  // Real implementations would parse the container format. These fakes
-  // are pure functions of the bytes so the pipeline stays deterministic
-  // and testable without codec libraries.
+  // ---- REAL JDK CODEC KERNELS ------------------------------------------
 
-  /** STUB: header parse. Real: ImageIO/ffprobe on `bytes`. */
+  /** REAL image decode: JDK ImageIO (PNG/JPEG/BMP/GIF/WBMP). Returns
+    * None when no registered reader understands the bytes.
+    */
+  private def tryDecodeImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  private def tryImageMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    tryDecodeImage(bytes).map { img =>
+      MediaMeta(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, 0L, "image/decoded")
+    }
+
+  /** REAL audio metadata: `javax.sound.sampled` header parse (WAV/
+    * AIFF/AU). Duration from frame count / frame rate.
+    */
+  private def tryAudioMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength
+      val durMs =
+        if (frames > 0 && af.getFrameRate > 0)
+          (frames * 1000L / af.getFrameRate).toLong
+        else 0L
+      Some(MediaMeta(0, 0, af.getChannels, durMs,
+        "audio/" + fmt.getType.getExtension))
+    } catch { case _: Exception => None }
+
+  /** REAL image resample: Graphics2D bilinear draw into the target box,
+    * re-encoded as PNG (headless-safe, JDK-only). None when the input
+    * doesn't decode.
+    */
+  private def tryResizeImage(bytes: Array[Byte], w: Int, hgt: Int)
+      : Option[Array[Byte]] =
+    tryDecodeImage(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(w, hgt,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, hgt, null)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+
+  /** REAL pixel embedding: average-pool the decoded image onto a
+    * √dim×√dim luminance grid — a deterministic, model-free feature
+    * vector with real spatial meaning (the slot a vision model fills).
+    */
+  private def tryEmbedImage(bytes: Array[Byte], dim: Int)
+      : Option[Array[Float]] =
+    tryDecodeImage(bytes).map { img =>
+      val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val out = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val gy = y * grid / h
+        var x = 0
+        while (x < w) {
+          val gx = x * grid / w
+          val slot = math.min(dim - 1, gy * grid + gx)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          out(slot) += lum / 255.0f
+          counts(slot) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < dim) {
+        if (counts(i) > 0) out(i) /= counts(i)
+        i += 1
+      }
+      out
+    }
+
+  // ---- FALLBACK (STUB) KERNELS -----------------------------------------
+  // Used when no JDK codec parses the payload (and for video, which the
+  // JDK cannot decode). Pure functions of the bytes so the pipeline
+  // stays deterministic and testable without external codec libraries.
+
+  /** FALLBACK: header parse for non-decodable payloads. */
   private def fakeDecodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(bytes)
     val w = 64 + math.abs(h % 512)
@@ -58,12 +152,13 @@ object Multimodal {
     }
   }
 
-  /** STUB: pixel resample. Real: scaled re-encode of `bytes`. */
+  /** FALLBACK: pixel resample for non-decodable payloads. */
   private def fakeResize(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] =
     java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * hgt / 64 + 16))
 
-  /** STUB: embedding. Real: a vision/audio model over decoded frames.
-    * Deterministic projection of byte chunks into `dim` floats.
+  /** FALLBACK: embedding for non-decodable payloads (a vision/audio
+    * model fills this slot for real media). Deterministic projection of
+    * byte chunks into `dim` floats.
     */
   private def fakeEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -83,10 +178,17 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs initialize per-partition state HERE (once, not per row)
+      // heavier codecs initialize per-partition state HERE (once, not
+      // per row); ImageIO/AudioSystem are static JDK registries
       rows.map { r =>
-        DecodedRow(r.media_id, r.kind, r.bytes,
-          fakeDecodeMeta(r.kind, r.bytes))
+        val meta = r.kind match {
+          case "image" => tryImageMeta(r.bytes)
+              .getOrElse(fakeDecodeMeta(r.kind, r.bytes))
+          case "audio" => tryAudioMeta(r.bytes)
+              .getOrElse(fakeDecodeMeta(r.kind, r.bytes))
+          case _ => fakeDecodeMeta(r.kind, r.bytes) // video: no JDK codec
+        }
+        DecodedRow(r.media_id, r.kind, r.bytes, meta)
       }
     }
   }
@@ -104,8 +206,12 @@ object Multimodal {
               maxH.toDouble / r.meta.height))
           val nw = math.max(1, (r.meta.width * scale).toInt)
           val nh = math.max(1, (r.meta.height * scale).toInt)
-          r.copy(bytes = fakeResize(r.bytes, nw, nh),
-            meta = r.meta.copy(width = nw, height = nh))
+          val resized = tryResizeImage(r.bytes, nw, nh)
+            .getOrElse(fakeResize(r.bytes, nw, nh))
+          val fmt =
+            if (r.meta.format == "image/decoded") "image/png" else r.meta.format
+          r.copy(bytes = resized,
+            meta = r.meta.copy(width = nw, height = nh, format = fmt))
         }
       }
     }
@@ -133,7 +239,13 @@ object Multimodal {
     decoded.mapPartitions { rows =>
       // real models batch rows here (e.g. groups of 32 through a session)
       rows.grouped(32).flatMap { batch =>
-        batch.map(r => (r.media_id, fakeEmbed(r.bytes, dim)))
+        batch.map { r =>
+          val v =
+            if (r.kind == "image")
+              tryEmbedImage(r.bytes, dim).getOrElse(fakeEmbed(r.bytes, dim))
+            else fakeEmbed(r.bytes, dim)
+          (r.media_id, v)
+        }
       }
     }.toDF("media_id", "embedding")
   }

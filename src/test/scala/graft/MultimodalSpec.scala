@@ -58,4 +58,71 @@ class MultimodalSpec extends SparkSpecBase {
       "embedding", k = 2)
     assert(topk.count() === 6)
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG payloads decode, resize, and embed through JDK codecs") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(100, 60, 0xffffff)),
+      Multimodal.MediaRow(2L, "image", pngBytes(40, 40, 0x000000)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val decoded = Multimodal.decode(rows)
+    val metas = decoded.collect().map(r => r.media_id -> r.meta).toMap
+    // real headers on real payloads
+    assert(metas(1L).width === 100 && metas(1L).height === 60)
+    assert(metas(1L).format === "image/decoded")
+    assert(metas(2L).width === 40 && metas(2L).height === 40)
+    // junk payload falls back to the deterministic fake, not an error
+    assert(metas(3L).format === "fake/raw")
+
+    // resize produces a REAL smaller PNG: decoding the output re-reads
+    // the new dimensions
+    val resized = Multimodal.resize(decoded, 50, 50).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(1L).meta.width === 50 && resized(1L).meta.height === 30)
+    assert(resized(1L).meta.format === "image/png")
+    val reRead = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).bytes))
+    assert(reRead.getWidth === 50 && reRead.getHeight === 30)
+    // 40x40 already inside the box: untouched
+    assert(resized(2L).meta.width === 40 && resized(2L).meta.height === 40)
+
+    // pixel embedding reflects real luminance: white ≈ 1.0, black = 0.0
+    val emb = Multimodal.embed(decoded, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb(1L).forall(v => v > 0.95f))
+    assert(emb(2L).forall(v => v === 0.0f))
+  }
+
+  test("real WAV payloads expose channel count and duration") {
+    import spark.implicits._
+    // 0.5s of silence, 8kHz mono 8-bit PCM, written by the JDK itself
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val data = new Array[Byte](4000)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", baos.toByteArray)).toDS()
+    val meta = Multimodal.decode(rows).collect().head.meta
+    assert(meta.channels === 1)
+    assert(meta.durationMs === 500L)
+    assert(meta.format === "audio/wav")
+  }
 }
