@@ -46,20 +46,64 @@ object Multimodal {
 
   // ---- REAL JDK CODEC KERNELS ------------------------------------------
 
-  /** REAL image decode: JDK ImageIO (PNG/JPEG/BMP/GIF/WBMP). Returns
-    * None when no registered reader understands the bytes.
+  /** Magic-byte gate before any ImageIO call: only formats whose
+    * signature matches are attempted. This is not just a fast path —
+    * the JDK's WBMP reader has NO magic number and will happily
+    * interpret junk bytes as a multi-gigapixel image, turning a
+    * malformed payload into an executor-killing allocation (an Error,
+    * not an Exception) instead of a clean fallback.
+    */
+  private def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && {
+      val b = bytes
+      // PNG \x89PNG | JPEG FFD8 | GIF87a/GIF89a | BMP "BM"
+      ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M')
+    }
+
+  /** REAL image decode: JDK ImageIO (PNG/JPEG/BMP/GIF), gated on the
+    * signature. Returns None when the bytes aren't a supported image.
     */
   private def tryDecodeImage(bytes: Array[Byte])
       : Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
 
+  /** REAL image metadata: HEADER-only read (reader.getWidth/getHeight
+    * decode no pixel data) — the metadata pass over a corpus costs
+    * O(header), not O(pixels), per row.
+    */
   private def tryImageMeta(bytes: Array[Byte]): Option[MediaMeta] =
-    tryDecodeImage(bytes).map { img =>
-      MediaMeta(img.getWidth, img.getHeight,
-        img.getColorModel.getNumComponents, 0L, "image/decoded")
-    }
+    if (!looksLikeImage(bytes)) None
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val channels =
+                try {
+                  val types = r.getImageTypes(0)
+                  if (types.hasNext)
+                    types.next().getColorModel.getNumComponents
+                  else 3
+                } catch { case _: Exception => 3 }
+              Some(MediaMeta(r.getWidth(0), r.getHeight(0), channels, 0L,
+                "image/decoded"))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
   /** REAL audio metadata: `javax.sound.sampled` header parse (WAV/
     * AIFF/AU). Duration from frame count / frame rate.
@@ -70,9 +114,11 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       val af = fmt.getFormat
       val frames = fmt.getFrameLength
+      // Double arithmetic + round: a Float quotient truncated to Long
+      // loses tens of ms on long clips (24-bit mantissa)
       val durMs =
         if (frames > 0 && af.getFrameRate > 0)
-          (frames * 1000L / af.getFrameRate).toLong
+          math.round(frames * 1000.0 / af.getFrameRate)
         else 0L
       Some(MediaMeta(0, 0, af.getChannels, durMs,
         "audio/" + fmt.getType.getExtension))
@@ -99,13 +145,16 @@ object Multimodal {
     }
 
   /** REAL pixel embedding: average-pool the decoded image onto a
-    * √dim×√dim luminance grid — a deterministic, model-free feature
-    * vector with real spatial meaning (the slot a vision model fills).
+    * luminance grid — a deterministic, model-free feature vector with
+    * real spatial meaning (the slot a vision model fills). The grid is
+    * ⌈√dim⌉² cells folded into `dim` slots by modulo, so EVERY slot
+    * receives pixels for any `dim` (a ⌊√dim⌋ grid would leave the
+    * trailing dim−⌊√dim⌋² slots permanently zero).
     */
   private def tryEmbedImage(bytes: Array[Byte], dim: Int)
       : Option[Array[Float]] =
     tryDecodeImage(bytes).map { img =>
-      val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val grid = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
       val out = new Array[Float](dim)
       val counts = new Array[Int](dim)
       val w = img.getWidth
@@ -116,7 +165,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val gx = x * grid / w
-          val slot = math.min(dim - 1, gy * grid + gx)
+          val slot = (gy * grid + gx) % dim
           val rgb = img.getRGB(x, y)
           val lum = (((rgb >> 16) & 0xff) * 299 +
             ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
@@ -206,12 +255,16 @@ object Multimodal {
               maxH.toDouble / r.meta.height))
           val nw = math.max(1, (r.meta.width * scale).toInt)
           val nh = math.max(1, (r.meta.height * scale).toInt)
-          val resized = tryResizeImage(r.bytes, nw, nh)
-            .getOrElse(fakeResize(r.bytes, nw, nh))
-          val fmt =
-            if (r.meta.format == "image/decoded") "image/png" else r.meta.format
-          r.copy(bytes = resized,
-            meta = r.meta.copy(width = nw, height = nh, format = fmt))
+          if (nw == r.meta.width && nh == r.meta.height) r // already inside
+          else {
+            val resized = tryResizeImage(r.bytes, nw, nh)
+              .getOrElse(fakeResize(r.bytes, nw, nh))
+            val fmt =
+              if (r.meta.format == "image/decoded") "image/png"
+              else r.meta.format
+            r.copy(bytes = resized,
+              meta = r.meta.copy(width = nw, height = nh, format = fmt))
+          }
         }
       }
     }

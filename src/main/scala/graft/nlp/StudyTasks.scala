@@ -336,9 +336,12 @@ object StudyTasks {
             if (pos + 2 + width > n) throw new IllegalArgumentException(
               s"truncated \\$c escape")
             val hex = text.substring(pos + 2, pos + 2 + width)
-            // strict hex-digit check: parseInt alone would accept a
-            // leading '+'/'-' sign and mis-decode a malformed escape
-            if (!hex.forall(ch => Character.digit(ch, 16) >= 0))
+            // strict ASCII hex check: parseInt alone accepts a leading
+            // sign, and Character.digit also accepts Unicode/fullwidth
+            // digits — both would silently mis-decode malformed escapes
+            if (!hex.forall(ch =>
+                (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') ||
+                  (ch >= 'A' && ch <= 'F')))
               throw new IllegalArgumentException(
                 s"invalid hex in \\$c escape: '$hex'")
             val cp = Integer.parseInt(hex, 16)

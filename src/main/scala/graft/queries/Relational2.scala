@@ -266,7 +266,9 @@ object Relational2 {
         // DECIMAL(18,6), not (28,6): the square must stay exact, and
         // 18+18+1 = 37 ≤ 38 keeps Spark's product type at scale 12
         // (a (28,6) square would round to DecimalType(38,6) while the
-        // oracle keeps 12 decimals)
+        // oracle keeps 12 decimals). Contract: |value| < 10^12 — beyond
+        // that BOTH engines fail the cast loudly (Spark ANSI and DuckDB
+        // alike), they just never silently diverge
         col("value").cast(DecimalType(18, 6)).as("v"))
     val stats = events
       .groupBy("user_id")

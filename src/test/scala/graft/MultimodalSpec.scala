@@ -98,14 +98,23 @@ class MultimodalSpec extends SparkSpecBase {
     val reRead = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(resized(1L).bytes))
     assert(reRead.getWidth === 50 && reRead.getHeight === 30)
-    // 40x40 already inside the box: untouched
+    // 40x40 already inside the box: a true pass-through — the exact
+    // bytes survive (no silent PNG transcode of a no-op resize)
     assert(resized(2L).meta.width === 40 && resized(2L).meta.height === 40)
+    assert(java.util.Arrays.equals(resized(2L).bytes,
+      decoded.collect().find(_.media_id == 2L).get.bytes))
 
     // pixel embedding reflects real luminance: white ≈ 1.0, black = 0.0
     val emb = Multimodal.embed(decoded, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(emb(1L).forall(v => v > 0.95f))
     assert(emb(2L).forall(v => v === 0.0f))
+
+    // non-perfect-square dim: every slot still receives pixels (the
+    // ⌈√dim⌉ grid folds by modulo; a ⌊√dim⌋ grid left trailing zeros)
+    val emb32 = Multimodal.embed(decoded, dim = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(emb32(1L).forall(v => v > 0.95f))
   }
 
   test("real WAV payloads expose channel count and duration") {

@@ -230,6 +230,10 @@ class StudyTasksSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Toml.parse("k = \"\\uZZZZ\"\n") }
     // parseInt would accept a sign character — strict digits only
     intercept[IllegalArgumentException] { Toml.parse("k = \"\\u+12f\"\n") }
+    // Character.digit accepts fullwidth Unicode digits — ASCII only
+    intercept[IllegalArgumentException] {
+      Toml.parse("k = \"\\u\uff10\uff10\uff14\uff11\"\n")
+    }
     // raw newline inside a single-line basic string
     intercept[IllegalArgumentException] { Toml.parse("k = \"a\nb\"\n") }
     // unterminated string
