@@ -328,70 +328,8 @@ object Similarity {
       .select(col(corpusId).cast("long"), col(corpusVec))
       .as[(Long, Array[Float])]
 
-    def dist2(v: Array[Float], c: Array[Double]): Double = {
-      var s = 0.0
-      var i = 0
-      val n = math.min(v.length, c.length)
-      while (i < n) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
-      s
-    }
-    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0
-      var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        val d = dist2(v, cs(ci))
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      best
-    }
-
-    // deterministic seed pick: nlist rows in md5(id) order
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(corpusId).cast("long").as("id"), col(corpusVec).as("v"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(nlist)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2.map(_.toDouble))
-
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      // partition-local accumulation: one (centroid, sums, count) row
-      // per centroid per partition enters the reduce
-      val updated = ds
-        .mapPartitions { rows =>
-          val cs = bc.value
-          val sums = Array.fill(cs.length)(new Array[Double](dim))
-          val counts = new Array[Long](cs.length)
-          rows.foreach { case (_, v) =>
-            val ci = nearest(v, cs)
-            val s = sums(ci)
-            var i = 0
-            val n = math.min(v.length, dim)
-            while (i < n) { s(i) += v(i).toDouble; i += 1 }
-            counts(ci) += 1
-          }
-          sums.iterator.zipWithIndex.collect {
-            case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
-          }
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = new Array[Double](dim)
-          var i = 0
-          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map(_._2)
-        .collect()
-      updated.foreach { case (ci, s, n) =>
-        centroids(ci) = s.map(_ / n)
-      }
-      it += 1
-    }
+    val centroids = trainCoarse(corpus, corpusId, corpusVec, dim,
+      nlist, iters)
 
     // per query: the nprobe nearest centroid ids
     val hs = centroids
@@ -475,6 +413,92 @@ object Similarity {
     * are the first `ksub` rows in deterministic md5(id) order, like
     * [[ivfTopK]].
     */
+  // ---- shared coarse-centroid kernels (IVF, IVF-PQ) ----------------------
+
+  private def dist2(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cs.length) {
+      val d = dist2(v, cs(ci))
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Coarse k-means training shared by [[ivfTopK]] and [[ivfPqTopK]]:
+    * deterministic md5-ordered seeds, `iters` Lloyd passes with
+    * partition-local sum/count accumulators (one (centroid, sums,
+    * count) row per centroid per partition enters each reduce).
+    */
+  private def trainCoarse(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      iters: Int
+  ): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ds = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    // deterministic seed pick: nlist rows in md5(id) order
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2.map(_.toDouble))
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val updated = ds
+        .mapPartitions { rows =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          rows.foreach { case (_, v) =>
+            val ci = nearest(v, cs)
+            val s = sums(ci)
+            var i = 0
+            val n = math.min(v.length, dim)
+            while (i < n) { s(i) += v(i).toDouble; i += 1 }
+            counts(ci) += 1
+          }
+          sums.iterator.zipWithIndex.collect {
+            case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      updated.foreach { case (ci, s, n) =>
+        centroids(ci) = s.map(_ / n)
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Nearest sub-centroid of subspace `s` for vector `v` — shared by
     * training and encoding so assignment (incl. the lowest-index
     * tie-break of strict `<`) can never desynchronize between them.
@@ -735,14 +759,31 @@ object Similarity {
       .toDF("query_id", "neighbor_id")
     // ADC shortlist (≤ partitions×shortK rows per query), then exact
     // re-rank: only shortlisted ids read their float vectors again
-    val shortlist = partials.dropDuplicates("query_id", "neighbor_id")
+    rerankExact(partials.dropDuplicates("query_id", "neighbor_id"),
+      corpus, corpusId, corpusVec, qRaw, k)
+  }
 
+  /** Exact cosine re-ranking of an ANN shortlist (query_id,
+    * neighbor_id): join back to the corpus vectors (only shortlisted
+    * ids read floats again), score against the broadcast query
+    * vectors, keep top-k per query. Shared by [[pqTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def rerankExact(
+      shortlist: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      qRaw: Array[(Long, Array[Float], Double)],
+      k: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
     val qVecs: Map[Long, (Array[Float], Double)] =
       qRaw.map { case (id, v, norm) => id -> (v, norm) }.toMap
     val bcV = spark.sparkContext.broadcast(qVecs)
     val exactCos = udf { (qid: Long, v: scala.collection.Seq[Float]) =>
       val (qv, qNorm) = bcV.value(qid)
-      // corpus dims were validated by pqEncode; no silent truncation
+      // corpus dims were validated at encode time; no silent truncation
       require(v.length == qv.length,
         s"re-rank vector has dimension ${v.length}, expected ${qv.length}")
       var d = 0.0
@@ -769,6 +810,203 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** IVF-PQ top-k — the standard billion-scale composition of the two
+    * index halves: coarse centroids partition the corpus into inverted
+    * lists ([[ivfTopK]]'s role), and each row stores only the PQ codes
+    * of its RESIDUAL (vector − its list centroid), which quantize far
+    * tighter than raw vectors because residuals concentrate near zero.
+    * Queries probe `nprobe` lists; within a probed list the ADC score
+    * reconstructs `dot(q, c_list + recon(codes))` and
+    * `|c_list + recon(codes)|²` from three lookup tables (query·codebook,
+    * centroid·codebook, codebook norms — all tiny and driver-built), so
+    * the scan still reads m bytes per row. The ADC shortlist re-ranks
+    * exactly, like [[pqTopK]]. Rows-only gate + recall assertion in
+    * SimilaritySpec (trained structures are engine-internal).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 3,
+      rerank: Int = 8
+  ): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val shortK = k * rerank
+
+    val coarse = trainCoarse(corpus, corpusId, corpusVec, dim, nlist, iters)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+
+    // residuals, checkpointed once: pqTrain re-scans them per Lloyd pass
+    val residuals = corpus
+      .select(col(corpusId).cast("long"), col(corpusVec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bcCoarse.value
+        rows.collect {
+          case (id, v) if v != null =>
+            require(v.length == dim,
+              s"row $id vector has dimension ${v.length}, expected $dim")
+            val li = nearest(v, cs)
+            val c = cs(li)
+            val r = new Array[Float](dim)
+            var i = 0
+            while (i < dim) { r(i) = (v(i).toDouble - c(i)).toFloat; i += 1 }
+            (id, li, r)
+        }
+      }
+      .toDF(corpusId, "__list", "__res")
+      .localCheckpoint(true)
+
+    val pq = pqTrain(residuals, corpusId, "__res", dim, m, ksub, iters)
+    val bcPq = spark.sparkContext.broadcast(pq)
+
+    // (id, list, codes) in one pass — no join back for the list id
+    val codes = residuals
+      .select(col(corpusId).cast("long"), col("__list"), col("__res"))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = bcPq.value
+        rows.map { case (id, li, r) =>
+          val cs = new Array[Int](m)
+          var s = 0
+          while (s < m) { cs(s) = subNearest(r, s, cb); s += 1 }
+          (id, li, cs)
+        }
+      }
+
+    // driver-built lookup tables (all tiny):
+    //   n2(s)(c)        = |cb(s)(c)|²
+    //   cross(l)(s)(c)  = c_list(l)_sub(s) · cb(s)(c)
+    //   cNorm2(l)       = |c_list(l)|²
+    val n2: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
+      var n = 0.0
+      var j = 0
+      while (j < subDim) { n += pq(s)(c)(j) * pq(s)(c)(j); j += 1 }
+      n
+    }
+    val cross: Array[Array[Array[Double]]] =
+      Array.tabulate(nlist, m, ksub) { (l, s, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < subDim) { d += coarse(l)(s * subDim + j) * pq(s)(c)(j); j += 1 }
+        d
+      }
+    val cNorm2: Array[Double] = coarse.map { c =>
+      var n = 0.0
+      var i = 0
+      while (i < c.length) { n += c(i) * c(i); i += 1 }
+      n
+    }
+
+    // per query: norm, nprobe lists, q·c_list per probed list, and the
+    // residual LUT q_sub·cb(s)(c) — ONE collect builds everything
+    val qRaw: Array[(Long, Array[Float], Double)] = queries
+      .select(col(queryId).cast("long"), col(queryVec))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) =>
+        require(v != null && v.length == dim,
+          s"query $id vector has dimension " +
+            s"${if (v == null) "null" else v.length}, expected $dim")
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }
+    val qProbe: Array[(Long, Double, Array[Int], Array[Double],
+      Array[Array[Double]])] = qRaw.map { case (id, v, norm) =>
+      val probes = coarse.indices
+        .sortBy(l => (dist2(v, coarse(l)), l))
+        .take(nprobe).toArray
+      val qc = coarse.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { d += v(i).toDouble * c(i); i += 1 }
+        d
+      }
+      val lut = Array.tabulate(m, ksub) { (s, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < subDim) { d += v(s * subDim + j).toDouble * pq(s)(c)(j); j += 1 }
+        d
+      }
+      (id, norm, probes, qc, lut)
+    }
+    val byList: Map[Int, Array[Int]] = qProbe.zipWithIndex
+      .flatMap { case ((_, _, ps, _, _), qi) => ps.map(_ -> qi) }
+      .groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._2) }
+    val bcQ = spark.sparkContext.broadcast(qProbe)
+    val bcIdx = spark.sparkContext.broadcast(byList)
+    val bcN2 = spark.sparkContext.broadcast(n2)
+    val bcCross = spark.sparkContext.broadcast(cross)
+    val bcCN = spark.sparkContext.broadcast(cNorm2)
+
+    val partials = codes
+      .mapPartitions { rows =>
+        val qs = bcQ.value
+        val idx = bcIdx.value
+        val nn2 = bcN2.value
+        val cx = bcCross.value
+        val cn = bcCN.value
+        implicit val worstFirst: Ordering[(Double, Long)] =
+          Ordering.fromLessThan { (a, b) =>
+            a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+          }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        rows.foreach { case (cid, li, cs) =>
+          val qis = idx.getOrElse(li, null)
+          if (qis != null) {
+            // reconstructed norm² of this row — query-independent
+            var vn = cn(li)
+            var s = 0
+            while (s < m) {
+              vn += 2.0 * cx(li)(s)(cs(s)) + nn2(s)(cs(s))
+              s += 1
+            }
+            val vNorm = math.sqrt(math.max(vn, 0.0))
+            qis.foreach { qi =>
+              val (qid, qNorm, _, qc, lut) = qs(qi)
+              if (qid != cid) {
+                var d = qc(li)
+                var t = 0
+                while (t < m) { d += lut(t)(cs(t)); t += 1 }
+                val denom = vNorm * qNorm
+                val score = if (denom == 0.0) 0.0 else d / denom
+                val h = heaps.getOrElseUpdate(qi,
+                  scala.collection.mutable.PriorityQueue
+                    .empty[(Double, Long)](worstFirst.reverse))
+                if (h.size < shortK) h.enqueue((score, cid))
+                else if (worstFirst.gt((score, cid), h.head)) {
+                  h.dequeue(); h.enqueue((score, cid))
+                }
+              }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.iterator.map { case (_, cid) => (bcQ.value(qi)._1, cid) }
+        }
+      }
+      .toDF("query_id", "neighbor_id")
+
+    rerankExact(partials.dropDuplicates("query_id", "neighbor_id"),
+      corpus, corpusId, corpusVec, qRaw, k)
   }
 
   /** Symmetric int8 quantization of a float vector — the standard 4×

@@ -89,6 +89,19 @@ object SimilarityQueries {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** q79 — IVF-PQ approximate top-5: coarse inverted lists × residual
+    * PQ codes, the standard billion-scale index composition (probe
+    * nprobe lists, m-byte ADC scan within them, exact re-rank).
+    * Rows-only; recall vs exact asserted in SimilaritySpec.
+    */
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** q32 — per-label centroids (mean pooling), exact-checkable form:
     * each (label, dimension) sums `floor(component × 1e6)` as integers —
     * float→double widening and the double multiply are bit-identical

@@ -193,6 +193,27 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF-PQ top-k recall against the exact baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivfpq = Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (ivfpq & exact).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF-PQ recall@5 too low: $recall")
+    info(s"IVF-PQ recall@5 vs exact baseline: $recall")
+  }
+
   test("int8 quantization: codes in range, reconstruction error ≤ scale/2") {
     import spark.implicits._
     val vecs = Seq(
