@@ -66,6 +66,62 @@ object NearDedup {
     shingleHashArray(text, n)
   }
 
+  /** Whole MinHash signature in ONE kernel pass per doc: tokenize →
+    * n-gram FNV → all numHashes running mins in a tight loop, no
+    * explode and no shuffle at all for the signature stage. (Earlier
+    * iterations: the nested-transform array form re-evaluated the
+    * shingle array per permutation — 60× slower; the explode +
+    * 64-MIN-aggregate form shuffled |shingles| rows through agg
+    * machinery — ~2s of sf0.1.) Shared by the batch candidate
+    * generator and the streaming near-dup operator so both band the
+    * IDENTICAL signature family.
+    */
+  private[graft] def minHashSigUdf(
+      numHashes: Int,
+      shingleSize: Int,
+      seed: Long
+  ): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val coeffs = coefficients(numHashes, seed)
+    val as = coeffs.map(_._1).toArray
+    val bs = coeffs.map(_._2).toArray
+    udf { (text: String) =>
+      val hs = shingleHashArray(text, shingleSize)
+      if (hs.isEmpty) null
+      else {
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        var i = 0
+        while (i < hs.length) {
+          val xm = hs(i) & MersennePrime
+          var j = 0
+          while (j < numHashes) {
+            val v = (as(j) * xm + bs(j)) % MersennePrime
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        sig
+      }
+    }
+  }
+
+  /** Literal band-struct array over a signature column (codegen — not a
+    * higher-order transform): (band, xxhash64 of the band's rows).
+    * Shared by batch and streaming banding.
+    */
+  private[graft] def bandStructs(
+      sig: Column,
+      bands: Int,
+      rowsPerBand: Int
+  ): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+          .as("bandHash"))
+    }: _*)
+
   /** Shingle-hash column (array<bigint>) for a text column. */
   def shingleHashes(text: Column, shingleSize: Int): Column =
     shingleHashesUdf(text, lit(shingleSize))
@@ -115,35 +171,7 @@ object NearDedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // Whole signature in ONE kernel pass per doc: tokenize → n-gram FNV
-    // → all numHashes running mins in a tight loop, no explode and no
-    // shuffle at all for the signature stage. (Earlier iterations: the
-    // nested-transform array form re-evaluated the shingle array per
-    // permutation — 60× slower; the explode + 64-MIN-aggregate form
-    // shuffled |shingles| rows through agg machinery — ~2s of sf0.1.)
-    // Same (a·x+b) mod p permutations, so signatures are unchanged.
-    val coeffs = coefficients(numHashes, seed)
-    val as = coeffs.map(_._1).toArray
-    val bs = coeffs.map(_._2).toArray
-    val sigUdf = udf { (text: String) =>
-      val hs = shingleHashArray(text, shingleSize)
-      if (hs.isEmpty) null
-      else {
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var i = 0
-        while (i < hs.length) {
-          val xm = hs(i) & MersennePrime
-          var j = 0
-          while (j < numHashes) {
-            val v = (as(j) * xm + bs(j)) % MersennePrime
-            if (v < sig(j)) sig(j) = v
-            j += 1
-          }
-          i += 1
-        }
-        sig
-      }
-    }
+    val sigUdf = minHashSigUdf(numHashes, shingleSize, seed)
     // Materialized once: the band self-join below references this frame
     // on both sides and Spark plans the subtree per reference (no
     // ReusedExchange) — without truncation the signature kernel runs
@@ -154,20 +182,11 @@ object NearDedup {
       .filter(col("__sig").isNotNull)
       .localCheckpoint(true)
 
-    // Band structs as a LITERAL expression array (not a higher-order
-    // transform over sequence(), which evaluates interpreted): slice
-    // with literal offsets + xxhash64 stays inside whole-stage codegen.
     // Only (id, band, bandHash) goes through the banding shuffle — with
     // 64-hash signatures the sig payload is ~0.5 KB/row × bands copies,
     // and carrying it measured ~3× the shuffle volume of joining the
     // small candidate set back to the checkpointed sig frame.
-    val bandArr = array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
-          .as("bandHash"))
-    }: _*)
+    val bandArr = bandStructs(col("__sig"), bands, rowsPerBand)
     val banded = withSig
       .select(col("__id"), explode(bandArr).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.bandHash"))

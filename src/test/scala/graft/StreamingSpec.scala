@@ -108,6 +108,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("streaming MinHash near-dup emits the batch pipeline's pair set") {
+    import graft.streaming.StreamNearDup
+    // corpus with exact copies so band buckets collide
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.unionByName(docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    val dir = Files.createTempDirectory("stream-neardup").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    val batchPairs = graft.operators.NearDedup
+      .minHashCandidates(spark.read.parquet(dir), "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      StreamNearDup.minHashPairsStream(stream, "doc_id", "text", "ts")
+        .toDF(),
+      "neardup_test"
+    )
+    // a pair colliding in several bands is emitted once per band;
+    // dedup by pair key, as the batch path's dropDuplicates does
+    val streamPairs = streamed.select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs.nonEmpty)
+    assert(streamPairs === batchPairs)
+  }
+
   test("streaming dedup drops key duplicates within the watermark") {
     val schema = spark.read.parquet(eventsDir).schema
     // duplicate the whole stream: every key arrives at least twice
