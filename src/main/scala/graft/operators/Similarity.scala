@@ -366,6 +366,7 @@ object Similarity {
         val heaps = scala.collection.mutable.HashMap
           .empty[Int, scala.collection.mutable.PriorityQueue[(Double, Long)]]
         rows.foreach { case (cid, cv) =>
+          if (cv != null) {
           var cn = 0.0
           var i = 0
           while (i < cv.length) {
@@ -390,6 +391,7 @@ object Similarity {
               }
             }
           }
+          }
         }
         heaps.iterator.flatMap { case (qi, h) =>
           val qid = bcQ.value(qi)._1
@@ -406,13 +408,6 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids ×
-    * (dim/m) dims, trained per subspace by Lloyd iterations with
-    * partition-local accumulators (one (subspace, centroid, sums,
-    * count) row per partition enters each reduce — no explode). Seeds
-    * are the first `ksub` rows in deterministic md5(id) order, like
-    * [[ivfTopK]].
-    */
   // ---- shared coarse-centroid kernels (IVF, IVF-PQ) ----------------------
 
   private def dist2(v: Array[Float], c: Array[Double]): Double = {
@@ -453,14 +448,18 @@ object Similarity {
     val ds = corpus
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    // deterministic seed pick: nlist rows in md5(id) order
+    // deterministic seed pick: nlist rows in md5(id) order (fewer when
+    // the corpus is smaller — callers size downstream structures by the
+    // returned length, not by nlist)
     var centroids: Array[Array[Double]] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(nlist)
       .as[(Long, Array[Float])]
       .collect()
       .map(_._2.map(_.toDouble))
+    require(centroids.nonEmpty, "trainCoarse needs at least one row")
 
     var it = 0
     while (it < iters) {
@@ -470,13 +469,17 @@ object Similarity {
           val cs = bc.value
           val sums = Array.fill(cs.length)(new Array[Double](dim))
           val counts = new Array[Long](cs.length)
+          // null vectors carry no information for training — skipped,
+          // matching pqTrain and the residual stage's tolerance
           rows.foreach { case (_, v) =>
-            val ci = nearest(v, cs)
-            val s = sums(ci)
-            var i = 0
-            val n = math.min(v.length, dim)
-            while (i < n) { s(i) += v(i).toDouble; i += 1 }
-            counts(ci) += 1
+            if (v != null) {
+              val ci = nearest(v, cs)
+              val s = sums(ci)
+              var i = 0
+              val n = math.min(v.length, dim)
+              while (i < n) { s(i) += v(i).toDouble; i += 1 }
+              counts(ci) += 1
+            }
           }
           sums.iterator.zipWithIndex.collect {
             case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
@@ -498,6 +501,33 @@ object Similarity {
     }
     centroids
   }
+
+  /** |cb(s)(c)|² per (subspace, centroid) — shared by the ADC scorers
+    * of [[pqTopK]] and [[ivfPqTopK]] so the table math can never drift
+    * between the two PQ paths.
+    */
+  private def codebookNorm2(
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var n = 0.0
+      var j = 0
+      while (j < c.length) { n += c(j) * c(j); j += 1 }
+      n
+    })
+
+  /** Per-query ADC lookup table `lut(s)(c) = q_sub(s) · cb(s)(c)` —
+    * shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def queryLut(
+      v: Array[Float],
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    Array.tabulate(cb.length, cb(0).length) { (s, c) =>
+      val subDim = cb(s)(c).length
+      var d = 0.0
+      var j = 0
+      while (j < subDim) { d += v(s * subDim + j).toDouble * cb(s)(c)(j); j += 1 }
+      d
+    }
 
   /** Nearest sub-centroid of subspace `s` for vector `v` — shared by
     * training and encoding so assignment (incl. the lowest-index
@@ -523,6 +553,13 @@ object Similarity {
     best
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` centroids ×
+    * (dim/m) dims, trained per subspace by Lloyd iterations with
+    * partition-local accumulators (one (subspace, centroid, sums,
+    * count) row per partition enters each reduce — no explode). Seeds
+    * are the first `ksub` rows in deterministic md5(id) order, like
+    * [[ivfTopK]].
+    */
   def pqTrain(
       corpus: DataFrame,
       idCol: String,
@@ -681,12 +718,7 @@ object Similarity {
 
     // per-query ADC tables: dot(s)(c) = q_sub·centroid, plus centroid
     // norm² per (s, c) for the denominator estimate
-    val norm2: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
-      var n = 0.0
-      var j = 0
-      while (j < subDim) { n += codebooks(s)(c)(j) * codebooks(s)(c)(j); j += 1 }
-      n
-    }
+    val norm2 = codebookNorm2(codebooks)
     // ONE driver collect builds both the ADC tables and the re-rank
     // vector map (norms shared too)
     val qRaw: Array[(Long, Array[Float], Double)] = queries
@@ -703,17 +735,7 @@ object Similarity {
         (id, v, math.sqrt(n))
       }
     val qData: Array[(Long, Array[Array[Double]], Double)] =
-      qRaw.map { case (id, v, norm) =>
-        val lut = Array.tabulate(m, ksub) { (s, c) =>
-          var d = 0.0
-          var j = 0
-          while (j < subDim) {
-            d += v(s * subDim + j).toDouble * codebooks(s)(c)(j); j += 1
-          }
-          d
-        }
-        (id, lut, norm)
-      }
+      qRaw.map { case (id, v, norm) => (id, queryLut(v, codebooks), norm) }
     val bcQ = spark.sparkContext.broadcast(qData)
     val bcN = spark.sparkContext.broadcast(norm2)
 
@@ -892,14 +914,11 @@ object Similarity {
     //   n2(s)(c)        = |cb(s)(c)|²
     //   cross(l)(s)(c)  = c_list(l)_sub(s) · cb(s)(c)
     //   cNorm2(l)       = |c_list(l)|²
-    val n2: Array[Array[Double]] = Array.tabulate(m, ksub) { (s, c) =>
-      var n = 0.0
-      var j = 0
-      while (j < subDim) { n += pq(s)(c)(j) * pq(s)(c)(j); j += 1 }
-      n
-    }
+    // sized by coarse.length, NOT nlist — trainCoarse returns fewer
+    // centroids than requested on small corpora
+    val n2 = codebookNorm2(pq)
     val cross: Array[Array[Array[Double]]] =
-      Array.tabulate(nlist, m, ksub) { (l, s, c) =>
+      Array.tabulate(coarse.length, m, ksub) { (l, s, c) =>
         var d = 0.0
         var j = 0
         while (j < subDim) { d += coarse(l)(s * subDim + j) * pq(s)(c)(j); j += 1 }
@@ -938,13 +957,7 @@ object Similarity {
         while (i < c.length) { d += v(i).toDouble * c(i); i += 1 }
         d
       }
-      val lut = Array.tabulate(m, ksub) { (s, c) =>
-        var d = 0.0
-        var j = 0
-        while (j < subDim) { d += v(s * subDim + j).toDouble * pq(s)(c)(j); j += 1 }
-        d
-      }
-      (id, norm, probes, qc, lut)
+      (id, norm, probes, qc, queryLut(v, pq))
     }
     val byList: Map[Int, Array[Int]] = qProbe.zipWithIndex
       .flatMap { case ((_, _, ps, _, _), qi) => ps.map(_ -> qi) }

@@ -16,12 +16,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`flatMapGroupsWithState`) keeps the doc ids seen in each bucket,
   * emitting a candidate pair the moment a new doc lands in a bucket
   * that already holds others. State per bucket is capped (hot-bucket
-  * guard, same rationale as the batch simhash cap) and evicted by
-  * event-time timeout once the watermark passes — so state is bounded
-  * by (active buckets within the lateness horizon) × cap, not by the
-  * stream. A pair that collides in several bands is emitted once per
-  * band; downstream dedups by pair key exactly as the batch path's
-  * `dropDuplicates` does.
+  * guard, same rationale as the batch SIMHASH cap — the batch MinHash
+  * path is uncapped, so for buckets hotter than the cap the streamed
+  * pair set is a graceful SUBSET of the batch one: overflow docs still
+  * pair against the stored ids, but not against each other) and
+  * evicted by event-time timeout `retention` after the bucket's newest
+  * event — so state is bounded by (active buckets within the retention
+  * horizon) × cap, not by the stream. Pairs only form within that
+  * horizon; set `retention` to at least the watermark lateness or the
+  * time spread your near-dups can arrive across. A pair that collides
+  * in several bands is emitted once per band; downstream dedups by
+  * pair key exactly as the batch path's `dropDuplicates` does.
   */
 object StreamNearDup {
 
@@ -48,7 +53,8 @@ object StreamNearDup {
       bands: Int = 16,
       shingleSize: Int = 3,
       seed: Long = 42L,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      retention: String = "1 hour"
   ): Dataset[CandidatePair] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
@@ -80,27 +86,33 @@ object StreamNearDup {
           Iterator.empty
         } else {
           val known = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          // deterministic order within the group call
+          // deterministic order within the group call; Set membership +
+          // buffer append keep the hot path O(1) per element (a Seq
+          // contains/append was O(n²) toward the cap)
           val fresh = rows.toSeq.sortBy(d => (d.doc_id, d.ts.getTime))
           val out = Seq.newBuilder[CandidatePair]
-          var ids = known
+          val ids = scala.collection.mutable.ArrayBuffer.from(known)
+          val seen = scala.collection.mutable.HashSet.from(known)
           fresh.foreach { d =>
-            if (!ids.contains(d.doc_id)) {
+            if (!seen.contains(d.doc_id)) {
               ids.foreach { prev =>
                 val (a, b) =
                   if (prev < d.doc_id) (prev, d.doc_id) else (d.doc_id, prev)
                 out += CandidatePair(a, b)
               }
-              if (ids.size < maxBucketSize) ids = ids :+ d.doc_id
+              if (ids.size < maxBucketSize) {
+                ids += d.doc_id
+                seen += d.doc_id
+              }
             }
           }
-          state.update(BucketState(ids))
-          // schedule eviction once the watermark passes the newest
-          // event this bucket has seen
+          state.update(BucketState(ids.toSeq))
+          // schedule eviction `retention` after this bucket's newest
+          // event — the horizon within which pairs can still form
           if (fresh.nonEmpty) {
             val maxTs = fresh.map(_.ts.getTime).max
             // batch execution has no watermark/timeouts — ignore there
-            try state.setTimeoutTimestamp(maxTs, "1 minute")
+            try state.setTimeoutTimestamp(maxTs, retention)
             catch { case scala.util.control.NonFatal(_) => () }
           }
           out.result().iterator

@@ -214,6 +214,20 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"IVF-PQ recall@5 vs exact baseline: $recall")
   }
 
+  test("IVF-PQ handles a corpus smaller than nlist") {
+    // trainCoarse returns fewer centroids than requested on tiny
+    // corpora; the LUTs must size by the actual count, not nlist
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20)
+    val got = Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", emb.limit(3), "vec_id",
+        "embedding", dim = 64, k = 3, nlist = 64, nprobe = 8, m = 8,
+        ksub = 16)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(0)).distinct.length === 3)
+  }
+
   test("int8 quantization: codes in range, reconstruction error ≤ scale/2") {
     import spark.implicits._
     val vecs = Seq(
