@@ -95,7 +95,8 @@ object SparkEntry {
     "q76_user_outliers" -> (Relational2.q76UserOutliers _),
     "q77_profile" -> (Relational2.q77Profile _),
     "q78_attr_pairs" -> (TemporalQueries.qAttrPairs _),
-    "q79_ivfpq_topk" -> (SimilarityQueries.qIvfPqTopK _)
+    "q79_ivfpq_topk" -> (SimilarityQueries.qIvfPqTopK _),
+    "q80_stateful_neardup" -> (StreamQueries.qStatefulNearDup _)
   )
 
   /** DuckDB-runnable equivalents, same keys + same output column names. */
@@ -172,5 +173,7 @@ object SparkEntry {
     //   q73_pq_topk — trained PQ codebooks are engine-internal
     //   q74_compress_ratio — deflate output is codec-internal
     //   q79_ivfpq_topk — trained coarse lists + residual codebooks
+    //   q80_stateful_neardup — FNV signature family (like q25);
+    //     stream==batch parity proven in StreamingSpec
   )
 }

@@ -110,4 +110,25 @@ object StreamQueries {
       |      (PARTITION BY user_id ORDER BY ts, event_id)),
       |    0) AS BIGINT) AS micros_since_prev
       |FROM e""".stripMargin
+
+  /** q80 — the stateful streaming near-dup operator executed in batch
+    * mode (Spark runs `flatMapGroupsWithState` over batch frames with
+    * all of a key's rows in one group call): candidate pairs from
+    * per-bucket LSH state on the docs∪copies corpus, deduplicated by
+    * pair key. StreamingSpec proves the genuinely-streamed execution
+    * emits the same set; no SQL oracle (FNV signature family is
+    * engine-internal, like q25).
+    */
+  def qStatefulNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+    graft.streaming.StreamNearDup
+      .minHashPairsStream(corpus, "doc_id", "text", "ts")
+      .toDF()
+      .dropDuplicates("id_a", "id_b")
+  }
 }

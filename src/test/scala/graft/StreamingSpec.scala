@@ -142,6 +142,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamPairs === batchPairs)
   }
 
+  test("q80 batch-mode stateful near-dup matches the batch candidate set") {
+    // SparkEntry runs minHashPairsStream over a BATCH frame: Spark
+    // executes flatMapGroupsWithState with each key's rows in a single
+    // group call, so the emitted pair set must equal NearDedup's.
+    val q80 = SparkEntry.queries("q80_stateful_neardup")(
+      spark, "/root/testdata/sf0.001")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.unionByName(docs
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val batch = graft.operators.NearDedup
+      .minHashCandidates(corpus, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q80.nonEmpty)
+    assert(q80 === batch)
+  }
+
   test("streaming dedup drops key duplicates within the watermark") {
     val schema = spark.read.parquet(eventsDir).schema
     // duplicate the whole stream: every key arrives at least twice
