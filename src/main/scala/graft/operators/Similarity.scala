@@ -297,16 +297,13 @@ object Similarity {
     * its nearest centroid (the inverted lists), and answer each query
     * from the `nprobe` lists whose centroids are nearest to it.
     *
-    * Scale shape: training is `iters` linear passes (partition-local
-    * sum/count accumulators per centroid, one tiny reduce of
-    * nlist×dim doubles per pass — no posexplode blowup); search is the
+    * Scale shape: training is ONE bounded-sample collect + driver-side
+    * Lloyd ([[trainCoarse]]) — O(1) in corpus size; search is the
     * same ONE streaming corpus pass + per-(partition, query) bounded
     * heaps as the other kernels — zero shuffled candidates. Centroid
-    * seeds are chosen by a deterministic md5 order; trained centroid
-    * values can differ in final ulps across partition orders (double
-    * sums), which moves no assignment in practice but keeps this an
-    * approximate operator: rows-only gate + recall assertion in
-    * SimilaritySpec, like q31.
+    * seeds are chosen by a deterministic md5 order; an approximate
+    * operator: rows-only gate + recall assertion in SimilaritySpec,
+    * like q31.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -430,10 +427,91 @@ object Similarity {
     best
   }
 
+  /** Rows a k-means trainer reads, tops out here regardless of corpus
+    * size — the faiss discipline: codebooks are trained on a bounded
+    * sample and applied to everything. At 100 TB the alternative
+    * (`iters` full corpus passes per trained structure) would dominate
+    * the whole index build; a 16k sample is statistically identical
+    * for ≤256 centroids and makes training cost O(1) in corpus size.
+    */
+  private val MaxTrainSample = 16384
+
+  /** Deterministic bounded training sample: rows in md5(id) order (the
+    * same order the seed picks always used, so seeds are a prefix of
+    * the sample), nulls skipped, wrong dimensions fail fast. ONE Spark
+    * job; Lloyd iterations then run driver-side on the sample.
+    */
+  private def trainSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      maxRows: Int = MaxTrainSample
+  ): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(maxRows)
+      .as[(Long, Array[Float])]
+      .collect()
+    sample.foreach { case (id, v) =>
+      require(v.length == dim,
+        s"row $id vector has dimension ${v.length}, expected $dim")
+    }
+    sample.map(_._2)
+  }
+
+  /** Driver-side Lloyd over a training sample: seeds are the first `k`
+    * sample rows (md5-order prefix, matching the historical seed
+    * pick), `iters` assignment/average passes in memory.
+    */
+  private def lloydInMemory(
+      sample: Array[Array[Float]],
+      dim: Int,
+      k: Int,
+      iters: Int
+  ): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means training needs at least one row")
+    val centroids: Array[Array[Double]] =
+      sample.take(k).map(_.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        val ci = nearest(v, centroids)
+        val s = sums(ci)
+        var i = 0
+        while (i < dim) { s(i) += v(i).toDouble; i += 1 }
+        counts(ci) += 1
+        r += 1
+      }
+      var ci = 0
+      while (ci < centroids.length) {
+        if (counts(ci) > 0) {
+          val s = sums(ci)
+          val c = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { c(i) = s(i) / counts(ci); i += 1 }
+          centroids(ci) = c
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Coarse k-means training shared by [[ivfTopK]] and [[ivfPqTopK]]:
-    * deterministic md5-ordered seeds, `iters` Lloyd passes with
-    * partition-local sum/count accumulators (one (centroid, sums,
-    * count) row per centroid per partition enters each reduce).
+    * one bounded-sample collect ([[trainSample]]), then driver-side
+    * Lloyd ([[lloydInMemory]]). Returns fewer than `nlist` centroids
+    * when the corpus is smaller — callers size downstream structures
+    * by the returned length, not by nlist.
     */
   private def trainCoarse(
       corpus: DataFrame,
@@ -442,65 +520,9 @@ object Similarity {
       dim: Int,
       nlist: Int,
       iters: Int
-  ): Array[Array[Double]] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val ds = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    // deterministic seed pick: nlist rows in md5(id) order (fewer when
-    // the corpus is smaller — callers size downstream structures by the
-    // returned length, not by nlist)
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(nlist)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2.map(_.toDouble))
-    require(centroids.nonEmpty, "trainCoarse needs at least one row")
-
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val updated = ds
-        .mapPartitions { rows =>
-          val cs = bc.value
-          val sums = Array.fill(cs.length)(new Array[Double](dim))
-          val counts = new Array[Long](cs.length)
-          // null vectors carry no information for training — skipped,
-          // matching pqTrain and the residual stage's tolerance
-          rows.foreach { case (_, v) =>
-            if (v != null) {
-              val ci = nearest(v, cs)
-              val s = sums(ci)
-              var i = 0
-              val n = math.min(v.length, dim)
-              while (i < n) { s(i) += v(i).toDouble; i += 1 }
-              counts(ci) += 1
-            }
-          }
-          sums.iterator.zipWithIndex.collect {
-            case (s, ci) if counts(ci) > 0 => (ci, s, counts(ci))
-          }
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = new Array[Double](dim)
-          var i = 0
-          while (i < dim) { s(i) = a._2(i) + b._2(i); i += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map(_._2)
-        .collect()
-      updated.foreach { case (ci, s, n) =>
-        centroids(ci) = s.map(_ / n)
-      }
-      it += 1
-    }
-    centroids
-  }
+  ): Array[Array[Double]] =
+    lloydInMemory(trainSample(corpus, idCol, vecCol, dim), dim, nlist,
+      iters)
 
   /** |cb(s)(c)|² per (subspace, centroid) — shared by the ADC scorers
     * of [[pqTopK]] and [[ivfPqTopK]] so the table math can never drift
@@ -554,11 +576,10 @@ object Similarity {
   }
 
   /** Product-quantization codebooks: `m` subspaces × `ksub` centroids ×
-    * (dim/m) dims, trained per subspace by Lloyd iterations with
-    * partition-local accumulators (one (subspace, centroid, sums,
-    * count) row per partition enters each reduce — no explode). Seeds
-    * are the first `ksub` rows in deterministic md5(id) order, like
-    * [[ivfTopK]].
+    * (dim/m) dims, trained per subspace by driver-side Lloyd over a
+    * bounded md5-ordered sample ([[trainSample]]) — one Spark job
+    * total, O(1) in corpus size. Seeds are the first `ksub` sample
+    * rows, like [[ivfTopK]].
     */
   def pqTrain(
       corpus: DataFrame,
@@ -568,73 +589,65 @@ object Similarity {
       m: Int,
       ksub: Int,
       iters: Int
+  ): Array[Array[Array[Double]]] =
+    pqTrainOnSample(trainSample(corpus, idCol, vecCol, dim), dim, m,
+      ksub, iters)
+
+  /** Driver-side PQ training over an already-collected sample: per
+    * subspace, seeds are the sub-vectors of the first `ksub` sample
+    * rows, then `iters` Lloyd passes in memory. Shared by [[pqTrain]]
+    * and [[ivfPqTopK]] (which trains on driver-computed residuals of
+    * the same coarse-training sample — zero extra Spark jobs).
+    */
+  private def pqTrainOnSample(
+      sample: Array[Array[Float]],
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int
   ): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(sample.length >= ksub, s"need at least $ksub training rows")
     val subDim = dim / m
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val ds = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-
     // codebooks(s)(c) = centroid c of subspace s
-    val seeds = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(ksub)
-      .as[(Long, Array[Float])]
-      .collect()
-    require(seeds.length == ksub, s"need at least $ksub training rows")
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m, ksub) {
       (s, c) =>
-        Array.tabulate(subDim)(j => seeds(c)._2(s * subDim + j).toDouble)
+        Array.tabulate(subDim)(j => sample(c)(s * subDim + j).toDouble)
     }
-
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(codebooks)
-      val updated = ds
-        .mapPartitions { rows =>
-          val cb = bc.value
-          val sums = Array.fill(m, ksub)(new Array[Double](subDim))
-          val counts = Array.fill(m, ksub)(0L)
-          rows.foreach { case (id, v) =>
-            // null vectors carry no information and are skipped; a
-            // WRONG-dimension vector is a data defect — fail fast like
-            // kmeansAssign rather than silently train on a truncation
-            if (v != null) {
-              require(v.length == dim,
-                s"row $id vector has dimension ${v.length}, expected $dim")
-              var s = 0
-              while (s < m) {
-                val c = subNearest(v, s, cb)
-                val acc = sums(s)(c)
-                var j = 0
-                while (j < subDim) {
-                  acc(j) += v(s * subDim + j).toDouble; j += 1
-                }
-                counts(s)(c) += 1
-                s += 1
-              }
-            }
-          }
-          (for {
-            s <- (0 until m).iterator
-            c <- (0 until ksub).iterator
-            if counts(s)(c) > 0
-          } yield (s * ksub + c, sums(s)(c), counts(s)(c)))
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val acc = new Array[Double](subDim)
+      val sums = Array.fill(m, ksub)(new Array[Double](subDim))
+      val counts = Array.fill(m, ksub)(0L)
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        var s = 0
+        while (s < m) {
+          val c = subNearest(v, s, codebooks)
+          val acc = sums(s)(c)
           var j = 0
-          while (j < subDim) { acc(j) = a._2(j) + b._2(j); j += 1 }
-          (a._1, acc, a._3 + b._3)
+          while (j < subDim) {
+            acc(j) += v(s * subDim + j).toDouble; j += 1
+          }
+          counts(s)(c) += 1
+          s += 1
         }
-        .map(_._2)
-        .collect()
-      updated.foreach { case (sc, sums, n) =>
-        codebooks(sc / ksub)(sc % ksub) = sums.map(_ / n)
+        r += 1
+      }
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          if (counts(s)(c) > 0) {
+            val acc = sums(s)(c)
+            val cent = new Array[Double](subDim)
+            var j = 0
+            while (j < subDim) { cent(j) = acc(j) / counts(s)(c); j += 1 }
+            codebooks(s)(c) = cent
+          }
+          c += 1
+        }
+        s += 1
       }
       it += 1
     }
@@ -869,44 +882,44 @@ object Similarity {
     val subDim = dim / m
     val shortK = k * rerank
 
-    val coarse = trainCoarse(corpus, corpusId, corpusVec, dim, nlist, iters)
+    // ONE bounded-sample collect trains BOTH halves of the index:
+    // coarse centroids from the sample, then residual PQ codebooks
+    // from the sample's own residuals (computed driver-side) — the
+    // faiss training discipline, zero full-corpus training passes.
+    val sample = trainSample(corpus, corpusId, corpusVec, dim)
+    val coarse = lloydInMemory(sample, dim, nlist, iters)
+    val resSample: Array[Array[Float]] = sample.map { v =>
+      val c = coarse(nearest(v, coarse))
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = (v(i).toDouble - c(i)).toFloat; i += 1 }
+      r
+    }
+    val pq = pqTrainOnSample(resSample, dim, m, ksub, iters)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcPq = spark.sparkContext.broadcast(pq)
 
-    // residuals, checkpointed once: pqTrain re-scans them per Lloyd pass
-    val residuals = corpus
+    // (id, list, codes) in ONE fused corpus pass: coarse-assign,
+    // residual, and residual-encode per row, nothing materialized
+    val codes = corpus
       .select(col(corpusId).cast("long"), col(corpusVec))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val cs = bcCoarse.value
+        val csr = bcCoarse.value
+        val cb = bcPq.value
         rows.collect {
           case (id, v) if v != null =>
             require(v.length == dim,
               s"row $id vector has dimension ${v.length}, expected $dim")
-            val li = nearest(v, cs)
-            val c = cs(li)
+            val li = nearest(v, csr)
+            val c = csr(li)
             val r = new Array[Float](dim)
             var i = 0
             while (i < dim) { r(i) = (v(i).toDouble - c(i)).toFloat; i += 1 }
-            (id, li, r)
-        }
-      }
-      .toDF(corpusId, "__list", "__res")
-      .localCheckpoint(true)
-
-    val pq = pqTrain(residuals, corpusId, "__res", dim, m, ksub, iters)
-    val bcPq = spark.sparkContext.broadcast(pq)
-
-    // (id, list, codes) in one pass — no join back for the list id
-    val codes = residuals
-      .select(col(corpusId).cast("long"), col("__list"), col("__res"))
-      .as[(Long, Int, Array[Float])]
-      .mapPartitions { rows =>
-        val cb = bcPq.value
-        rows.map { case (id, li, r) =>
-          val cs = new Array[Int](m)
-          var s = 0
-          while (s < m) { cs(s) = subNearest(r, s, cb); s += 1 }
-          (id, li, cs)
+            val codesArr = new Array[Int](m)
+            var s = 0
+            while (s < m) { codesArr(s) = subNearest(r, s, cb); s += 1 }
+            (id, li, codesArr)
         }
       }
 
