@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering — the Z-ORDER / liquid-
+  * clustering role (the reference clusters its Delta tables by group
+  * keys for the same reason, deltalake.py's clusterBy): interleave the
+  * bits of two dimension keys into a Morton z-value and lay data out in
+  * z order, so per-file min/max stats stay tight on BOTH dimensions and
+  * scans filtering on either column prune files. Everything here is
+  * static integer bit-math (`shiftright`/`&`/`shiftleft` over a fixed
+  * unrolled term list) — whole-stage codegen'd, no UDF, and exactly
+  * reproducible in any engine, so the layout decision itself is
+  * oracle-checkable.
+  */
+object Layout {
+
+  /** Morton z-value: x's bits on even positions, y's on odd, `bits`
+    * bits each (higher bits are ignored by the per-bit mask). The
+    * result is a total order on the (x, y) grid where close values in
+    * either dimension stay close in the sort.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"bits=$bits out of range")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      )
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** The write-side layout step: range-partition by z-value (so file
+    * boundaries are z-contiguous) and sort within partitions. At scale
+    * this is the OPTIMIZE/cluster pass run after ingest; the scan side
+    * needs nothing special — tight per-file ranges do the pruning.
+    */
+  def zOrderBy(df: DataFrame, zval: Column, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, zval).sortWithinPartitions(zval)
+
+  /** The matching z-value expression in DuckDB SQL, for oracles. */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits)
+      .flatMap { i =>
+        Seq(s"((($x >> $i) & 1) << ${2 * i})",
+          s"((($y >> $i) & 1) << ${2 * i + 1})")
+      }
+      .mkString(" + ")
+}

@@ -217,6 +217,40 @@ object Similarity {
       .toDF("id_a", "id_b")
   }
 
+  /** SemDeDup-style cluster-scoped near-duplicate verdicts: a row is a
+    * duplicate iff some LOWER-id row in the SAME cluster has cosine ≥
+    * tau with it (keep-lowest survivor policy). The quadratic pair work
+    * is bounded per cluster — the whole point of clustering before
+    * deduplicating — so the plan is one shuffle of each side on the
+    * cluster key into an equi-join (AQE splits skewed clusters), with
+    * the [[cosine]] kernel UDF as the pair filter — the same
+    * left-to-right double fold as [[bruteForceTopK]], so scores match
+    * a SQL `list_cosine_similarity` oracle bit-for-bit.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      tau: Double
+  ): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(clusterCol).as("__c"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).cast("long").as("id_b"),
+      col(clusterCol).as("__c"), col(vecCol).as("__vb"))
+    val dupIds = a
+      .join(b, Seq("__c"))
+      .filter(col("id_b") > col("id_a") &&
+        cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("id_b").as("__dup_id"))
+      .distinct()
+    df.select(col(idCol).cast("long").as(idCol), col(clusterCol))
+      .join(dupIds.withColumn("__d", lit(true)),
+        col(idCol) === col("__dup_id"), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** One k-means assignment (E) step over cosine similarity: every row
     * is labeled with the id of its nearest centroid. Centroids are the
     * small side by contract (k vectors) — collected, sorted by id, and

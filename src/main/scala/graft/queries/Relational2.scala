@@ -336,4 +336,41 @@ object Relational2 {
        |  COUNT(*) - COUNT($c) AS n_nulls,
        |  COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
+
+  /** q82 — Z-order layout audit: orders mapped onto a (custkey, order
+    * day) Morton grid, grouped by 256-cell z-tile, reporting each
+    * tile's row count and min/max range on BOTH dimensions — the
+    * pruning index a lakehouse keeps per file after a Z-ORDER/liquid
+    * clustering pass ([[graft.operators.Layout]]). Tight tile ranges
+    * on both columns are the property that lets a scan filtering on
+    * EITHER of them skip files. Static unrolled bit-interleave
+    * (codegen'd) + one partial-agg'd hash aggregate: one shuffle of
+    * ≤ |tiles| rows.
+    */
+  def q82Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey") % 4096
+    val y = (datediff(to_date(col("o_orderdate")),
+      to_date(lit("1995-01-01"))) % 4096).cast("long")
+    Tables.orders(spark, dir)
+      .select(graft.operators.Layout.zValue(x, y, 12).as("zval"),
+        x.as("xk"), y.as("yk"))
+      .groupBy(shiftright(col("zval"), 8).as("ztile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("xk")).as("min_cust"), max(col("xk")).as("max_cust"),
+        min(col("yk")).as("min_day"), max(col("yk")).as("max_day"))
+  }
+
+  val q82ZorderSql: String = {
+    val z = graft.operators.Layout.zValueSql("xk", "yk", 12)
+    s"""WITH d AS (
+       |  SELECT o_custkey % 4096 AS xk,
+       |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      % 4096 AS yk
+       |  FROM orders),
+       |z AS (SELECT xk, yk, $z AS zval FROM d)
+       |SELECT zval >> 8 AS ztile, COUNT(*) AS n_orders,
+       |  MIN(xk) AS min_cust, MAX(xk) AS max_cust,
+       |  MIN(yk) AS min_day, MAX(yk) AS max_day
+       |FROM z GROUP BY 1""".stripMargin
+  }
 }

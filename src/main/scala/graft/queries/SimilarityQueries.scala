@@ -49,6 +49,28 @@ object SimilarityQueries {
       |  AND list_cosine_similarity(
       |        a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
 
+  /** q81 — SemDeDup-style semantic dedup verdicts: a vector is a
+    * duplicate iff a lower-id vector in the SAME cluster (the `label`
+    * column — deterministic, so the oracle sees identical clusters) has
+    * cosine ≥ 0.4 with it. The scale story vs q34's broadcast-exact
+    * pairs: the quadratic stage is scoped to one cluster's block after
+    * a single shuffle on the cluster key, which is how embedding dedup
+    * stays feasible when the corpus stops being broadcastable.
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", tau = 0.4)
+
+  val qSemanticDedupSql: String =
+    """SELECT e.vec_id, e.label,
+      |  EXISTS(SELECT 1 FROM embeddings o
+      |         WHERE o.label = e.label AND o.vec_id < e.vec_id
+      |           AND list_cosine_similarity(
+      |                 o.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      |               >= 0.4) AS is_dup
+      |FROM embeddings e""".stripMargin
+
   /** q31 — LSH-bucketed approximate top-5 (rows-only: bucketing depends
     * on engine-seeded hyperplanes; recall vs the exact baseline is
     * asserted in SimilaritySpec).

@@ -266,4 +266,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(buckets.forall(b => b >= 0 && b < 64))
     assert(buckets.length > 1, "all vectors hashed to one bucket")
   }
+
+  test("semanticDedup: cluster-scoped keep-lowest verdicts") {
+    val data = Seq(
+      // cluster 1: 10 and 11 nearly parallel (dup), 12 orthogonal
+      (10L, Seq(1.0f, 0.0f), 1),
+      (11L, Seq(0.99f, 0.01f), 1),
+      (12L, Seq(0.0f, 1.0f), 1),
+      // cluster 2: identical direction to 10, but OTHER cluster —
+      // must not be called a duplicate (the cluster scoping under test)
+      (20L, Seq(1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .semanticDedup(data, "vec_id", "embedding", "label", tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(out === Map(10L -> false, 11L -> true, 12L -> false,
+      20L -> false))
+  }
 }
