@@ -98,6 +98,68 @@ object MergeOps {
     result.drop("__targetOnly")
   }
 
+  /** Change data feed of a [[merge]]: the row-level changes the merge
+    * would apply, in Delta CDF vocabulary — `_change_type` ∈ `insert` /
+    * `update_preimage` / `update_postimage` / `delete` (the feed Delta
+    * emits when `delta.enableChangeDataFeed` is on; the reference's
+    * sink tables could turn it on without any pipeline change). Derived
+    * from the SAME full-outer key join as the merge itself — one
+    * shuffle — with group-replace deletions probed against the
+    * broadcast touched-groups set; matched rows blocked by the guard
+    * (or by insert-only mode) emit nothing. Matched updates emit the
+    * pre/post pair even when values are identical, like Delta.
+    * [[IncrementalAgg]] consumes exactly this stream.
+    */
+  def changeFeed(
+      target: DataFrame,
+      updates: DataFrame,
+      spec: MergeSpec
+  ): DataFrame = {
+    val cols = mergedColumns(target, updates)
+    val t = align(target, cols)
+    val u = align(updates, cols)
+    val names = cols.map(_._1)
+
+    val tPacked =
+      t.select(spec.keys.map(col) :+ struct(names.map(col): _*).as("__t"): _*)
+    val uPacked =
+      u.select(spec.keys.map(col) :+ struct(names.map(col): _*).as("__u"): _*)
+    val joined = tPacked.join(uPacked, spec.keys, "full_outer")
+
+    val guardOk: Column = spec.guardField match {
+      case None => lit(true)
+      case Some(g) =>
+        col(s"__t.$g").isNull || col(s"__u.$g").isNull ||
+        col(s"__t.$g").cast("timestamp") <= col(s"__u.$g").cast("timestamp")
+    }
+    val base = spec.groupField match {
+      case Some(g) =>
+        val touched = u.select(col(g).as("__tg")).distinct()
+        joined
+          .join(broadcast(touched), col(s"__t.$g") === col("__tg"),
+            "left_outer")
+          .withColumn("__del",
+            col("__u").isNull && col("__t").isNotNull &&
+              col("__tg").isNotNull)
+      case None => joined.withColumn("__del", lit(false))
+    }
+    val isInsert = col("__u").isNotNull && col("__t").isNull
+    val isUpdate = col("__u").isNotNull && col("__t").isNotNull &&
+      lit(spec.updateExisting) && guardOk
+    def mk(ct: String, r: Column) =
+      struct(lit(ct).as("_change_type"), r.as("__r"))
+    base
+      .select(explode(
+        when(isInsert, array(mk("insert", col("__u"))))
+          .when(isUpdate, array(mk("update_preimage", col("__t")),
+            mk("update_postimage", col("__u"))))
+          .when(col("__del"), array(mk("delete", col("__t"))))
+          .otherwise(lit(null))
+      ).as("__c"))
+      .select(col("__c._change_type").as("_change_type") +:
+        names.map(n => col(s"__c.__r.$n").as(n)): _*)
+  }
+
   /** K3: delete rows whose id appears in `ids` (single key column in
     * `ids`). Distributed anti-join — no driver-side id collection, so the
     * reference's 50k-chunk OOM guard (deltalake.py:143-152) is unneeded.

@@ -138,6 +138,85 @@ object MergeQueries {
        |   OR t.o_custkey NOT IN (SELECT o_custkey FROM u)""".stripMargin
   }
 
+  // shared scenario for the CDF pair (q83/q84): target misses every
+  // third order; updates double the price of even-keyed orders of
+  // every tenth customer; group-replace on o_custkey — so the feed
+  // contains all four change types' triggers (inserts: update keys
+  // divisible by 3; updates: matched keys; deletes: untouched target
+  // rows of touched customers)
+  private def cdfUpdates(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") % 10 === 0 && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+
+  private val cdfUpdatesSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_custkey % 10 = 0 AND o_orderkey % 2 = 0""".stripMargin
+
+  private val cdfSpec = MergeSpec(Seq("o_orderkey"),
+    groupField = Some("o_custkey"))
+
+  /** q83 — change data feed of a group-replace merge: the Delta-CDF
+    * row-level change stream ([[MergeOps.changeFeed]]), oracle-checked
+    * against DuckDB deriving the same four change classes from
+    * target/update snapshot joins.
+    */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame =
+    MergeOps.changeFeed(target(spark, dir), cdfUpdates(spark, dir), cdfSpec)
+
+  val qChangeFeedSql: String = {
+    val uCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    s"""WITH t AS ($targetSql), u AS ($cdfUpdatesSql)
+       |SELECT 'insert' AS _change_type, ${uCols.map("u." + _).mkString(", ")}
+       |FROM u LEFT JOIN t ON u.o_orderkey = t.o_orderkey
+       |WHERE t.o_orderkey IS NULL
+       |UNION ALL
+       |SELECT 'update_preimage', t.*
+       |FROM t JOIN u ON t.o_orderkey = u.o_orderkey
+       |UNION ALL
+       |SELECT 'update_postimage', ${uCols.map("u." + _).mkString(", ")}
+       |FROM t JOIN u ON t.o_orderkey = u.o_orderkey
+       |UNION ALL
+       |SELECT 'delete', t.*
+       |FROM t LEFT JOIN u ON t.o_orderkey = u.o_orderkey
+       |WHERE u.o_orderkey IS NULL
+       |  AND t.o_custkey IN (SELECT o_custkey FROM u)""".stripMargin
+  }
+
+  /** q84 — incremental aggregate maintenance: a per-customer
+    * (count, sum) aggregate of the target is folded forward with q83's
+    * change feed ([[graft.operators.IncrementalAgg]]) instead of
+    * recomputed; the oracle computes the aggregate from scratch over
+    * the fully-merged table, so the hash check proves
+    * incremental == full recompute (sums carried as DECIMAL(28,6),
+    * where addition is exact).
+    */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val t = target(spark, dir)
+    val base = IncrementalAgg.countSum(t, "o_custkey", "o_totalprice")
+    val changes = MergeOps.changeFeed(t, cdfUpdates(spark, dir), cdfSpec)
+    IncrementalAgg
+      .applyChanges(base, changes, "o_custkey", "o_totalprice")
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        col("s").cast("double").as("total"))
+  }
+
+  val qIncrementalAggSql: String =
+    s"""WITH t AS ($targetSql), u AS ($cdfUpdatesSql),
+       |merged AS (
+       |SELECT
+       |${pickSql("u.o_orderkey IS NOT NULL")}
+       |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+       |WHERE u.o_orderkey IS NOT NULL
+       |   OR t.o_custkey NOT IN (SELECT o_custkey FROM u))
+       |SELECT o_custkey, COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+       |FROM merged GROUP BY 1""".stripMargin
+
   /** K3: delete-by-id as a distributed anti-join. */
   def qDeleteIds(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)

@@ -144,4 +144,62 @@ class MergeOpsSpec extends SparkSpecBase {
       .orderBy("id").collect().map(_.getLong(0))
     assert(out.toSeq === Seq(1L, 3L))
   }
+
+  test("changeFeed emits all four change classes of a group merge") {
+    val target = Seq(
+      (1L, "g1", 10.0), // matched → pre/post
+      (2L, "g1", 20.0), // unmatched, touched group → delete
+      (3L, "g2", 30.0)  // unmatched, untouched group → no change
+    ).toDF("id", "grp", "v")
+    val updates = Seq(
+      (1L, "g1", 11.0),
+      (4L, "g1", 40.0) // new key → insert
+    ).toDF("id", "grp", "v")
+    val out = MergeOps
+      .changeFeed(target, updates,
+        MergeSpec(Seq("id"), groupField = Some("grp")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("update_preimage", 1L, 10.0),
+      ("update_postimage", 1L, 11.0),
+      ("delete", 2L, 20.0),
+      ("insert", 4L, 40.0)
+    ))
+  }
+
+  test("changeFeed: guard-blocked and insert-only updates emit nothing") {
+    val target = Seq((1L, "old", "2024-01-02")).toDF("id", "v", "ts")
+    val older = Seq((1L, "new", "2024-01-01")).toDF("id", "v", "ts")
+    assert(MergeOps.changeFeed(target, older,
+      MergeSpec(Seq("id"), guardField = Some("ts"))).isEmpty)
+    val matched = Seq((1L, "new", "2024-01-03")).toDF("id", "v", "ts")
+    assert(MergeOps.changeFeed(target, matched,
+      MergeSpec(Seq("id"), updateExisting = false)).isEmpty)
+  }
+
+  test("incremental count/sum aggregate equals full recompute") {
+    import graft.operators.IncrementalAgg
+    val target = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0),
+      (5L, "g3", 50.0)
+    ).toDF("id", "grp", "v")
+    val updates = Seq(
+      (1L, "g1", 11.0), (4L, "g2", 40.0)
+    ).toDF("id", "grp", "v")
+    val spec = MergeSpec(Seq("id"), groupField = Some("grp"))
+    val incremental = IncrementalAgg
+      .applyChanges(
+        IncrementalAgg.countSum(target, "grp", "v"),
+        MergeOps.changeFeed(target, updates, spec), "grp", "v")
+    val full = IncrementalAgg
+      .countSum(MergeOps.merge(target, updates, spec), "grp", "v")
+    val toMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(toMap(incremental) === toMap(full))
+    // g1 lost id=2 (touched-group delete) and updated id=1
+    assert(toMap(incremental)("g1") === ((1L, 11.0)))
+  }
 }
