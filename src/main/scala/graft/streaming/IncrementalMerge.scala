@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.MergeOps
+import graft.operators.{IncrementalAgg, MergeOps}
 import graft.sinks.GraftTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -20,6 +20,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IncrementalMerge {
 
+  private def dedupBatch(
+      batch: DataFrame,
+      spec: MergeOps.MergeSpec,
+      orderCol: Option[String]
+  ): DataFrame = orderCol match {
+    case Some(c) => MergeOps.dedupLastWins(batch, spec.keys, Seq(col(c)))
+    case None => MergeOps.dedupLastWins(
+      // no caller-declared order: use the source file path (file
+      // streams list files in order; lexicographic path = append
+      // order for sequenced exports) with partition-local ids only
+      // breaking ties WITHIN a file — never across files, where
+      // split packing reorders partitions
+      batch.withColumn("__file", input_file_name())
+        .withColumn("__seq", monotonically_increasing_id()),
+      spec.keys, Seq(col("__file"), col("__seq")))
+      .drop("__file", "__seq")
+  }
+
   /** Drain all available input from `stream` into the table and stop
     * (AvailableNow). Returns the number of micro-batches applied.
     */
@@ -35,25 +53,56 @@ object IncrementalMerge {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ordered = orderCol match {
-          case Some(c) => MergeOps.dedupLastWins(batch, spec.keys,
-            Seq(col(c)))
-          case None => MergeOps.dedupLastWins(
-            // no caller-declared order: use the source file path (file
-            // streams list files in order; lexicographic path = append
-            // order for sequenced exports) with partition-local ids only
-            // breaking ties WITHIN a file — never across files, where
-            // split packing reorders partitions
-            batch.withColumn("__file", input_file_name())
-              .withColumn("__seq", monotonically_increasing_id()),
-            spec.keys, Seq(col("__file"), col("__seq")))
-            .drop("__file", "__seq")
-        }
-        table.merge(ordered)
+        table.merge(dedupBatch(batch, spec, orderCol))
         batches += 1
       }
       .start()
     q.awaitTermination()
     batches
+  }
+
+  /** [[run]] plus streaming incremental view maintenance: before each
+    * micro-batch merges, its change feed against the CURRENT table
+    * contents ([[MergeOps.changeFeed]]) folds into a per-`groupCol`
+    * (count, sum of `valueCol`) aggregate ([[IncrementalAgg]]) — so
+    * per-batch aggregate work is O(changes), never a rescan of the
+    * table. Returns (micro-batches applied, maintained aggregate);
+    * the aggregate is seeded from the table's pre-stream contents and
+    * localCheckpointed per batch to keep lineage flat across many
+    * micro-batches.
+    */
+  def runWithAgg(
+      stream: DataFrame,
+      table: GraftTable,
+      spec: MergeOps.MergeSpec,
+      checkpointDir: String,
+      groupCol: String,
+      valueCol: String,
+      orderCol: Option[String] = None
+  ): (Long, DataFrame) = {
+    var agg: DataFrame =
+      if (table.exists)
+        IncrementalAgg.countSum(table.read(), groupCol, valueCol)
+          .localCheckpoint(true)
+      else null
+    var batches = 0L
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ordered = dedupBatch(batch, spec, orderCol)
+        val current = if (table.exists) table.read() else ordered.limit(0)
+        if (agg == null)
+          agg = IncrementalAgg.countSum(ordered.limit(0), groupCol, valueCol)
+        val changes = MergeOps.changeFeed(current, ordered, spec)
+        agg = IncrementalAgg
+          .applyChanges(agg, changes, groupCol, valueCol)
+          .localCheckpoint(true)
+        table.merge(ordered)
+        batches += 1
+      }
+      .start()
+    q.awaitTermination()
+    (batches, agg)
   }
 }

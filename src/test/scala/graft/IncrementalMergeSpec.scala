@@ -45,4 +45,46 @@ class IncrementalMergeSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(after2.toSeq === Seq((1L, "a"), (2L, "b3"), (3L, "c")))
   }
+
+  test("stream-maintained aggregate equals a full recompute") {
+    import graft.operators.IncrementalAgg
+    val srcDir = Files.createTempDirectory("iva-src").toString
+    val tableDir = Files.createTempDirectory("iva-table").toString
+    val ckpt = Files.createTempDirectory("iva-ckpt").toString
+
+    // wave 1: two groups, plus an in-batch duplicate on id=2
+    Seq((1L, "g1", 10.0, 1L), (2L, "g1", 20.0, 1L),
+      (2L, "g1", 21.0, 2L), (3L, "g2", 30.0, 1L))
+      .toDF("id", "grp", "v", "seq")
+      .write.mode("append").parquet(srcDir)
+
+    val spec = MergeSpec(Seq("id"))
+    val table = GraftTable(spark, tableDir, spec)
+    val schema = spark.read.parquet(srcDir).schema
+    def drain() = IncrementalMerge.runWithAgg(
+      spark.readStream.schema(schema).parquet(srcDir),
+      table, spec, ckpt, "grp", "v", orderCol = Some("seq"))
+
+    val (b1, agg1) = drain()
+    assert(b1 >= 1)
+    val toMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(toMap(agg1) ===
+      toMap(IncrementalAgg.countSum(table.read(), "grp", "v")))
+    assert(toMap(agg1)("g1") === ((2L, 31.0))) // 10 + last-wins 21
+
+    // wave 2: update g1's id=1 and insert a g3 row; the maintained
+    // aggregate (seeded from the table, folded with the new batch's
+    // change feed) must equal recomputing over the merged table
+    Seq((1L, "g1", 11.0, 3L), (4L, "g3", 40.0, 1L))
+      .toDF("id", "grp", "v", "seq")
+      .write.mode("append").parquet(srcDir)
+    val (b2, agg2) = drain()
+    assert(b2 >= 1)
+    assert(toMap(agg2) ===
+      toMap(IncrementalAgg.countSum(table.read(), "grp", "v")))
+    assert(toMap(agg2)("g1") === ((2L, 32.0)))
+    assert(toMap(agg2)("g3") === ((1L, 40.0)))
+  }
 }
