@@ -38,6 +38,33 @@ object SkewOps {
     out.drop("__salt")
   }
 
+  /** Bloom-filter semi-join reduction: build a Bloom filter over the
+    * dimension side's join keys (one pass, mergeable sketch built
+    * distributed via `stat.bloomFilter`), broadcast it, and drop fact
+    * rows that can't match BEFORE they reach the shuffle — the
+    * runtime-filter pattern for selective joins at 100 TB, where the
+    * win is shuffled bytes: a 1% -selective join ships ~1% of the fact
+    * table instead of all of it, at `-log2(fpp)` bits per dim key of
+    * broadcast. False positives are eliminated by the real join that
+    * follows, so `prefilter(...)` then join ≡ plain join, which is
+    * what the oracle checks (q85). Null keys can't match an equi-join
+    * and are dropped.
+    */
+  def bloomPrefilter(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightMatch = udf { (k: Long) => bc.value.mightContain(k) }
+    fact.filter(col(factKey).isNotNull &&
+      mightMatch(col(factKey).cast("long")))
+  }
+
   /** Top-n heavy-hitter keys with their share — the diagnostic that
     * decides whether salting is warranted (run on a sample at scale).
     */

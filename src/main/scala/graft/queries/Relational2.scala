@@ -360,6 +360,38 @@ object Relational2 {
         min(col("yk")).as("min_day"), max(col("yk")).as("max_day"))
   }
 
+  /** q85 — Bloom-prefiltered selective join: urgent orders of every
+    * 25th customer (<1% of orders) joined to their lineitems, with the
+    * fact side pre-filtered through a broadcast Bloom filter on the dim
+    * keys BEFORE the shuffle ([[SkewOps.bloomPrefilter]]) — the
+    * runtime-filter pattern that ships ~1% of a 100 TB fact table to
+    * the join instead of all of it. False positives die in the real
+    * join, so the result (and the oracle) is exactly the plain join's.
+    */
+  def q85BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") % 25 === 0)
+      .select("o_orderkey", "o_custkey")
+    val fact = graft.operators.SkewOps.bloomPrefilter(
+      Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey",
+      expectedItems = 100000L, fpp = 0.01)
+    fact
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  val q85BloomJoinSql: String =
+    """SELECT o.o_custkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_custkey % 25 = 0
+      |GROUP BY o.o_custkey""".stripMargin
+
   val q82ZorderSql: String = {
     val z = graft.operators.Layout.zValueSql("xk", "yk", 12)
     s"""WITH d AS (

@@ -128,6 +128,27 @@ final class GraftTable(
       spark.read.parquet(dir.toString)
     }
 
+  /** Data-skipping point-lookup read: hash the requested key tuples to
+    * their buckets, scan ONLY those buckets' files, and semi-join down
+    * to the exact keys — the read-side counterpart of the merge path's
+    * touched-bucket pruning (the role Delta's file-stats skipping
+    * plays for key lookups). On a 1024-bucket table a 10-key probe
+    * reads ≤10/1024ths of the data regardless of table size;
+    * non-bucketed snapshots degrade to a full scan + the same
+    * semi-join. The probe is broadcast — point lookups are small by
+    * contract (large probes should join against [[read]] instead).
+    */
+  def readForKeys(keyValues: DataFrame): DataFrame = {
+    val probe = keyValues.select(spec.keys.map(col): _*).distinct()
+    val base = currentVersion match {
+      case Some(v) if Files.exists(manifestFile(v)) &&
+          effectiveBuckets > 0 =>
+        readBuckets(manifest(v), touchedBuckets(probe))
+      case _ => read()
+    }
+    base.join(broadcast(probe), spec.keys, "left_semi")
+  }
+
   /** Exact current row count from parquet FOOTERS only — no data scan
     * (the role Delta's transaction-log stats play; a production bucket
     * count would persist these in the manifest instead of re-reading

@@ -123,6 +123,40 @@ class MergeOpsSpec extends SparkSpecBase {
     assert(t.read().filter(col("k1") === "a7").isEmpty)
   }
 
+  test("readForKeys scans only the probed keys' buckets") {
+    import graft.sinks.GraftTable
+    val dir = java.nio.file.Files.createTempDirectory("skip").toString
+    val t = GraftTable.bucketed(spark, dir,
+      MergeOps.MergeSpec(Seq("id")), buckets = 8)
+    t.merge((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"))
+
+    val got = t.readForKeys(Seq(7L, 42L, 7L).toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((7L, "v7"), (42L, "v42")))
+
+    // the sharp proof of skipping: physically remove every bucket the
+    // probe does NOT hash into — the pruned read must still succeed
+    // (it never lists those directories), while a full read breaks
+    val probeBuckets = Seq(7L, 42L).map { i =>
+      spark.range(i, i + 1).select(
+        pmod(xxhash64(col("id")), lit(8)).cast("int")).head().getInt(0)
+    }.toSet
+    val vdir = java.nio.file.Paths.get(dir, "v0")
+    java.nio.file.Files.list(vdir).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("__b=") &&
+        !probeBuckets.contains(name.drop(4).toInt)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator
+          .reverseOrder[java.nio.file.Path]()).forEach(
+          java.nio.file.Files.delete(_))
+      }
+    }
+    val afterDelete = t.readForKeys(Seq(7L, 42L).toDF("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(afterDelete === Set(7L, 42L))
+    intercept[Exception] { t.read().count() }
+  }
+
   test("dedupLastWins keeps the last occurrence per key") {
     val df = Seq(
       (1L, "first", 1L),

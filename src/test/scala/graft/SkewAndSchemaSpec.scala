@@ -22,6 +22,25 @@ class SkewAndSchemaSpec extends SparkSpecBase {
     assert(plain === salted)
   }
 
+  test("bloomPrefilter: join result unchanged, fact rows cut hard") {
+    val fact = spark.range(20000)
+      .select((col("id") % 1000).as("k"), col("id").as("payload"))
+    // 1% -selective dim: 10 of the 1000 key values
+    val dim = spark.range(10).select((col("id") * 100).as("k"),
+      concat(lit("d"), col("id")).as("label"))
+    val plain = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)), sum("payload")).head()
+    val pruned = SkewOps.bloomPrefilter(fact, "k", dim, "k",
+      expectedItems = 10, fpp = 0.01)
+    val viaBloom = pruned.join(dim, Seq("k"))
+      .agg(count(lit(1)), sum("payload")).head()
+    assert(plain === viaBloom) // no false negatives, FPs die in the join
+    // the point of the operator: the shuffle input shrank ~100×
+    val kept = pruned.count()
+    assert(kept >= 200) // the 10 real keys' rows (20 each) all survive
+    assert(kept <= 1000, s"bloom kept $kept of 20000 rows")
+  }
+
   test("keySkewProfile surfaces the heavy hitter") {
     val skewed = spark.range(1000)
       .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
