@@ -119,6 +119,27 @@ object StreamQueries {
     * emits the same set; no SQL oracle (FNV signature family is
     * engine-internal, like q25).
     */
+  /** q86 — the stateful SpaceSaving heavy-hitter operator executed in
+    * batch mode over the events table: with capacity (64) above the
+    * per-shard distinct-key count, nothing evicts, so the sketch's
+    * counters are exact and order-independent — oracle = a plain
+    * frequency count with zero error. The approximation regime (tight
+    * capacity, guaranteed containment + error bounds) is pinned in
+    * StreamingSpec, streamed across micro-batches.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamHeavyHitters
+      .spaceSaving(Tables.events(spark, dir), "event_type",
+        shards = 4, capacity = 64)
+      .toDF()
+      .select(col("key").as("event_type"), col("est_count"),
+        col("max_err"))
+
+  val qHeavyHittersSql: String =
+    """SELECT event_type, COUNT(*) AS est_count,
+      |  CAST(0 AS BIGINT) AS max_err
+      |FROM events GROUP BY 1""".stripMargin
+
   def qStatefulNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.unionByName(docs

@@ -162,6 +162,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(q80 === batch)
   }
 
+  test("heavy hitters: streamed snapshots converge to exact counts") {
+    // ample capacity → SpaceSaving never evicts → exact, so the final
+    // per-shard snapshot must equal the batch frequency count even
+    // when the stream arrives across several micro-batches
+    val dir = Files.createTempDirectory("hh-stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val hits = graft.streaming.StreamHeavyHitters
+      .spaceSaving(stream, "event_type", shards = 2, capacity = 64)
+      .toDF()
+    val q = hits.writeStream.format("memory").queryName("hh_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = spark.table("hh_stream_test")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    val finalSnap = all.withColumn("mx", max("seq").over(w))
+      .filter(col("seq") === col("mx"))
+    val got = finalSnap.select("key", "est_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(dir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // several micro-batches actually ran (snapshots are sequenced)
+    assert(all.agg(max("seq")).head().getLong(0) >= 2L)
+  }
+
+  test("heavy hitters: tight capacity keeps the hitter within bounds") {
+    // 500×hot + 100 singletons through 4 counters: the classic
+    // SpaceSaving guarantees, order-independent — the hitter (freq >
+    // n/capacity) is always present, counts only ever overestimate,
+    // and the error bound brackets the true count
+    val rows = Seq.fill(500)("hot") ++ (1 to 100).map(i => s"cold$i")
+    val hits = graft.streaming.StreamHeavyHitters
+      .spaceSaving(rows.toDF("k"), "k", shards = 1, capacity = 4)
+      .collect()
+    assert(hits.length <= 4)
+    val hot = hits.find(_.key == "hot").get
+    assert(hot.est_count >= 500L)
+    assert(hot.est_count - hot.max_err <= 500L)
+  }
+
   test("streaming dedup drops key duplicates within the watermark") {
     val schema = spark.read.parquet(eventsDir).schema
     // duplicate the whole stream: every key arrives at least twice
