@@ -161,4 +161,33 @@ object GraphOps {
       .groupBy("comp")
       .agg(count(lit(1)).as("n_members"), min("id").as("keep_id"))
       .withColumnRenamed("comp", "component")
+
+  /** Quality-weighted survivor selection: keep each component's BEST
+    * row by `qualityCol` (ties → lowest id) instead of the lowest id —
+    * the "keep the longest/cleanest duplicate" policy corpus dedup
+    * usually wants. One broadcast-or-shuffle join to attach quality +
+    * one window pass on the component key.
+    */
+  def dedupGroupsBest(
+      components: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qualityCol: String
+  ): DataFrame = {
+    val joined = components.join(
+      quality.select(col(idCol).cast("long").as("id"),
+        col(qualityCol).cast("long").as("__q")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("__q").desc, col("id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+    joined
+      .select(col("comp").as("component"), col("id"), col("__q"),
+        row_number().over(w).as("__rn"),
+        count(lit(1)).over(wAll).as("n_members"))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("n_members"),
+        col("id").as("keep_id"), col("__q").as("keep_quality"))
+  }
 }

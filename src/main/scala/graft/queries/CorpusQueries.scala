@@ -171,4 +171,46 @@ object CorpusQueries {
       |  FROM c)
       |SELECT lang, gram, cnt, CAST(rk AS BIGINT) AS rank
       |FROM r WHERE rk <= 3""".stripMargin
+
+  /** q88 — declarative data-quality gate ([[graft.operators.Checks]]):
+    * five constraints over the documents table (row volume, key
+    * uniqueness, text completeness, value range, dimension
+    * cardinality), ALL evaluated in one aggregation pass. Metrics are
+    * exact-count ratios, so the doubles (and the pass verdicts) are
+    * bit-identical to the SQL oracle computing the same constraints.
+    */
+  def qQualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks
+    import graft.operators.Checks.CheckDef
+    val n = count(lit(1)).cast("double")
+    Checks.run(Tables.documents(spark, dir), Seq(
+      CheckDef("row_count", n, _ > 0.0),
+      CheckDef("doc_id_unique",
+        countDistinct(col("doc_id")).cast("double") / n, _ == 1.0),
+      CheckDef("text_complete",
+        count(col("text")).cast("double") / n, _ == 1.0),
+      CheckDef("n_chars_in_range",
+        sum(when(col("n_chars").between(1, 1000000), 1L).otherwise(0L))
+          .cast("double") / n, _ == 1.0),
+      CheckDef("lang_cardinality",
+        countDistinct(col("lang")).cast("double"), _ <= 20.0)
+    ))
+  }
+
+  val qQualityChecksSql: String =
+    """WITH m AS (SELECT
+      |  CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS uniq,
+      |  CAST(COUNT(text) AS DOUBLE) AS compl,
+      |  CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 1000000
+      |    THEN 1 ELSE 0 END) AS DOUBLE) AS inrange,
+      |  CAST(COUNT(DISTINCT lang) AS DOUBLE) AS langs
+      |FROM documents)
+      |SELECT 'row_count' AS check_name, n AS metric, n > 0 AS passed
+      |FROM m
+      |UNION ALL SELECT 'doc_id_unique', uniq / n, uniq / n = 1.0 FROM m
+      |UNION ALL SELECT 'text_complete', compl / n, compl / n = 1.0 FROM m
+      |UNION ALL SELECT 'n_chars_in_range', inrange / n,
+      |  inrange / n = 1.0 FROM m
+      |UNION ALL SELECT 'lang_cardinality', langs, langs <= 20.0 FROM m""".stripMargin
 }

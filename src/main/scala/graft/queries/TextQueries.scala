@@ -817,7 +817,11 @@ object TextQueries {
     graft.operators.GraphOps.dedupGroups(comps)
   }
 
-  val qDedupCorpusSql: String = {
+  /** Shared CTE chain for the end-to-end dedup oracles (q38/q87):
+    * docs∪copies → distinct 3-grams → md5 minhash signatures → banded
+    * candidate pairs → recursive-CTE connected components.
+    */
+  private val dedupCtePrefix: String = {
     val mins = (0 until 8).map { s =>
       s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
     }.mkString(",\n      ")
@@ -858,12 +862,44 @@ object TextQueries {
        |  FROM reach r JOIN edges e ON e.src = r.id
        |  WHERE r.comp < e.dst),
        |comps AS (
-       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id)
+       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id)""".stripMargin
+  }
+
+  val qDedupCorpusSql: String =
+    s"""$dedupCtePrefix
        |SELECT CAST(component AS BIGINT) AS component,
        |  COUNT(*) AS n_members,
        |  CAST(MIN(id) AS BIGINT) AS keep_id
        |FROM comps GROUP BY component""".stripMargin
+
+  /** q87 — quality-weighted dedup survivors: the same end-to-end LSH
+    * dedup pipeline as q38, but each component keeps its LONGEST
+    * member (n_chars, ties → lowest id) instead of the lowest id — the
+    * survivor policy real corpus dedup wants (keep the most complete
+    * duplicate). Oracle = the q38 CTE chain + a windowed argmax.
+    */
+  def qDedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val input = corpusWithCopies(spark, dir)
+    val comps = graft.operators.GraphOps.connectedComponents(
+      spark, bandCandidates(md5Sigs(input)), "id_a", "id_b",
+      nodes = Some(input.select(col("doc_id"))))
+    graft.operators.GraphOps.dedupGroupsBest(comps,
+      input.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
   }
+
+  val qDedupBestSql: String =
+    s"""$dedupCtePrefix,
+       |ranked AS (
+       |  SELECT c.component, c.id, i.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY i.n_chars DESC, c.id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.component) AS n_members
+       |  FROM comps c JOIN input i ON i.doc_id = c.id)
+       |SELECT CAST(component AS BIGINT) AS component,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  CAST(id AS BIGINT) AS keep_id,
+       |  CAST(n_chars AS BIGINT) AS keep_quality
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   val qBandPairsSql: String = {
     val mins = (0 until 8).map { s =>

@@ -79,4 +79,19 @@ class GraphOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(groups.toSeq === Seq((1L, 3L, 1L), (9L, 1L, 9L)))
   }
+
+  test("dedupGroupsBest keeps the highest-quality member, ties to min id") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (10L, 9L))
+      .toDF("id", "comp")
+    // comp 1: id 2 is longest; comp 9: 9 and 10 tie → keep 9
+    val quality = Seq((1L, 50L), (2L, 90L), (3L, 20L), (9L, 70L),
+      (10L, 70L)).toDF("doc_id", "n_chars")
+    val best = GraphOps.dedupGroupsBest(comps, quality, "doc_id",
+      "n_chars")
+      .orderBy("component")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(best.toSeq === Seq((1L, 3L, 2L, 90L), (9L, 2L, 9L, 70L)))
+  }
 }
