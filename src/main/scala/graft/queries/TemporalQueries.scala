@@ -149,4 +149,56 @@ object TemporalQueries {
       |FROM p JOIN c
       |  ON p.user_id = c.user_id
       |  AND c.u >= p.u - 1800000000 AND c.u < p.u""".stripMargin
+
+  /** q89 — strict-order funnel view → click → purchase: per-step user
+    * counts where each step's event must land STRICTLY after the
+    * user's first completion of the previous step
+    * ([[graft.operators.EventFlows.funnel]]). Per step: one shuffle on
+    * the user key (join + grouped min), counts unioned in one job.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventFlows.funnel(Tables.events(spark, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val qFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |  COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""".stripMargin
+
+  /** q90 — weekly cohort retention: users cohorted by the week of
+    * their first event; per (cohort, week offset), how many are active
+    * ([[graft.operators.EventFlows.weeklyRetention]]). Both engines
+    * truncate to ISO Monday weeks, and the offset divides an exact
+    * multiple of 7 days, so the grid is hash-exact.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventFlows
+      .weeklyRetention(Tables.events(spark, dir), "user_id", "ts")
+
+  val qRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |      FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |      FROM e)
+      |SELECT f.cohort,
+      |  CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.wk AS DATE))
+      |    / 7 AS BIGINT) AS offset_w,
+      |  COUNT(*) AS n_users
+      |FROM f JOIN a ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
 }

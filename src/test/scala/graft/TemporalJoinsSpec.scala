@@ -95,4 +95,50 @@ class TemporalJoinsSpec extends SparkSpecBase {
       .toMap
     assert(got === Map(1L -> 101L, 2L -> -1L))
   }
+
+  test("funnel enforces strict step ordering per user") {
+    import graft.operators.EventFlows
+    val events = Seq(
+      // u1 completes the whole funnel
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:01:00")),
+      (1L, "purchase", ts("2024-01-01 00:02:00")),
+      // u2's click is SIMULTANEOUS with its view → not strictly after
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      // u3 only views
+      (3L, "view", ts("2024-01-01 00:05:00")),
+      // u4 clicks+purchases but never views → appears nowhere
+      (4L, "click", ts("2024-01-01 00:00:00")),
+      (4L, "purchase", ts("2024-01-01 00:01:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventFlows
+      .funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((1L, "view", 3L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("weeklyRetention grids cohorts by first-event week") {
+    import graft.operators.EventFlows
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, week 0
+      (1L, ts("2024-01-15 10:00:00")), // week 2
+      (2L, ts("2024-01-03 10:00:00")), // week 0 cohort (Wednesday)
+      (3L, ts("2024-01-08 10:00:00"))  // week 1 cohort
+    ).toDF("user_id", "ts")
+    val got = EventFlows.weeklyRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 2L), // u1 + u2 active in their cohort week
+      ("2024-01-01", 2L, 1L), // u1 returns two weeks later
+      ("2024-01-08", 0L, 1L)  // u3's own cohort
+    ))
+  }
 }
