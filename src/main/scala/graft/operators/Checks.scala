@@ -35,7 +35,10 @@ object Checks {
         c.metric.cast("double").as(s"m${i + 1}")
       }: _*).head()
     checks.zipWithIndex.map { case (c, i) =>
-      val m = row.getDouble(i)
+      // a metric can be null (e.g. a ratio over an empty table):
+      // surface it as NaN so the pass predicate decides explicitly
+      // rather than this throwing on unboxing
+      val m = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       (c.name, m, c.pass(m))
     }.toDF("check_name", "metric", "passed")
   }

@@ -19,7 +19,11 @@ object Layout {
   /** Morton z-value: x's bits on even positions, y's on odd, `bits`
     * bits each (higher bits are ignored by the per-bit mask). The
     * result is a total order on the (x, y) grid where close values in
-    * either dimension stay close in the sort.
+    * either dimension stay close in the sort. Callers supply
+    * NON-NEGATIVE dimension keys (rank, bucket, day number …);
+    * negative inputs interleave two's-complement low bits —
+    * deterministic and engine-neutral, but without the locality
+    * property that makes the layout useful.
     */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits=$bits out of range")

@@ -58,11 +58,31 @@ object SkewOps {
       expectedItems: Long,
       fpp: Double = 0.01
   ): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightMatch = udf { (k: Long) => bc.value.mightContain(k) }
-    fact.filter(col(factKey).isNotNull &&
-      mightMatch(col(factKey).cast("long")))
+    import org.apache.spark.sql.types._
+    // the filter must test the key in the SAME representation the
+    // bloom was built over, per type family: integral keys use the
+    // putLong path, everything else goes through a string cast on BOTH
+    // sides (a long cast of a string key would null out and silently
+    // drop every row)
+    val integral = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral) {
+      val bf = dim.stat.bloomFilter(col(dimKey).cast("long"),
+        expectedItems, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bf)
+      val mightMatch = udf { (k: Long) => bc.value.mightContain(k) }
+      fact.filter(col(factKey).isNotNull &&
+        mightMatch(col(factKey).cast("long")))
+    } else {
+      val bf = dim.stat.bloomFilter(col(dimKey).cast("string"),
+        expectedItems, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bf)
+      val mightMatch = udf { (k: String) => bc.value.mightContain(k) }
+      fact.filter(col(factKey).isNotNull &&
+        mightMatch(col(factKey).cast("string")))
+    }
   }
 
   /** Top-n heavy-hitter keys with their share — the diagnostic that

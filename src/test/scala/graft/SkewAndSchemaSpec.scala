@@ -41,6 +41,21 @@ class SkewAndSchemaSpec extends SparkSpecBase {
     assert(kept <= 1000, s"bloom kept $kept of 20000 rows")
   }
 
+  test("bloomPrefilter keeps string-keyed joins intact") {
+    // regression: a long-cast of string keys nulls out and would drop
+    // every row — the filter must hash the key's own representation
+    val fact = spark.range(1000)
+      .select(concat(lit("k"), col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val dim = Seq("k7", "k42").toDF("k")
+    val plain = fact.join(dim, Seq("k")).count()
+    val viaBloom = SkewOps.bloomPrefilter(fact, "k", dim, "k",
+      expectedItems = 2, fpp = 0.01)
+      .join(dim, Seq("k")).count()
+    assert(plain === 20L)
+    assert(viaBloom === plain)
+  }
+
   test("keySkewProfile surfaces the heavy hitter") {
     val skewed = spark.range(1000)
       .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
