@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.HmacSha256Hex
+import graft.functions.{FloatVecCosine, HmacSha256Hex}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,6 +33,15 @@ object GraftExtensions {
         require(children.length == 2,
           "hmac_sha256_hex(keyBinary, msgString)")
         HmacSha256Hex(children.head, children(1))
+      }
+    ),
+    (
+      new FunctionIdentifier("fvec_cosine"),
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "fvec_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "fvec_cosine(arrayFloat, arrayFloat)")
+        FloatVecCosine(children.head, children(1))
       }
     )
   )

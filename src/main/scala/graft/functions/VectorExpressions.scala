@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Executor-side float-vector kernels called from generated code (the
+  * static-forwarder pattern [[GraftCrypto]] uses). Reading elements
+  * straight off `ArrayData` skips the Seq[Float] wrapper a Scala UDF
+  * deserializes per call; the fold is the same left-to-right double
+  * accumulation as every other cosine kernel in this engine, so the
+  * value is bit-identical to the UDF's and the DuckDB oracle's.
+  */
+object VectorKernels {
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      d += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    val norm = math.sqrt(na) * math.sqrt(nb)
+    if (norm == 0.0) 0.0 else d / norm
+  }
+}
+
+/** Cosine similarity of two `array<float>` columns as a NATIVE Catalyst
+  * expression: codegen emits one static call inside whole-stage codegen
+  * (no UDF boxing, no codegen fence), which is the preference order for
+  * extending Spark — compose builtins, then a native expression, and a
+  * UDF only after that. Used by the pairwise hot paths that score
+  * inside a join condition ([[graft.operators.Similarity.semanticDedup]]).
+  */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float> inputs, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode
+  ): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+}
+
+object FloatVecCosine {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      FloatVecCosine(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+}

@@ -65,7 +65,16 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Cosine as a NATIVE codegen'd Catalyst expression
+    * ([[graft.functions.FloatVecCosine]]) — stays inside whole-stage
+    * codegen where the UDF form would fence it; same fold order, so
+    * values are bit-identical to [[cosineUdf]] and the SQL oracle.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.FloatVecCosine(a, b)
+
+  /** The Scala-UDF form of [[cosine]], kept for the A/B in PERF.md. */
+  def cosineViaUdf(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k neighbors of every query vector against the corpus.
     *

@@ -15,4 +15,20 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(out ===
       "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
   }
+
+  test("fvec_cosine is callable from SQL and type-checks") {
+    GraftExtensions.registerAll(spark)
+    val out = spark
+      .sql("""SELECT fvec_cosine(
+              |  CAST(ARRAY(1.0, 0.0) AS ARRAY<FLOAT>),
+              |  CAST(ARRAY(0.6, 0.8) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+      .head()
+      .getDouble(0)
+    // float32 inputs → ~1e-8 representation error around 0.6
+    assert(math.abs(out - 0.6) < 1e-6)
+    // wrong input type → analysis-time failure, not wrong numbers
+    intercept[Exception] {
+      spark.sql("SELECT fvec_cosine(ARRAY('a'), ARRAY('b'))").head()
+    }
+  }
 }
