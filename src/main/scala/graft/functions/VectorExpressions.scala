@@ -16,6 +16,20 @@ import org.apache.spark.sql.types._
   * value is bit-identical to the UDF's and the DuckDB oracle's.
   */
 object VectorKernels {
+  /** True if any element slot is null — callers return SQL NULL then,
+    * matching the oracle's `list_cosine_similarity` (a silent 0.0 for
+    * a null element would be a wrong-but-plausible score).
+    */
+  def hasNullElement(x: ArrayData): Boolean = {
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def cosine(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var d = 0.0
@@ -55,16 +69,43 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_cosine"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosine(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // elements can be nullable in parquet-derived schemas: a null slot
+  // yields SQL NULL (like the DuckDB oracle), never a silent 0.0. The
+  // check is generated only when the schema says nulls are possible.
+  private def elemNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (elemNullable &&
+      (VectorKernels.hasNullElement(x) || VectorKernels.hasNullElement(y)))
+      null
+    else VectorKernels.cosine(x, y)
+  }
 
   override protected def doGenCode(
       ctx: CodegenContext,
       ev: ExprCode
   ): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      if (elemNullable)
+        s"""
+           |if (graft.functions.VectorKernels.hasNullElement($a) ||
+           |    graft.functions.VectorKernels.hasNullElement($b)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.VectorKernels.cosine($a, $b);
+           |}
+         """.stripMargin
+      else
+        s"${ev.value} = graft.functions.VectorKernels.cosine($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -163,10 +163,13 @@ object GraphOps {
       .withColumnRenamed("comp", "component")
 
   /** Quality-weighted survivor selection: keep each component's BEST
-    * row by `qualityCol` (ties → lowest id) instead of the lowest id —
+    * row by `qualityCol` (native type preserved — a fractional score
+    * must not truncate; ties → lowest id) instead of the lowest id —
     * the "keep the longest/cleanest duplicate" policy corpus dedup
-    * usually wants. One broadcast-or-shuffle join to attach quality +
-    * one window pass on the component key.
+    * usually wants. Members with no quality row still count toward
+    * `n_members` and sort last (they only survive if nothing scored
+    * beats them). One join to attach quality + one window pass on the
+    * component key.
     */
   def dedupGroupsBest(
       components: DataFrame,
@@ -176,10 +179,10 @@ object GraphOps {
   ): DataFrame = {
     val joined = components.join(
       quality.select(col(idCol).cast("long").as("id"),
-        col(qualityCol).cast("long").as("__q")), Seq("id"))
+        col(qualityCol).as("__q")), Seq("id"), "left_outer")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
-      .orderBy(col("__q").desc, col("id").asc)
+      .orderBy(col("__q").desc_nulls_last, col("id").asc)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
     joined

@@ -45,9 +45,13 @@ object IncrementalAgg {
         sum(when(adds, col(valueCol)).otherwise(-col(valueCol))
           .cast(Dec)).as("__ds"))
     val zero = lit(0).cast(agg.schema("s").dataType)
+    // null-safe join key: a null group must merge into ONE row, like
+    // GROUP BY's null group in a full recompute — a plain equi-join
+    // would pass the base and delta null-group rows through unmerged
+    val d = delta.withColumnRenamed(groupCol, "__g")
     agg
-      .join(delta, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+      .join(d, col(groupCol) <=> col("__g"), "full_outer")
+      .select(coalesce(col(groupCol), col("__g")).as(groupCol),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as("n"),
         (coalesce(col("s"), zero) +

@@ -232,9 +232,9 @@ object Similarity {
     * is bounded per cluster — the whole point of clustering before
     * deduplicating — so the plan is one shuffle of each side on the
     * cluster key into an equi-join (AQE splits skewed clusters), with
-    * the [[cosine]] kernel UDF as the pair filter — the same
-    * left-to-right double fold as [[bruteForceTopK]], so scores match
-    * a SQL `list_cosine_similarity` oracle bit-for-bit.
+    * the native codegen'd [[cosine]] expression as the pair filter —
+    * the same left-to-right double fold as [[bruteForceTopK]], so
+    * scores match a SQL `list_cosine_similarity` oracle bit-for-bit.
     */
   def semanticDedup(
       df: DataFrame,

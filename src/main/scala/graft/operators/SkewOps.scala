@@ -60,23 +60,30 @@ object SkewOps {
   ): DataFrame = {
     import org.apache.spark.sql.types._
     // the filter must test the key in the SAME representation the
-    // bloom was built over, per type family: integral keys use the
-    // putLong path, everything else goes through a string cast on BOTH
-    // sides (a long cast of a string key would null out and silently
-    // drop every row)
-    val integral = fact.schema(factKey).dataType match {
+    // bloom was built over. Both sides are first cast to the FACT
+    // key's type (a dim key of a different type would otherwise render
+    // differently — long 7 vs double "7.0" — and produce false
+    // NEGATIVES, which the following join cannot repair; a dim value
+    // the cast changes couldn't equal any fact key in the real join
+    // anyway, so the cast only ever adds removable false positives).
+    // Integral keys then use the putLong path, everything else a
+    // string cast (a long cast of a string key would null out and
+    // silently drop every row).
+    val factType = fact.schema(factKey).dataType
+    val dimAsFact = col(dimKey).cast(factType)
+    val integral = factType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     if (integral) {
-      val bf = dim.stat.bloomFilter(col(dimKey).cast("long"),
+      val bf = dim.stat.bloomFilter(dimAsFact.cast("long"),
         expectedItems, fpp)
       val bc = fact.sparkSession.sparkContext.broadcast(bf)
       val mightMatch = udf { (k: Long) => bc.value.mightContain(k) }
       fact.filter(col(factKey).isNotNull &&
         mightMatch(col(factKey).cast("long")))
     } else {
-      val bf = dim.stat.bloomFilter(col(dimKey).cast("string"),
+      val bf = dim.stat.bloomFilter(dimAsFact.cast("string"),
         expectedItems, fpp)
       val bc = fact.sparkSession.sparkContext.broadcast(bf)
       val mightMatch = udf { (k: String) => bc.value.mightContain(k) }

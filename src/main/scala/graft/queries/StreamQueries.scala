@@ -111,14 +111,6 @@ object StreamQueries {
       |    0) AS BIGINT) AS micros_since_prev
       |FROM e""".stripMargin
 
-  /** q80 — the stateful streaming near-dup operator executed in batch
-    * mode (Spark runs `flatMapGroupsWithState` over batch frames with
-    * all of a key's rows in one group call): candidate pairs from
-    * per-bucket LSH state on the docs∪copies corpus, deduplicated by
-    * pair key. StreamingSpec proves the genuinely-streamed execution
-    * emits the same set; no SQL oracle (FNV signature family is
-    * engine-internal, like q25).
-    */
   /** q86 — the stateful SpaceSaving heavy-hitter operator executed in
     * batch mode over the events table: with capacity (64) above the
     * per-shard distinct-key count, nothing evicts, so the sketch's
@@ -138,8 +130,18 @@ object StreamQueries {
   val qHeavyHittersSql: String =
     """SELECT event_type, COUNT(*) AS est_count,
       |  CAST(0 AS BIGINT) AS max_err
-      |FROM events GROUP BY 1""".stripMargin
+      |FROM events
+      |WHERE event_type IS NOT NULL
+      |GROUP BY 1""".stripMargin
 
+  /** q80 — the stateful streaming near-dup operator executed in batch
+    * mode (Spark runs `flatMapGroupsWithState` over batch frames with
+    * all of a key's rows in one group call): candidate pairs from
+    * per-bucket LSH state on the docs∪copies corpus, deduplicated by
+    * pair key. StreamingSpec proves the genuinely-streamed execution
+    * emits the same set; no SQL oracle (FNV signature family is
+    * engine-internal, like q25).
+    */
   def qStatefulNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.unionByName(docs

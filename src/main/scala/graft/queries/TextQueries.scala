@@ -885,6 +885,9 @@ object TextQueries {
       nodes = Some(input.select(col("doc_id"))))
     graft.operators.GraphOps.dedupGroupsBest(comps,
       input.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      // the operator preserves the quality column's native type;
+      // pin the oracle-facing schema
+      .withColumn("keep_quality", col("keep_quality").cast("long"))
   }
 
   val qDedupBestSql: String =

@@ -138,8 +138,30 @@ final class GraftTable(
     * semi-join. The probe is broadcast — point lookups are small by
     * contract (large probes should join against [[read]] instead).
     */
+  /** The current schema read from ONE existing data directory — never
+    * lists every bucket, so point lookups stay prunable even when
+    * other buckets' storage is unavailable.
+    */
+  private def schemaFromOneDir: org.apache.spark.sql.types.StructType =
+    currentVersion match {
+      case Some(v) if Files.exists(manifestFile(v)) =>
+        bucketDirs(v).find(d => Files.exists(Paths.get(d))) match {
+          case Some(d) => spark.read.parquet(d).schema
+          case None => read().schema // empty table: surface read()'s error
+        }
+      case _ => read().schema
+    }
+
   def readForKeys(keyValues: DataFrame): DataFrame = {
-    val probe = keyValues.select(spec.keys.map(col): _*).distinct()
+    // cast the probe to the TABLE's key types before hashing:
+    // xxhash64 hashes e.g. Int and Long differently, so an uncast
+    // probe would prune to the wrong buckets and silently return
+    // nothing (same discipline as deleteIds)
+    val schema = schemaFromOneDir
+    val keyTypes = spec.keys.map(k => k -> schema(k).dataType).toMap
+    val probe = keyValues
+      .select(spec.keys.map(k => col(k).cast(keyTypes(k)).as(k)): _*)
+      .distinct()
     val base = currentVersion match {
       case Some(v) if Files.exists(manifestFile(v)) &&
           effectiveBuckets > 0 =>

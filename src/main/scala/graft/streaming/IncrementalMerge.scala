@@ -80,11 +80,17 @@ object IncrementalMerge {
       valueCol: String,
       orderCol: Option[String] = None
   ): (Long, DataFrame) = {
+    // seed from the table's pre-stream contents, or a zero aggregate
+    // with the stream's schema — never null, even if the stream
+    // delivers no micro-batches at all
     var agg: DataFrame =
       if (table.exists)
         IncrementalAgg.countSum(table.read(), groupCol, valueCol)
           .localCheckpoint(true)
-      else null
+      else IncrementalAgg.countSum(
+        stream.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), groupCol, valueCol)
     var batches = 0L
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -92,8 +98,6 @@ object IncrementalMerge {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ordered = dedupBatch(batch, spec, orderCol)
         val current = if (table.exists) table.read() else ordered.limit(0)
-        if (agg == null)
-          agg = IncrementalAgg.countSum(ordered.limit(0), groupCol, valueCol)
         val changes = MergeOps.changeFeed(current, ordered, spec)
         agg = IncrementalAgg
           .applyChanges(agg, changes, groupCol, valueCol)

@@ -94,4 +94,22 @@ class GraphOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(best.toSeq === Seq((1L, 3L, 2L, 90L), (9L, 2L, 9L, 70L)))
   }
+
+  test("dedupGroupsBest: fractional scores don't truncate; missing " +
+    "quality rows still count") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    // fractional model scores — a long-truncating implementation would
+    // see all zeros and fall back to min-id (picking id 1); id 3 has
+    // NO quality row but must still count toward n_members
+    val quality = Seq((1L, 0.2), (2L, 0.9)).toDF("doc_id", "score")
+    val best = GraphOps.dedupGroupsBest(comps, quality, "doc_id",
+      "score").collect()
+    assert(best.length === 1)
+    val r = best.head
+    assert(r.getLong(0) === 1L) // component
+    assert(r.getLong(1) === 3L) // all three members counted
+    assert(r.getLong(2) === 2L) // highest fractional score survives
+    assert(r.getDouble(3) === 0.9)
+  }
 }

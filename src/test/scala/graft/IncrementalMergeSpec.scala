@@ -87,4 +87,20 @@ class IncrementalMergeSpec extends SparkSpecBase {
     assert(toMap(agg2)("g1") === ((2L, 32.0)))
     assert(toMap(agg2)("g3") === ((1L, 40.0)))
   }
+
+  test("runWithAgg returns an empty aggregate when nothing streams") {
+    val srcDir = Files.createTempDirectory("iva-empty-src").toString
+    val tableDir = Files.createTempDirectory("iva-empty-table").toString
+    val ckpt = Files.createTempDirectory("iva-empty-ckpt").toString
+    val schema = Seq((1L, "g", 1.0, 1L)).toDF("id", "grp", "v", "seq")
+      .schema
+    // fresh table + a source that delivers zero micro-batches: the
+    // returned aggregate must be an EMPTY frame, not null
+    val (_, agg) = IncrementalMerge.runWithAgg(
+      spark.readStream.schema(schema).parquet(srcDir),
+      GraftTable(spark, tableDir, MergeSpec(Seq("id"))),
+      MergeSpec(Seq("id")), ckpt, "grp", "v", orderCol = Some("seq"))
+    assert(agg != null)
+    assert(agg.isEmpty)
+  }
 }

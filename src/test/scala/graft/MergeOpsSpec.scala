@@ -157,6 +157,38 @@ class MergeOpsSpec extends SparkSpecBase {
     intercept[Exception] { t.read().count() }
   }
 
+  test("readForKeys casts the probe to the table's key type") {
+    import graft.sinks.GraftTable
+    val dir = java.nio.file.Files.createTempDirectory("skip2").toString
+    val t = GraftTable.bucketed(spark, dir,
+      MergeOps.MergeSpec(Seq("id")), buckets = 8)
+    t.merge((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // Int probe against a Long-keyed table: xxhash64 hashes Int and
+    // Long differently, so an uncast probe prunes to the WRONG buckets
+    val got = t.readForKeys(Seq(7, 42).toDF("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(7L, 42L))
+  }
+
+  test("incremental aggregate merges the null group like a recompute") {
+    import graft.operators.IncrementalAgg
+    val target = Seq((1L, null.asInstanceOf[String], 10.0),
+      (2L, "g1", 20.0)).toDF("id", "grp", "v")
+    val updates = Seq((3L, null.asInstanceOf[String], 5.0))
+      .toDF("id", "grp", "v")
+    val spec = MergeSpec(Seq("id"))
+    val incremental = IncrementalAgg.applyChanges(
+      IncrementalAgg.countSum(target, "grp", "v"),
+      MergeOps.changeFeed(target, updates, spec), "grp", "v")
+    val full = IncrementalAgg
+      .countSum(MergeOps.merge(target, updates, spec), "grp", "v")
+    val toMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(toMap(incremental) === toMap(full))
+    assert(toMap(incremental)(None) === ((2L, 15.0))) // ONE null group
+  }
+
   test("dedupLastWins keeps the last occurrence per key") {
     val df = Seq(
       (1L, "first", 1L),

@@ -267,6 +267,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(buckets.length > 1, "all vectors hashed to one bucket")
   }
 
+  test("cosine yields NULL on null array elements, like the oracle") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 0.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 0.0f), Seq[java.lang.Float](1.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      Similarity.cosine(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === None) // null element → NULL, not a silent 0.0
+    assert(out(2L) === Some(1.0))
+  }
+
   test("semanticDedup: cluster-scoped keep-lowest verdicts") {
     val data = Seq(
       // cluster 1: 10 and 11 nearly parallel (dup), 12 orthogonal

@@ -56,6 +56,21 @@ class SkewAndSchemaSpec extends SparkSpecBase {
     assert(viaBloom === plain)
   }
 
+  test("bloomPrefilter handles mismatched key types without false negatives") {
+    // double fact key × long dim key: the bloom must hash the dim key
+    // in the FACT key's representation, or "7" vs "7.0" mismatches
+    // would silently drop matching rows before the join
+    val fact = spark.range(100)
+      .select((col("id") % 10).cast("double").as("k"),
+        col("id").as("payload"))
+    val dim = Seq(7L, 3L).toDF("k")
+    val plain = fact.join(dim, fact("k") === dim("k")).count()
+    val viaBloom = SkewOps.bloomPrefilter(fact, "k", dim, "k",
+      expectedItems = 2, fpp = 0.01)
+    assert(plain === 20L)
+    assert(viaBloom.join(dim, viaBloom("k") === dim("k")).count() === plain)
+  }
+
   test("keySkewProfile surfaces the heavy hitter") {
     val skewed = spark.range(1000)
       .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
