@@ -172,6 +172,48 @@ object CorpusQueries {
       |SELECT lang, gram, cnt, CAST(rk AS BIGINT) AS rank
       |FROM r WHERE rk <= 3""".stripMargin
 
+  /** q91 — temperature-based mixture rebalancing (the multilingual
+    * α-sampling trick, α = 0.5): each source keeps documents with
+    * probability `n_src^-0.5`, flattening the size distribution so
+    * over-represented sources stop dominating the mixture. Fully
+    * deterministic AND engine-neutral: the keep threshold is
+    * `floor((1/sqrt(n)) · 2^60)` — sqrt, divide, multiply and floor
+    * are all IEEE-correctly-rounded, so both engines derive identical
+    * thresholds — and the draw is q57's md5(doc_id) hash, so reruns
+    * and other engines select the same rows. Shape: one tiny counts
+    * aggregate, broadcast-joined back, then a pure filter +
+    * final aggregate.
+    */
+  def qTempSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val two60 = 1152921504606846976L // 2^60
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("threshold",
+        floor((lit(1.0) / sqrt(col("n_src").cast("double"))) *
+          lit(two60.toDouble)).cast("long"))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .filter(h < col("threshold"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("source"), col("n_src"), col("n_kept"))
+  }
+
+  val qTempSampleSql: String =
+    """WITH r AS (
+      |  SELECT source, COUNT(*) AS n_src,
+      |    CAST(FLOOR((1.0 / sqrt(CAST(COUNT(*) AS DOUBLE)))
+      |      * 1152921504606846976.0) AS BIGINT) AS threshold
+      |  FROM documents GROUP BY source)
+      |SELECT d.source, r.n_src, COUNT(*) AS n_kept
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |  < r.threshold
+      |GROUP BY d.source, r.n_src""".stripMargin
+
   /** q88 — declarative data-quality gate ([[graft.operators.Checks]]):
     * five constraints over the documents table (row volume, key
     * uniqueness, text completeness, value range, dimension
