@@ -134,6 +134,34 @@ object StreamQueries {
       |WHERE event_type IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** q92 — top-5 event values per type through the custom typed
+    * [[graft.operators.TopKDoubles]] Aggregator: each partition ships
+    * at most k doubles per group to the shuffle (a rank window would
+    * shuffle EVERY row to sort it) — the aggregation-pushdown shape
+    * for "top k values only" at scale. The oracle ranks with a window;
+    * equal values make identical output regardless of which row wins.
+    */
+  def qTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.operators.TopKDoubles(5))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value")).as("__top"))
+      .select(col("event_type"),
+        posexplode(col("__top")).as(Seq("__pos", "value")))
+      .select(col("event_type"), (col("__pos") + 1).cast("long").as("rank"),
+        col("value"))
+  }
+
+  val qTopKAggSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC) AS rank
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(rank AS BIGINT) AS rank, value
+      |FROM ranked WHERE rank <= 5""".stripMargin
+
   /** q80 — the stateful streaming near-dup operator executed in batch
     * mode (Spark runs `flatMapGroupsWithState` over batch frames with
     * all of a key's rows in one group call): candidate pairs from
