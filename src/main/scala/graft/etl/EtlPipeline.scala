@@ -24,10 +24,17 @@ object EtlPipeline {
       groupField: Option[String] = None,
       updateExisting: Boolean = true
   ) {
+    /** K2/J2: every FHIR task merge is guarded by `meta.lastUpdated`,
+      * exactly as the reference guards every Delta merge whenever the
+      * schema carries the field (deltalake.py:120-122,187-232) — the wide
+      * schemas here always do (FhirSchemas), so a re-run of an OLDER
+      * export can never clobber newer rows. MergeOps skips the guard for
+      * schemas without the path, so non-FHIR tables are unaffected.
+      */
     def mergeSpec: MergeSpec = MergeSpec(
       keys = Seq("id"),
       updateExisting = updateExisting,
-      guardField = None,
+      guardField = Some("meta.lastUpdated"),
       groupField = groupField
     )
   }

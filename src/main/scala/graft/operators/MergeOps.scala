@@ -71,13 +71,7 @@ object MergeOps {
       u.select(spec.keys.map(col) :+ struct(names.map(col): _*).as("__u"): _*)
     val joined = tPacked.join(uPacked, spec.keys, "full_outer")
 
-    val guardOk: Column = spec.guardField match {
-      case None => lit(true)
-      case Some(g) =>
-        // update unless both timestamps exist and update is strictly older
-        col(s"__t.$g").isNull || col(s"__u.$g").isNull ||
-        col(s"__t.$g").cast("timestamp") <= col(s"__u.$g").cast("timestamp")
-    }
+    val guardOk: Column = guardCondition(spec, cols)
     val takeUpdate = col("__u").isNotNull &&
       (col("__t").isNull || (lit(spec.updateExisting) && guardOk))
     val chosen = when(takeUpdate, col("__u")).otherwise(col("__t"))
@@ -126,12 +120,7 @@ object MergeOps {
       u.select(spec.keys.map(col) :+ struct(names.map(col): _*).as("__u"): _*)
     val joined = tPacked.join(uPacked, spec.keys, "full_outer")
 
-    val guardOk: Column = spec.guardField match {
-      case None => lit(true)
-      case Some(g) =>
-        col(s"__t.$g").isNull || col(s"__u.$g").isNull ||
-        col(s"__t.$g").cast("timestamp") <= col(s"__u.$g").cast("timestamp")
-    }
+    val guardOk: Column = guardCondition(spec, cols)
     val base = spec.groupField match {
       case Some(g) =>
         val touched = u.select(col(g).as("__tg")).distinct()
@@ -171,6 +160,44 @@ object MergeOps {
       Seq(key),
       "left_anti"
     )
+  }
+
+  /** The matched-update guard as a Column over the packed `__t`/`__u`
+    * structs: update unless BOTH sides carry the timestamp and the update
+    * is strictly older (deltalake.py:187-232; `<=` keeps equal-timestamp
+    * refreshes). Mirrors the reference's auto-detection
+    * (deltalake.py:120-122): a guard path absent from the merged schema
+    * disables the guard instead of failing resolution, so the same
+    * MergeSpec serves FHIR tables (which always have `meta.lastUpdated`)
+    * and schema-less custom tables alike.
+    */
+  private def guardCondition(
+      spec: MergeSpec,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]
+  ): Column = spec.guardField match {
+    case Some(g) if hasPath(cols, g) =>
+      col(s"__t.$g").isNull || col(s"__u.$g").isNull ||
+      col(s"__t.$g").cast("timestamp") <= col(s"__u.$g").cast("timestamp")
+    case _ => lit(true)
+  }
+
+  /** Whether the dotted `path` resolves through the merged column list
+    * (struct fields walked level by level).
+    */
+  private def hasPath(
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      path: String
+  ): Boolean = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val parts = path.split('.')
+    def walk(dt: DataType, rest: List[String]): Boolean = (dt, rest) match {
+      case (_, Nil) => true
+      case (s: StructType, h :: t) =>
+        s.fields.find(_.name == h).exists(f => walk(f.dataType, t))
+      case _ => false
+    }
+    cols.find(_._1 == parts.head)
+      .exists { case (_, dt) => walk(dt, parts.toList.tail) }
   }
 
   private def mergedColumns(

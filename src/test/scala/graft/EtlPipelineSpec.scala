@@ -150,6 +150,98 @@ class EtlPipelineSpec extends SparkSpecBase {
       spark.emptyDataFrame, errors, "nlp_task").isEmpty)
   }
 
+  test("ETL merges are guarded by meta.lastUpdated (deltalake.py:108-180 parity)") {
+    // The reference guards every FHIR merge whenever the schema carries
+    // meta.lastUpdated (formats/deltalake.py:120-122,187-232). Full
+    // fixture from tests/formats/test_deltalake.py:108-180: value 1 =
+    // original = gender "male", value 2 = update = gender "female";
+    // timestamps compared as TIMESTAMPS, so offsets that are lexically
+    // misleading must still resolve correctly.
+    val past = "2000-01-01T01:00:00.000-00:00"
+    val pastWithOffset = "2000-01-01T04:00:00.000+03:00" // lexically later than now
+    val now = "2000-01-01T02:00:00.000Z"
+    val nowWithoutZed = "2000-01-01T02:00:00.000-00:00" // lexically earlier than now
+    val future = "2000-01-01T03:00:00.000-00:00"
+    val futureWithOffset = "2000-01-01T00:00:00.000-03:00" // lexically earlier than now
+
+    def patientJson(id: String, meta: Option[String], gender: String): String = {
+      val metaPart = meta match {
+        case Some("") => """"meta":{},"""
+        case Some(ts) => s""""meta":{"lastUpdated":"$ts"},"""
+        case None => ""
+      }
+      s"""{"resourceType":"Patient","id":"$id",${metaPart}"gender":"$gender"}"""
+    }
+
+    val original = Seq(
+      patientJson("past", Some(past), "male"),
+      patientJson("past-with-offset", Some(pastWithOffset), "male"),
+      patientJson("now", Some(now), "male"),
+      patientJson("now-without-zed", Some(nowWithoutZed), "male"),
+      patientJson("future", Some(future), "male"),
+      patientJson("future-with-offset", Some(futureWithOffset), "male"),
+      patientJson("future-partial", Some("3000-01-01"), "male"), // off-spec, still honored
+      patientJson("missing-date-table", Some(""), "male"),
+      patientJson("missing-date-update", Some(future), "male"),
+      patientJson("missing-date-both", Some(""), "male"),
+      patientJson("missing-meta-table", None, "male"),
+      patientJson("missing-meta-update", Some(future), "male"),
+      patientJson("missing-meta-both", None, "male"),
+      patientJson("unmatched-table", None, "male")
+    )
+    val update = Seq(
+      patientJson("past", Some(now), "female"),
+      patientJson("past-with-offset", Some(now), "female"),
+      patientJson("now", Some(now), "female"),
+      patientJson("now-without-zed", Some(now), "female"),
+      patientJson("future", Some(now), "female"),
+      patientJson("future-with-offset", Some(now), "female"),
+      patientJson("future-partial", Some(now), "female"),
+      patientJson("missing-date-table", Some(now), "female"),
+      patientJson("missing-date-update", Some(""), "female"),
+      patientJson("missing-date-both", Some(""), "female"),
+      patientJson("missing-meta-table", Some(now), "female"),
+      patientJson("missing-meta-update", None, "female"),
+      patientJson("missing-meta-both", None, "female"),
+      patientJson("unmatched-update", None, "female")
+    )
+    // expected winner per id ("male" = original kept, "female" = updated)
+    val expected = Map(
+      "past" -> "female", "past-with-offset" -> "female", "now" -> "female",
+      "now-without-zed" -> "female",
+      "future" -> "male", "future-with-offset" -> "male",
+      "future-partial" -> "male",
+      "missing-date-table" -> "female", "missing-date-update" -> "female",
+      "missing-date-both" -> "female", "missing-meta-table" -> "female",
+      "missing-meta-update" -> "female", "missing-meta-both" -> "female",
+      "unmatched-table" -> "male", "unmatched-update" -> "female"
+    )
+
+    val input1 = tmp("guard-in1")
+    val input2 = tmp("guard-in2")
+    val output = tmp("guard-out")
+    val phi = tmp("guard-phi")
+    Files.write(Paths.get(input1, "Patient.ndjson"),
+      original.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(input2, "Patient.ndjson"),
+      update.mkString("\n").getBytes("UTF-8"))
+    val patientOnly = EtlPipeline.DefaultTasks.filter(_.tableName == "patient")
+    EtlPipeline.run(spark, input1, output, phi, tasks = patientOnly)
+    EtlPipeline.run(spark, input2, output, phi, tasks = patientOnly)
+
+    // map hashed ids back through the codebook side-output
+    val mapping = GraftTable(spark, s"$phi/codebook-mappings",
+      MergeSpec(Seq("resource_type", "real_id"))).read()
+      .filter(col("resource_type") === "Patient")
+      .select(col("real_id"), col("fake_id"))
+    val patients = GraftTable(spark, s"$output/patient",
+      MergeSpec(Seq("id"))).read()
+      .join(mapping, col("id") === col("fake_id"))
+      .select("real_id", "gender").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(patients === expected)
+  }
+
   test("ETL pipeline: deleted-id bundles remove rows via hashed ids") {
     val input = tmp("etl2-in")
     val output = tmp("etl2-out")
