@@ -111,6 +111,10 @@ object EtlPipeline {
 
     val results = tasks.map { task =>
       if (!available.contains(task.resourceType)) {
+        // touch-empty-tables (etl/tasks/base.py:222-227): a selected task
+        // with no input still leaves a valid empty wide-schema table so
+        // downstream SQL never breaks on a missing table
+        Init.touchTable(spark, outputDir, task, policy)
         TaskResult(task.tableName, attempted = false, rows = 0)
       } else {
         // parsed ONCE, read three times (census, scrub→merge, and the

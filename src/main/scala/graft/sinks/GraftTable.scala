@@ -54,6 +54,18 @@ final class GraftTable(
   private def latestFile = Paths.get(path, "_latest")
   private def manifestFile(v: Int) = Paths.get(path, s"manifest-v$v.json")
   private def layoutFile = Paths.get(path, "_layout.json")
+  // schema sidecar per bucketed version: a zero-row merge (init-created
+  // table, §2.2 init) writes no __b partition dirs, so the schema must
+  // survive outside the (absent) parquet footers
+  private def schemaFile(v: Int) = Paths.get(path, s"schema-v$v.json")
+
+  private def emptyFromSchema(v: Int): DataFrame = {
+    val json = new String(Files.readAllBytes(schemaFile(v)), "UTF-8")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   def currentVersion: Option[Int] =
     if (Files.exists(latestFile))
@@ -101,7 +113,9 @@ final class GraftTable(
 
   def read(): DataFrame = currentVersion match {
     case Some(v) if Files.exists(manifestFile(v)) =>
-      spark.read.parquet(bucketDirs(v): _*)
+      val dirs = bucketDirs(v)
+      if (dirs.isEmpty) emptyFromSchema(v)
+      else spark.read.parquet(dirs: _*)
     case Some(v) => spark.read.parquet(s"$path/v$v")
     case None =>
       throw new IllegalStateException(s"GraftTable $path has no data yet")
@@ -112,8 +126,11 @@ final class GraftTable(
     * with time travel the same way (tests/utils.py:188-210).
     */
   def readVersion(version: Int): DataFrame =
-    if (Files.exists(manifestFile(version)))
-      spark.read.parquet(bucketDirs(version): _*)
+    if (Files.exists(manifestFile(version))) {
+      val dirs = bucketDirs(version)
+      if (dirs.isEmpty) emptyFromSchema(version)
+      else spark.read.parquet(dirs: _*)
+    }
     else if (Files.exists(layoutFile))
       // bucketed table without this version's manifest: the version dir
       // (if still present) holds only the buckets THAT version rewrote,
@@ -283,9 +300,11 @@ final class GraftTable(
         val isVersionDir =
           name.startsWith("v") && name.drop(1).forall(_.isDigit)
         if (isVersionDir && !live.contains(name)) deleteRecursively(p)
-        // stale manifests of vacuumed versions
+        // stale manifests/schemas of vacuumed versions
         if (name.startsWith("manifest-v") &&
           name != s"manifest-v$keep.json") Files.deleteIfExists(p)
+        if (name.startsWith("schema-v") &&
+          name != s"schema-v$keep.json") Files.deleteIfExists(p)
       }
     }
   }
@@ -342,6 +361,8 @@ final class GraftTable(
       Files.write(layoutFile, mapper.writeValueAsBytes(layout))
     }
     Files.write(manifestFile(next), mapper.writeValueAsBytes(node))
+    Files.write(schemaFile(next),
+      df.drop("__b").schema.json.getBytes("UTF-8"))
     publishPointer(next)
   }
 

@@ -140,6 +140,64 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(census.head.getAs[Long]("n_dropped") === 2L)
   }
 
+  test("init pre-creates every task + completion table with its wide schema") {
+    val output = tmp("init-out")
+    val created = graft.etl.Init.run(spark, output)
+    assert(created.toSet ===
+      (EtlPipeline.DefaultTasks.map(_.tableName).toSet ++
+        Set("etl__completion", "etl__completion_encounters")))
+    // convert-recognizable folder marker (init/cli.py:66-68)
+    assert(Files.isDirectory(Paths.get(output, "JobConfig")))
+    // every table reads back empty with the exact post-scrub wide schema
+    for (task <- EtlPipeline.DefaultTasks) {
+      val t = GraftTable(spark, s"$output/${task.tableName}",
+        task.mergeSpec)
+      assert(t.exists, task.tableName)
+      val df = t.read()
+      assert(df.count() === 0, task.tableName)
+      assert(df.schema ===
+        graft.etl.Init.emptyTaskFrame(spark, task.resourceType).schema,
+        task.tableName)
+    }
+    val comp = GraftTable(spark, s"$output/etl__completion",
+      MergeSpec(Seq("table_name", "group_name", "export_time"))).read()
+    assert(comp.schema === graft.etl.Init.CompletionSchema)
+    assert(comp.count() === 0)
+    // idempotent: second init creates nothing, tables untouched
+    assert(graft.etl.Init.run(spark, output).isEmpty)
+
+    // a later REAL run merges into the init-created empty bucketed table
+    val input = tmp("init-in")
+    val phi = tmp("init-phi")
+    Files.write(Paths.get(input, "Patient.ndjson"),
+      """{"resourceType":"Patient","id":"p1","gender":"female"}"""
+        .getBytes("UTF-8"))
+    EtlPipeline.run(spark, input, output, phi,
+      tasks = EtlPipeline.DefaultTasks.filter(_.tableName == "patient"))
+    assert(GraftTable(spark, s"$output/patient",
+      MergeSpec(Seq("id"))).read().count() === 1)
+  }
+
+  test("a run over resource-absent input touches valid empty tables") {
+    val input = tmp("touch-in")
+    val output = tmp("touch-out")
+    val phi = tmp("touch-phi")
+    Files.write(Paths.get(input, "Patient.ndjson"),
+      """{"resourceType":"Patient","id":"p1","gender":"female"}"""
+        .getBytes("UTF-8"))
+    val two = EtlPipeline.DefaultTasks
+      .filter(t => Set("patient", "condition").contains(t.tableName))
+    val results = EtlPipeline.run(spark, input, output, phi, tasks = two)
+    assert(!results.find(_.table == "condition").get.attempted)
+    // condition produced no rows but still exists as a valid empty table
+    val cond = GraftTable(spark, s"$output/condition",
+      MergeSpec(Seq("id")))
+    assert(cond.exists)
+    assert(cond.read().count() === 0)
+    assert(cond.read().schema ===
+      graft.etl.Init.emptyTaskFrame(spark, "Condition").schema)
+  }
+
   test("error sink quarantines bad rows as indexed ndjson") {
     val errors = tmp("errs")
     val bad = Seq(("d9", "no text")).toDF("id", "reason")
