@@ -25,7 +25,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // optional args = subset of query names (dev loop); default all
+    // optional args = subset of query names (dev loop); default all.
+    // A typo'd name must FAIL, not silently produce an empty run that
+    // looks like success.
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => args.contains(kv._1))

@@ -220,6 +220,9 @@ object EtlPipeline {
       }
       deleted.unpersist()
     }
+    // K10: last-successful-run record for resume UX (etl/context.py)
+    JobContext.recordSuccess(phiDir, inputDir, outputDir,
+      results.map(r => r.table -> r.rows).toMap)
     results
   }
 

@@ -31,7 +31,13 @@ object VectorKernels {
   }
 
   def cosine(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail fast on ragged vectors (same discipline as kmeansAssign /
+    // pqEncode / rerankExact): silent min-length truncation would score
+    // wrong-but-plausible where the oracle's list_cosine_similarity
+    // errors loudly
+    require(n == y.numElements(),
+      s"cosine: dimension mismatch ${n} vs ${y.numElements()}")
     var d = 0.0
     var na = 0.0
     var nb = 0.0

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Row cap for [[cosinePairsAbove]]'s driver-collected corpus: 100k
+    * rows of 100-dim float vectors ≈ 40 MB broadcast, comfortably
+    * inside default driver/executor memory; anything larger belongs on
+    * the distributed paths (semanticDedup / annTopK).
+    */
+  val CosinePairsMaxRows: Long = 100000L
+
   /** Vector kernels. Implemented as compact JVM loops behind UDFs rather
     * than `aggregate`/`zip_with` trees: ArrayAggregate is CodegenFallback
     * (interpreted — measured ~34µs per 64-dim cosine at sf0.1), while the
@@ -36,7 +43,10 @@ object Similarity {
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = math.min(xa.length, xb.length)
+    // fail fast on ragged vectors, mirroring VectorKernels.cosine
+    require(xa.length == xb.length,
+      s"cosine: dimension mismatch ${xa.length} vs ${xb.length}")
+    val n = xa.length
     while (i < n) {
       val x = xa(i).toDouble
       val y = xb(i).toDouble
@@ -185,10 +195,20 @@ object Similarity {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      tau: Double
+      tau: Double,
+      maxRows: Long = CosinePairsMaxRows
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // ENFORCE the small-frame contract instead of documenting it: the
+    // corpus is collected and broadcast below, so a caller pointing this
+    // at a real corpus would get a driver OOM, not an error. The count
+    // is cheap (column-pruned scan) relative to the n² work that follows.
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosinePairsAbove collects the corpus to the driver and got " +
+        s"$n rows (cap $maxRows): use semanticDedup (cluster-scoped " +
+        s"pairs) or annTopK (bucketed) for corpora beyond broadcast size")
     val all: Array[(Long, Array[Float], Double)] = df
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]

@@ -18,9 +18,15 @@ class TopKDoubles(k: Int)
 
   override def zero: Array[Double] = Array.empty
 
-  /** Insert into a sorted-descending buffer, keeping ≤ k values. */
+  /** Insert into a sorted-descending buffer, keeping ≤ k values.
+    * NaN is skipped: every NaN comparison is false, so admitting one
+    * would break the sorted invariant and poison later binary searches
+    * (and the oracle's SQL sort orders NaN deterministically, which a
+    * poisoned buffer would not match).
+    */
   override def reduce(buf: Array[Double], v: Double): Array[Double] = {
-    if (buf.length == k && v <= buf(buf.length - 1)) buf
+    if (v.isNaN) buf
+    else if (buf.length == k && v <= buf(buf.length - 1)) buf
     else {
       // binary search for the insertion point in descending order
       var lo = 0

@@ -111,9 +111,12 @@ object StreamNearDup {
           // event — the horizon within which pairs can still form
           if (fresh.nonEmpty) {
             val maxTs = fresh.map(_.ts.getTime).max
-            // batch execution has no watermark/timeouts — ignore there
+            // batch execution has no watermark/timeouts — ignore ONLY
+            // that case; a streaming-mode failure (e.g. a timeout not
+            // beyond the watermark) must propagate, or this bucket's
+            // state would silently never evict
             try state.setTimeoutTimestamp(maxTs, retention)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch { case _: UnsupportedOperationException => () }
           }
           out.result().iterator
         }

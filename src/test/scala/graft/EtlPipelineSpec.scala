@@ -198,6 +198,32 @@ class EtlPipelineSpec extends SparkSpecBase {
       graft.etl.Init.emptyTaskFrame(spark, "Condition").schema)
   }
 
+  test("JobContext: run success recorded in phi dir and read back") {
+    val phi = tmp("ctx-phi")
+    // missing file → empty context (context.py:34 default={})
+    assert(graft.etl.JobContext.load(phi) === graft.etl.JobContext())
+    graft.etl.JobContext.recordSuccess(phi, "/in", "/out",
+      Map("patient" -> 2L, "condition" -> 0L))
+    val ctx = graft.etl.JobContext.load(phi)
+    assert(ctx.lastSuccessfulInputDir === Some("/in"))
+    assert(ctx.lastSuccessfulOutputDir === Some("/out"))
+    assert(ctx.lastSuccessfulDatetime.exists(_.startsWith("20")))
+    assert(ctx.lastSuccessfulTables === Map("patient" -> 2L, "condition" -> 0L))
+
+    // the pipeline itself writes one after a successful run
+    val input = tmp("ctx-in")
+    val output = tmp("ctx-out")
+    val phi2 = tmp("ctx-phi2")
+    Files.write(Paths.get(input, "Patient.ndjson"),
+      """{"resourceType":"Patient","id":"p1","gender":"female"}"""
+        .getBytes("UTF-8"))
+    EtlPipeline.run(spark, input, output, phi2,
+      tasks = EtlPipeline.DefaultTasks.filter(_.tableName == "patient"))
+    val ctx2 = graft.etl.JobContext.load(phi2)
+    assert(ctx2.lastSuccessfulInputDir === Some(input))
+    assert(ctx2.lastSuccessfulTables === Map("patient" -> 1L))
+  }
+
   test("error sink quarantines bad rows as indexed ndjson") {
     val errors = tmp("errs")
     val bad = Seq(("d9", "no text")).toDF("id", "reason")

@@ -50,6 +50,38 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("cosine fails fast on ragged vectors instead of truncating") {
+    // silent min-length truncation would score wrong-but-plausible where
+    // the oracle's list_cosine_similarity errors loudly
+    val ragged = Seq((Seq(1.0f, 0.0f, 3.0f), Seq(1.0f, 0.0f)))
+      .toDF("a", "b")
+    val viaExpr = intercept[Exception] {
+      ragged.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    assert(viaExpr.getMessage.contains("dimension mismatch") ||
+      Option(viaExpr.getCause).exists(
+        _.getMessage.contains("dimension mismatch")))
+    val viaUdf = intercept[Exception] {
+      ragged.select(Similarity.cosineViaUdf(col("a"), col("b"))).collect()
+    }
+    assert(viaUdf.getMessage.contains("dimension mismatch") ||
+      Option(viaUdf.getCause).exists(
+        _.getMessage.contains("dimension mismatch")))
+  }
+
+  test("cosinePairsAbove enforces its small-frame contract") {
+    val df = spark.range(10)
+      .select(col("id"), array(lit(1.0f), lit(0.0f)).as("vec"))
+    // under the cap: works
+    assert(Similarity.cosinePairsAbove(df, "id", "vec", 0.5).count() > 0)
+    // over the cap: a clear error pointing at the scale paths, not an OOM
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsAbove(df, "id", "vec", 0.5, maxRows = 5)
+    }
+    assert(e.getMessage.contains("semanticDedup"))
+    assert(e.getMessage.contains("annTopK"))
+  }
+
   test("kmeansAssign labels every row with its nearest centroid") {
     val data = Seq(
       (10L, Seq(1.0f, 0.0f)),

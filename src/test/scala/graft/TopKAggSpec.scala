@@ -16,6 +16,16 @@ class TopKAggSpec extends SparkSpecBase {
     assert(agg.merge(agg.zero, agg.zero).toSeq === Seq.empty)
   }
 
+  test("NaN input is skipped, not admitted into the sorted buffer") {
+    // NaN comparisons are all false: an admitted NaN would sit at the
+    // front and poison later binary searches/merges
+    val agg = new TopKDoubles(3)
+    val buf = Seq(Double.NaN, 5.0, Double.NaN, 1.0, 3.0, 9.0, Double.NaN)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toSeq === Seq(9.0, 5.0, 3.0))
+    assert(agg.reduce(agg.zero, Double.NaN).toSeq === Seq.empty)
+  }
+
   test("grouped top-k equals sort-desc-take-k across many partitions") {
     val topk = udaf(new TopKDoubles(4))
     val df = spark.range(1000)
