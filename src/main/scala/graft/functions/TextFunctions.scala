@@ -90,6 +90,10 @@ object TextFunctions {
 
   /** BPE-ish subword count estimate: whitespace tokens split further at
     * letter/digit/other boundaries (a cheap proxy for tokenizer cost).
+    * The replacement appends a U+0001 separator after each run (so
+    * "abc123" splits into "abc","123") and the split class includes it;
+    * an oracle using a plain space separator counts identically, since
+    * runs never contain whitespace.
     */
   def subwordCount(text: Column): Column =
     size(

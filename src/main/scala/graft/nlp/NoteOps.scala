@@ -205,8 +205,17 @@ object NoteOps {
       .drop("__ef", "__pf")
   }
 
+  /** O3: seeded uniform sample over the FULL row content (unlike
+    * [[hashSample]]'s id-only key, re-ingesting the same note under a
+    * new id keeps its selection odds independent). Selection rule
+    * pinned to `md5(seed : col₁ : col₂ : …)` — engine-portable (md5 is
+    * identical in Spark and DuckDB; concat_ws skips nulls in both), so
+    * the sample itself is oracle-checkable. TakeOrdered plan: per-
+    * partition top-n + tiny driver merge, no full-sort materialization.
+    */
   def sampleNotes(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.orderBy(xxhash64(struct(df.columns.map(col): _*), lit(seed)))
+    df.orderBy(md5(concat_ws(":",
+        lit(seed.toString) +: df.columns.map(c => col(c).cast("string")): _*)))
       .limit(n)
 
   /** O3 (scale path): deterministic hash sample — order by md5(seed:id),

@@ -58,13 +58,21 @@ object NoteQueries {
       |  COUNT(*) AS n_notes
       |FROM documents GROUP BY source""".stripMargin
 
-  /** q62 — seeded uniform note sample (O3; rows-only: hash-order
-    * sampling is engine-specific, determinism asserted in NoteOpsSpec).
+  /** q62 — seeded uniform note sample (O3), selection rule pinned to
+    * md5 over the seed + full row content, so the sampled set is
+    * oracle-exact (formerly rows-only under an engine-specific
+    * xxhash64 order).
     */
   def qSampleNotes(spark: SparkSession, dir: String): DataFrame =
     NoteOps
       .sampleNotes(Tables.documents(spark, dir), n = 50, seed = 42L)
       .select("doc_id", "lang", "source")
+
+  val qSampleNotesSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |ORDER BY md5(concat_ws(':', '42', CAST(doc_id AS VARCHAR), text,
+      |  lang, source, CAST(n_chars AS VARCHAR)))
+      |LIMIT 50""".stripMargin
 
   /** q63 — deterministic hash sample: order by md5(seed:id), take n.
     * The scale-path sampler (no RNG state, reproducible across engines

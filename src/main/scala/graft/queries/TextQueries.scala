@@ -214,19 +214,65 @@ object TextQueries {
       |  END AS jaccard
       |FROM grams""".stripMargin
 
-  /** q28 — per-doc fingerprint + heuristic language id (rows-only: both
-    * use engine-specific hashing/profiles; unit-tested in ScalaTest; the
-    * oracle-exact winnowing variant is q29).
+  /** q28 — oracle-exact rolling-hash fingerprint (Rabin-Karp over
+    * word-level token hashes): each 5-token window's hash is the
+    * polynomial fold `h = (h·B + tᵢ) mod M` over 28-bit md5 token
+    * hashes, and the fingerprint is the window minimum (min-sampling).
+    * B = 1000003, M = 2³¹−1: every intermediate product stays under
+    * 2⁵² < 2⁶³, so plain BIGINT arithmetic is exact and identical in
+    * Spark and DuckDB — which is what moved this query from rows-only
+    * to hash-checked. `fingerprint` (xxhash64 kernel) remains the
+    * cheaper engine-internal scale path; language id is oracle-covered
+    * by q70. n_subwords exercises the BPE-ish boundary splitter.
     */
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000003L
+    val M = 2147483647L
+    val th = transform(tokens(col("text")),
+      t => conv(substring(md5(t), 1, 7), 16, 10).cast("long"))
+    val nw = greatest(size(th) - 4, lit(1))
+    val rolls = transform(sequence(lit(0), nw - 1),
+      i => aggregate(slice(th, i + 1, lit(5)), lit(0L),
+        (acc, x) => (acc * lit(B) + x) % lit(M)))
     Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
-        fingerprint(col("text")).as("fp"),
-        langId(col("text")).as("lang_pred"),
+        array_min(rolls).as("fp"),
+        nw.cast("long").as("n_windows"),
         subwordCount(col("text")).as("n_subwords")
       )
+  }
+
+  /** DuckDB twin of [[qFingerprint]]: list_reduce has no initial
+    * accumulator, so a 0 is prepended to mirror Spark's `aggregate`
+    * zero; everything else is the same fold over the same token hashes.
+    */
+  val qFingerprintSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, text,
+      |    list_transform(t, x ->
+      |      ('0x' || substr(md5(x), 1, 7))::BIGINT) AS th
+      |  FROM toks),
+      |r AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, greatest(len(th) - 4, 1) + 1),
+      |      i -> list_reduce(list_prepend(0::BIGINT, th[i:i+4]),
+      |        (acc, x) -> (acc * 1000003 + x) % 2147483647)) AS rolls
+      |  FROM h)
+      |SELECT doc_id, list_min(rolls) AS fp,
+      |  CAST(len(rolls) AS BIGINT) AS n_windows,
+      |  CAST(len(list_filter(
+      |    string_split_regex(
+      |      regexp_replace(trim(text),
+      |        '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)', '\1 ', 'g'),
+      |      '\s+'),
+      |    s -> len(s) > 0)) AS BIGINT) AS n_subwords
+      |FROM r""".stripMargin
 
   /** q45 — character-class + stopword quality ratios (the remaining
     * quality-scoring functions beside q23's token metrics), oracle-exact:
