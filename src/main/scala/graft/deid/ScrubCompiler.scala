@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   * modifiers change meaning — scrubber.py:351-372) or no resourceType are
   * filtered out, via a compiled boolean alongside the projection.
   *
-  * v1 gaps vs the reference, documented: conditional sub-schemas
-  * ("Identifier;system=..."), primitive `_field` extensions, and the
-  * masked data-absent-reason sibling extension are not yet emitted.
+  * Conditional sub-schemas ("Identifier;system=..."), primitive
+  * `_field` extensions, and the masked data-absent-reason sibling
+  * extension are all emitted (see compileStruct / maskedSiblingFields
+  * below) and parity-tested against the reference's golden fixtures
+  * (ReferenceCompatSpec, DeidCompatSpec).
   */
 object ScrubCompiler {
 

@@ -270,10 +270,17 @@ object JobConfig {
   */
 object ErrorSink {
   def quarantine(df: org.apache.spark.sql.DataFrame, errorsDir: String,
-      task: String): Option[String] =
+      task: String, name: String = "write-error"): Option[String] =
     if (df.isEmpty) None
     else Some(graft.sinks.NdjsonSink.writeBatch(df,
-      s"$errorsDir/$task", "write-error"))
+      s"$errorsDir/$task", name))
+
+  /** NLP-task quarantine (etl/tasks/nlp_task.py:91-100): unprocessable
+    * notes land under {errorsDir}/{task}/nlp-errors.*.ndjson.
+    */
+  def quarantineNlp(df: org.apache.spark.sql.DataFrame, errorsDir: String,
+      task: String): Option[String] =
+    quarantine(df, errorsDir, task, "nlp-errors")
 }
 
 /** Completion-tracking tables (SURVEY §2.2 K9; completion/schema.py:12-75:

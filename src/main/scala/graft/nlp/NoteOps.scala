@@ -36,6 +36,24 @@ object NoteOps {
   def stripTrailingWhitespace(text: Column): Column =
     regexp_replace(text, "(?m)[ \\t]+$", "")
 
+  /** P7+K8: split a DocumentReference-shaped frame into (processable
+    * notes with a `note_text` column, unprocessable rows). Unprocessable
+    * = no inline text attachment — remote-URL-only, missing data, or
+    * non-text content — exactly the rows the reference's `read_notes`
+    * routes to the nlp-errors quarantine instead of silently dropping
+    * (etl/tasks/nlp_task.py:135-151). One projection, no shuffle; the
+    * two sides are complementary filters over the same scan.
+    */
+  def splitNotesForNlp(
+      df: DataFrame,
+      contentCol: String = "content"
+  ): (DataFrame, DataFrame) = {
+    val withText = df.withColumn("note_text",
+      stripTrailingWhitespace(noteText(col(contentCol))))
+    (withText.filter(col("note_text").isNotNull),
+      withText.filter(col("note_text").isNull).drop("note_text"))
+  }
+
   /** P4: whole-word cohort filter — keep notes containing ANY of the
     * words (case-insensitive, word-boundary). reference:
     * nlp/selection.py:129-166.

@@ -171,6 +171,32 @@ object StudyTasks {
       from_json(col("result"), task.resultSchema)), fresh)
   }
 
+  /** End-to-end task entry over raw DocumentReference rows, with K8
+    * error parity (etl/tasks/nlp_task.py:91-100,135-151): rows whose
+    * `content` has no inline text attachment are written to the task's
+    * `nlp-errors` quarantine instead of silently dropped, and the
+    * processable rest flows through the cache-first [[annotate]] path
+    * on the extracted `note_text` column. Returns (annotated, fresh
+    * cache rows); the quarantine write is eager (like every ErrorSink
+    * write) so the error file exists even if the caller never
+    * materializes the annotations.
+    */
+  def annotateDocuments(
+      task: StudyTask,
+      docRefs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      cache: org.apache.spark.sql.DataFrame,
+      client: ModelRunner.ModelClient,
+      errorsDir: Option[String],
+      batchSize: Int = 32
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (notes, unprocessable) = NoteOps.splitNotesForNlp(docRefs)
+    errorsDir.foreach { dir =>
+      graft.etl.ErrorSink.quarantineNlp(unprocessable, dir, task.tableName)
+    }
+    annotate(task, notes, idCol, "note_text", cache, client, batchSize)
+  }
+
   /** Batch-mode variant (the reference's `--batch` flag, 0.5× provider
     * pricing): cache-miss prompts spool to capped JSONL files, jobs
     * submit with crash-safe resume, results land in the cache — see

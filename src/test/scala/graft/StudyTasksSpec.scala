@@ -111,6 +111,45 @@ class StudyTasksSpec extends SparkSpecBase {
     assert(fresh.count() === 2) // both notes were cache misses
   }
 
+  test("annotateDocuments quarantines unprocessable notes (K8 parity)") {
+    // mirrors etl/tasks/nlp_task.py:91-100,135-151: a DocumentReference
+    // with only a remote-URL attachment (no inline data) must land in
+    // the task's nlp-errors quarantine, not be silently dropped
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val task = StudyTasks.load("example", s"$studies/example/tasks.toml")
+      .find(_.model == "gpt4").get
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "Patient is 42 years old.".getBytes("UTF-8"))
+    val docRefs = Seq(
+      ("good", "text/plain", b64),
+      ("remote-only", "text/plain", null),
+      ("non-text", "application/pdf", b64)
+    ).toDF("id", "ct", "data").select(col("id"), array(struct(
+      struct(col("ct").as("contentType"), col("data").as("data"),
+        lit("https://example.invalid/binary/1").as("url")).as("attachment")
+    )).as("content"))
+    val emptyCache = Seq.empty[(String, String)].toDF("checksum", "result")
+    val client = new ModelRunner.ModelClient {
+      def complete(prompts: Seq[String]): Seq[String] =
+        prompts.map(_ => """{"has_mention": true, "spans": [], "age": 42}""")
+    }
+    val errDir = java.nio.file.Files.createTempDirectory("nlp-errors")
+    val (annotated, _) = StudyTasks.annotateDocuments(
+      task, docRefs, "id", emptyCache, client, Some(errDir.toString))
+    // only the processable note is annotated
+    assert(annotated.select("id").as[String].collect().toSeq === Seq("good"))
+    // the two unprocessable originals are in {errors}/{table}/nlp-errors*
+    val taskDir = errDir.resolve(task.tableName)
+    val errFiles = java.nio.file.Files.list(taskDir).iterator()
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(errFiles).asScala.map(_.getFileName.toString).toSeq
+    assert(names.exists(_.startsWith("nlp-errors")))
+    val errRows = spark.read.json(taskDir.toString + "/*.ndjson")
+    assert(errRows.select("id").as[String].collect().toSet ===
+      Set("remote-only", "non-text"))
+  }
+
   test("annotateBatch spools full prompts but keys the cache on note text") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
