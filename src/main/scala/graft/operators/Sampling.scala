@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling via priority sampling (Duffield,
+  * Lund, Thorup, "Priority sampling for estimation of arbitrary subset
+  * sums", JACM 2007): each row gets priority w/u with u uniform in
+  * (0, 1], and the k highest-priority rows form the sample.
+  *
+  * u is derived from md5(seed:id) — the same keyed-hash family as
+  * [[graft.nlp.NoteOps.hashSample]] — so the sample is reproducible
+  * across runs AND engines. Only +, −, ×, ÷ touch doubles (no ln/pow:
+  * transcendentals are not bit-identical between libm and the JVM, which
+  * rules out Efraimidis–Spirakis keys for cross-engine exactness;
+  * priority sampling gives the same weighted-inclusion behavior on
+  * division alone).
+  *
+  * Scale shape: priorities are a per-row map pass; the top-k is Spark's
+  * TakeOrderedAndProject (per-partition heaps, then a k-row merge) — no
+  * global sort, no driver state beyond k rows.
+  */
+object Sampling {
+
+  /** 52-bit uniform in (0, 1] from md5("seed:id") — 13 hex chars = 52
+    * bits, exact in both BIGINT and DOUBLE, so the scaling division by
+    * 2^52 is bit-identical everywhere.
+    */
+  def hashUniform(idCol: Column, seed: String): Column =
+    (conv(substring(md5(concat(lit(seed + ":"), idCol.cast("string"))),
+      1, 13), 16, 10).cast("long").cast("double") + lit(1.0)) /
+      lit(4503599627370496.0) // 2^52
+
+  /** The k rows with highest priority = weight / u. Rows with null or
+    * non-positive weight are excluded (their priority is undefined).
+    * Ties break on `idCol` ascending for full determinism.
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      k: Int,
+      seed: String): DataFrame =
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("priority",
+        weightCol.cast("double") / hashUniform(col(idCol), seed))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.operators.TimeSeries
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** OLAP analytics shapes round 5 adds on top of Relational/Relational2:
+  * rollup with grouping ids, pivot, calendar gap-fill, Markov event
+  * transitions, and rolling/cumulative window frames. All arithmetic
+  * follows the repo's exactness discipline — decimal sums cast to
+  * double at the edge, integer/division-only doubles, no
+  * transcendentals (ln is not bit-identical between the JVM and libm).
+  */
+object AnalyticsQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** q93 — ROLLUP with grouping ids: per (priority, status) order
+    * counts + revenue, plus per-priority and grand-total super-rows.
+    * One Expand + one shuffle; every grouping's partial aggregates
+    * combine map-side, so the rollup costs one pass regardless of
+    * corpus size.
+    */
+  def q93Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice"))
+      .rollup("priority", "status")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+
+  /** Spark's grouping_id and DuckDB's GROUPING share the Postgres bit
+    * convention (first rollup column = MSB), so `gid` is comparable
+    * directly.
+    */
+  val q93RollupSql: String =
+    """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q94 — pivot: per user-bucket revenue by event type, wide. The
+    * pivot values are pinned (the deployment's known event vocabulary),
+    * so the plan is a single hash aggregate over the fact table — no
+    * distinct-values pre-pass, no second shuffle.
+    */
+  def q94Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables
+      .events(spark, dir)
+      .withColumn("bucket", col("user_id") % 20)
+      .groupBy("bucket")
+      .pivot("event_type", eventTypes)
+      .agg(dsum(col("value")))
+    eventTypes
+      .foldLeft(wide)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0.0))))
+  }
+
+  val q94PivotSql: String = {
+    val cols = eventTypes
+      .map(t =>
+        s"""  COALESCE(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+           |    FILTER (event_type = '$t') AS DOUBLE), 0.0) AS $t""".stripMargin)
+      .mkString(",\n")
+    s"""SELECT user_id % 20 AS bucket,
+       |$cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** q95 — calendar gap-fill: daily high-value event metrics on a dense
+    * (day × event_type) spine; missing days get count 0 and carry the
+    * last observed revenue level forward (0.0 before the first). The
+    * value ≥ 180 filter makes the daily series genuinely sparse at
+    * every SF, so both repairs are exercised.
+    */
+  def q95GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val keys = ev.select("event_type").distinct()
+    val daily = ev
+      .filter(col("value") >= 180)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("level"))
+    TimeSeries
+      .gapFill(TimeSeries.calendarSpine(bounds, keys), daily,
+        keyCols = Seq("event_type"), dayCol = "day",
+        zeroFill = Seq("n_events"), forwardFill = Seq("level"))
+      .select("day", "event_type", "n_events", "level")
+  }
+
+  val q95GapFillSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM b),
+      |spine AS (
+      |  SELECT day, event_type
+      |  FROM days CROSS JOIN (SELECT DISTINCT event_type FROM ev)),
+      |daily AS (
+      |  SELECT event_type, day, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS level
+      |  FROM ev WHERE value >= 180 GROUP BY 1, 2)
+      |SELECT s.day, s.event_type, COALESCE(d.n_events, 0) AS n_events,
+      |  COALESCE(last_value(d.level IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.day
+      |    ROWS UNBOUNDED PRECEDING), 0.0) AS level
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.day = d.day AND s.event_type = d.event_type""".stripMargin
+
+  /** q98 — first-order Markov transitions: per user, order events by
+    * (ts, event_id) and count (from → to) type pairs with per-source
+    * probabilities. One shuffle on user for the lead window (per-user
+    * sequences, bounded), one map-side-combinable count, probabilities
+    * from an exact long-ratio over a tiny aggregated frame.
+    */
+  def q98Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn(
+      "p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+  }
+
+  val q98TransitionsSql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM tr
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c""".stripMargin
+
+  /** q100 — rolling + cumulative window frames over the daily revenue
+    * series: 7-row trailing sum/avg and a running total, decimal-exact
+    * until the final double cast. The windows are unpartitioned BY
+    * DESIGN over the post-aggregation daily frame — |distinct days|
+    * rows (calendar-bounded, ~2.4k here), so the single-task sort is
+    * over kilobytes no matter the corpus size; the corpus-sized work is
+    * the map-side-combinable daily groupBy before it.
+    */
+  def q100Rolling(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).as("rev"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(
+      col("day"),
+      col("n_orders"),
+      col("rev").cast("double").as("revenue"),
+      sum(col("rev")).over(w7).cast("double").as("roll7_revenue"),
+      (sum(col("rev")).over(w7).cast("double") /
+        count(lit(1)).over(w7).cast("double")).as("roll7_avg"),
+      sum(col("rev")).over(wCum).cast("double").as("cum_revenue"))
+  }
+
+  val q100RollingSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) OVER w7 AS DOUBLE) AS roll7_revenue,
+      |  CAST(SUM(rev) OVER w7 AS DOUBLE) /
+      |    CAST(COUNT(*) OVER w7 AS DOUBLE) AS roll7_avg,
+      |  CAST(SUM(rev) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+      |FROM daily
+      |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+}

@@ -255,4 +255,75 @@ object CorpusQueries {
       |UNION ALL SELECT 'n_chars_in_range', inrange / n,
       |  inrange / n = 1.0 FROM m
       |UNION ALL SELECT 'lang_cardinality', langs, langs <= 20.0 FROM m""".stripMargin
+
+  /** q96 — cross-document duplicated-span removal accounting (Lee et
+    * al., arXiv:2107.06499 — the removal op, vs q68's gram-count
+    * profile): word 8-grams shared by ≥2 distinct docs mark their token
+    * windows, overlapping windows union, and the output is how many
+    * tokens a span-removal pass would delete per doc. See
+    * [[graft.operators.DupSpans]] for the 3-shuffle scale shape.
+    */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DupSpans
+      .dupSpanStats(Tables.documents(spark, dir), "doc_id", col("text"),
+        n = 8)
+      .select("doc_id", "n_tokens", "n_dup_tokens", "keep_ratio")
+
+  /** Mirrors dupSpanStats exactly: same posGrams shingle convention
+    * (docs shorter than n → one whole-text gram), same md5-60 hash
+    * family, same interval-union via distinct covered positions.
+    */
+  val qDupSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+      |    CASE WHEN trim(text) = '' THEN 0 ELSE
+      |      len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |gi AS (
+      |  SELECT doc_id, n_tokens, t,
+      |    unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i
+      |  FROM toks),
+      |g AS (
+      |  SELECT doc_id, n_tokens, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+      |      1, 15))::BIGINT AS h
+      |  FROM gi),
+      |duph AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+      |  GROUP BY h HAVING COUNT(*) >= 2),
+      |cov0 AS (
+      |  SELECT g.doc_id, max(g.n_tokens) AS nt,
+      |    list(DISTINCT g.pos) AS starts
+      |  FROM g JOIN duph USING (h) GROUP BY g.doc_id),
+      |cov AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |    list_distinct(flatten(list_transform(starts, s -> range(s, s + 8)))),
+      |    p -> p < nt)) AS BIGINT) AS n_dup_tokens
+      |  FROM cov0)
+      |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+      |  COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+      |  CASE WHEN t.n_tokens > 0 THEN
+      |    CAST(t.n_tokens - COALESCE(c.n_dup_tokens, 0) AS DOUBLE)
+      |      / CAST(t.n_tokens AS DOUBLE)
+      |  ELSE 1.0 END AS keep_ratio
+      |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
+
+  /** q99 — deterministic weighted sample: priority sampling (Duffield
+    * et al. 2007) with weight = n_chars and u from the md5("7:"+id)
+    * 52-bit uniform; top-60 priorities. Division-only doubles — see
+    * [[graft.operators.Sampling]] for why no ln/pow.
+    */
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .prioritySample(Tables.documents(spark, dir), "doc_id",
+        col("n_chars"), k = 60, seed = "7")
+      .select("doc_id", "source", "n_chars", "priority")
+
+  val qPrioritySampleSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(n_chars AS DOUBLE) / (
+      |    (('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13))
+      |      ::BIGINT + 1.0) / 4503599627370496.0) AS priority
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin
 }

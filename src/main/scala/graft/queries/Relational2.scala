@@ -405,4 +405,29 @@ object Relational2 {
        |  MIN(yk) AS min_day, MAX(yk) AS max_day
        |FROM z GROUP BY 1""".stripMargin
   }
+
+  /** q97 — blocked fuzzy entity matching: near-identical part names
+    * (edit distance ≤ 3) paired within a last-token blocking key, over
+    * the canonicalized distinct-name vocabulary — the record-linkage
+    * blocking discipline ([[graft.operators.FuzzyJoin]]): the quadratic
+    * stage is |block|² over VOCABULARY entries, never corpus rows.
+    */
+  def q97FuzzyNames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.blockedNamePairs(
+      Tables.part(spark, dir),
+      "p_name",
+      name => regexp_extract(name, "(\\S+)$", 1),
+      maxDist = 3)
+
+  val q97FuzzyNamesSql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+      |a AS (SELECT name AS name_a, n_rows AS n_a,
+      |        regexp_extract(name, '(\S+)$', 1) AS blk FROM names),
+      |b AS (SELECT name AS name_b, n_rows AS n_b,
+      |        regexp_extract(name, '(\S+)$', 1) AS blk FROM names)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, n_a, n_b
+      |FROM a JOIN b USING (blk)
+      |WHERE name_a < name_b AND levenshtein(name_a, name_b) <= 3""".stripMargin
 }
