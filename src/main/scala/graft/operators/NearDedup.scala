@@ -29,6 +29,16 @@ object NearDedup {
       math.abs(rnd.nextLong()) % MersennePrime))
   }
 
+  /** The permutation coefficients, exposed so the DuckDB oracles for
+    * q25/q80-family queries can embed the SAME seeded family as SQL
+    * literals (the oracle must replay the engine's hash family exactly;
+    * see [[graft.queries.TextQueries.qMinHashPairsSql]]).
+    */
+  private[graft] def oracleCoefficients(k: Int, seed: Long): Seq[(Long, Long)] =
+    coefficients(k, seed)
+
+  private[graft] val OracleMersennePrime: Long = MersennePrime
+
   /** Single-pass shingle hasher: tokenize + word-n-gram + FNV-1a-64 in
     * one JVM loop. The expression form (transform/sequence/slice +
     * xxhash64) is NOT codegen'd — higher-order functions evaluate

@@ -163,6 +163,84 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shared DuckDB CTE prefix for the FNV-shingle oracles (q25/q26):
+    * docs ∪ every-7th-doc re-keyed copies, non-empty whitespace tokens,
+    * word-3-gram shingles with one space after EACH token (exactly the
+    * byte stream `NearDedup.shingleHashArray` feeds its hasher), and
+    * char-level FNV-1a-64 replayed via list_reduce with HUGEINT
+    * mod-2^64 arithmetic. Character parity holds for BMP text (JVM
+    * UTF-16 units == codepoints; the corpus is ASCII — verified max
+    * codepoint 0x79 at every SF).
+    */
+  private val fnvShingleCtes: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+      |      AS t
+      |  FROM all_docs),
+      |shing AS (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') || ' ' AS s
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+      |        FROM toks WHERE len(t) > 0)),
+      |fnv AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(14695981039346656037::UBIGINT,
+      |      list_transform(range(1, length(s) + 1),
+      |        ci -> unicode(s[ci])::UBIGINT)),
+      |      (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211)
+      |        % 18446744073709551616)::UBIGINT) AS h
+      |  FROM shing)""".stripMargin
+
+  /** q25's oracle replays the ENTIRE MinHash pipeline in SQL: the FNV
+    * shingle hashes above, the seeded Mersenne-31 permutation family
+    * (coefficients embedded as literals from the same
+    * `NearDedup.oracleCoefficients(64, 42)` call the engine uses), LSH
+    * banding by 16×4 signature slices (slice equality ⇔ the engine's
+    * xxhash64 band-key equality, collisions aside), and the
+    * signature-agreement estimate.
+    */
+  lazy val qMinHashPairsSql: String = {
+    val coeffs = graft.operators.NearDedup.oracleCoefficients(64, 42L)
+    val p = graft.operators.NearDedup.OracleMersennePrime
+    val mins = coeffs.zipWithIndex
+      .map { case ((a, b), j) => s"    min(($a * x + $b) % $p) AS s$j" }
+      .mkString(",\n")
+    val sigList = (0 until 64).map(j => s"s$j").mkString("[", ", ", "]")
+    s"""$fnvShingleCtes,
+       |xm AS (SELECT doc_id, (h & $p)::BIGINT AS x FROM fnv),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM xm GROUP BY doc_id),
+       |sigl AS (SELECT doc_id, $sigList AS sig FROM sig),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    array_to_string(sig[band * 4 + 1 : band * 4 + 4], ',') AS bkey
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band
+       |        FROM sigl)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |      AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(1, 65),
+       |      i -> siga[i] = sigb[i])) AS DOUBLE) / 64.0 AS jaccard_est
+       |  FROM (SELECT id_a, id_b, sa.sig AS siga, sb.sig AS sigb
+       |        FROM cand
+       |        JOIN sigl sa ON sa.doc_id = cand.id_a
+       |        JOIN sigl sb ON sb.doc_id = cand.id_b))
+       |SELECT id_a, id_b, jaccard_est FROM scored
+       |WHERE jaccard_est >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q26 — SimHash near-dup candidates with hamming distance. */
   def qSimHashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -173,6 +251,52 @@ object TextQueries {
       .simHashCandidates(docs.unionByName(copies), "doc_id", "text",
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q26's oracle: same FNV shingles, then the SimHash bit votes (±1
+    * per bit over the shingle MULTISET), Charikar 4×16-bit block
+    * partitioning with the 200-doc hot-bucket cap, and
+    * bit_count(xor) hamming — all in UBIGINT domain (DuckDB's signed
+    * left shift overflows at bit 63, so the bit values are embedded as
+    * unsigned literals).
+    */
+  lazy val qSimHashPairsSql: String = {
+    val votes = (0 until 64)
+      .map(i =>
+        s"    sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n")
+    val bits = (0 until 64)
+      .map { i =>
+        val v = java.lang.Long.toUnsignedString(1L << i)
+        s"    CASE WHEN v$i > 0 THEN $v::UBIGINT ELSE 0::UBIGINT END"
+      }
+      .mkString(" +\n")
+    s"""$fnvShingleCtes,
+       |votes AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM fnv GROUP BY doc_id),
+       |sim0 AS (
+       |  SELECT doc_id,
+       |$bits AS sh
+       |  FROM votes),
+       |sim AS (
+       |  SELECT t.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+       |  FROM toks t LEFT JOIN sim0 s ON t.doc_id = s.doc_id),
+       |blocked AS (
+       |  SELECT doc_id, sh, block, (sh >> (block * 16)) & 65535 AS bits
+       |  FROM (SELECT doc_id, sh, unnest(range(0, 4)) AS block FROM sim)),
+       |capped AS (
+       |  SELECT doc_id, sh, block, bits FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY block, bits) AS bc
+       |    FROM blocked)
+       |  WHERE bc <= 200)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM capped a JOIN capped b
+       |  ON a.block = b.block AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q27 — exact n-gram Jaccard, the verification stage of the near-dup
