@@ -19,17 +19,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos long via the
-    * legacy conf and convert to a microsecond timestamp (floor-truncated,
-    * matching DuckDB's `date_trunc('microseconds', ts)`).
+  /** `events.ts` normalization. The harness has shipped this column two
+    * ways across data generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects outright, [PARQUET_TYPE_ILLEGAL], so we read it as a
+    * nanos long via the legacy conf) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Downstream operators and every oracle assume one
+    * contract: `ts` is a session-UTC TimestampType at microsecond
+    * precision — equal to DuckDB's `date_trunc('microseconds', ts)`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      // integer `div`, not `/` — double division loses precision at 1.7e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long generation
+        // integer `div`, not `/` — double division loses precision at 1.7e18 ns
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType => // wall clock is UTC; session tz is UTC too
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
