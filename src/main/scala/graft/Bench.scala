@@ -35,13 +35,16 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to math.max(1, runs)).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch {
+            // a failed query must not masquerade as a fast one: record it
             case e: Throwable =>
+              failed += name
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - t0) / 1e9
@@ -54,8 +57,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

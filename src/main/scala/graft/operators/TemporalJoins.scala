@@ -61,6 +61,78 @@ object TemporalJoins {
       .select(col("__l.*"), col("asof"))
   }
 
+  /** Hot-key-safe variant of [[asOfJoin]]: identical semantics (the spec
+    * proves result equality, ties included), but the heavy window runs
+    * per (key, time-bucket) instead of per key, so one pathological key
+    * with millions of rows parallelizes across its buckets instead of
+    * serializing into a single window task.
+    *
+    * Shape: (1) one aggregate over the unioned sides keyed on
+    * (key, bucket) yields both the bucket set and each bucket's LAST
+    * right row; (2) a per-key running `last` over that bucket-level
+    * frame (rows per key = #buckets, bounded by time-range/bucketMicros,
+    * independent of data volume) produces each bucket's carry-in seed —
+    * the latest right row from any strictly earlier bucket; (3) seeds are
+    * unioned back as synthetic right rows (their real timestamp sorts
+    * them before everything in the bucket) and the [[asOfJoin]] window
+    * runs partitioned by (key, bucket).
+    *
+    * Null timestamps are not supported (they are on neither side of any
+    * bucket's order). Pick `bucketMicros` so a bucket's rows fit a task
+    * comfortably; correctness does not depend on the choice.
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      bucketMicros: Long
+  ): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val l = left.select(
+      col(keyCol).as("__key"),
+      unix_micros(col(leftTsCol)).as("__tu"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val r = right.select(
+      col(keyCol).as("__key"),
+      unix_micros(col(rightTsCol)).as("__tu"),
+      struct(right.columns.map(col): _*).as("__r"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      // integer `div`, not `/` — double division loses precision on
+      // large epoch values
+      .withColumn("__bucket", expr(s"__tu div ${bucketMicros}L"))
+    // One aggregate: every (key, bucket) that exists on either side,
+    // with the bucket's last right row (max over (ts, __r) — the same
+    // equal-ts winner [[asOfJoin]]'s window order picks); null when the
+    // bucket holds only left rows.
+    val bucketLast = u
+      .groupBy(col("__key"), col("__bucket"))
+      .agg(max(when(col("__r").isNotNull,
+        struct(col("__tu"), col("__r")))).as("__m"))
+    // Carry-in per bucket: latest right row from STRICTLY earlier
+    // buckets. Window is per key, but over bucket-level rows only.
+    val carryW = Window.partitionBy(col("__key")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = bucketLast
+      .withColumn("__seed", last(col("__m"), ignoreNulls = true).over(carryW))
+      .filter(col("__seed").isNotNull)
+      .select(col("__key"), col("__seed.__tu").as("__tu"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        col("__seed.__r").as("__r"), col("__bucket"))
+    // Seed timestamps come from earlier buckets, so they sort before
+    // every in-bucket row; equal-ts ordering within the bucket is
+    // exactly [[asOfJoin]]'s.
+    val w = Window
+      .partitionBy(col("__key"), col("__bucket"))
+      .orderBy(col("__tu"), col("__l").isNotNull.cast("int"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.unionByName(seeds)
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+      .select(col("__l.*"), col("asof"))
+  }
+
   /** Per-probe-row count/sum of `candidates` rows with the same key in
     * the half-open window `[probe.ts - windowMicros, probe.ts)`.
     *

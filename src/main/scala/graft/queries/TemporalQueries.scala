@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
 object TemporalQueries {
 
   /** q65 — as-of join: every purchase event picks up the same user's
-    * latest click at or before it. One key shuffle + one window pass
-    * ([[TemporalJoins.asOfJoin]]); the oracle is DuckDB's native
-    * `ASOF LEFT JOIN`. (user_id, ts) is unique in the data, so the
-    * match is deterministic.
+    * latest click at or before it. Runs the hot-key-safe bucketed form
+    * ([[TemporalJoins.asOfJoinBucketed]], 1-hour buckets) so the window
+    * parallelizes per (key, bucket) — TemporalJoinsSpec proves it equals
+    * the plain one-window-per-key [[TemporalJoins.asOfJoin]] shape. The
+    * oracle is DuckDB's native `ASOF LEFT JOIN`. (user_id, ts) is unique
+    * in the data, so the match is deterministic.
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
@@ -23,7 +25,8 @@ object TemporalQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
-    TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts", "ts")
+    TemporalJoins.asOfJoinBucketed(purchases, clicks, "user_id", "ts", "ts",
+      bucketMicros = 3600L * 1000000)
       .select(
         col("event_id"),
         col("user_id"),

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Bm25
+import graft.queries.RetrievalQueries
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark join window"), // tf-heavy on the rare term
+    (2L, "spark join table table table table table table table table"),
+    (3L, "table scan filter merge hash"),
+    (4L, "window window window window window window window window"),
+    (5L, "the quick brown fox")
+  ).toDF("doc_id", "text")
+
+  private def run(terms: Seq[(Long, String)], logIdf: Boolean) =
+    Bm25.topK(corpus, "doc_id", "text", TextFunctions.tokens,
+      terms.toDF("query_id", "term"), "query_id", "term",
+      k = 10, logIdf = logIdf)
+
+  test("docs sharing no query term never appear; matches rank by score") {
+    val got = run(Seq(1L -> "spark", 1L -> "join"), logIdf = true)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSet === Set(1L, 2L)) // never 3,4,5
+    // doc 1: spark tf=3 + join; doc 2: spark tf=1 diluted by length
+    assert(got.head.getLong(2) === 1L)
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(got.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("rarer term outweighs common term at equal tf and length") {
+    // "scan" appears in 1 doc, "window" in 2 → one occurrence of scan
+    // must score higher than one of window for the same doc shape
+    val byTerm = run(Seq(10L -> "scan", 20L -> "join"), logIdf = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 3 is the only scan doc; join appears in docs 1 and 2
+    assert(byTerm(10L) > 0.0 && byTerm(20L) > 0.0)
+  }
+
+  test("tf saturation: 8x tf gains less than 8x score") {
+    // doc 4 is pure "window" tf=8; doc 1 has tf=1 (longer dl though) —
+    // saturation bounds the ratio well under 8
+    val scores = run(Seq(1L -> "window"), logIdf = true)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(scores(4L) > scores(1L))
+    assert(scores(4L) < 8 * scores(1L))
+  }
+
+  test("rational and ln idf produce the same per-term doc ordering") {
+    // single-term queries: ln is monotone in the odds, so orderings match
+    for (term <- Seq("spark", "table", "window", "join")) {
+      val a = run(Seq(1L -> term), logIdf = true)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      val b = run(Seq(1L -> term), logIdf = false)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      assert(a === b, s"term=$term")
+    }
+  }
+
+  test("q101 on sf0.001: k ranks per query, unique docs, sorted scores") {
+    val got = RetrievalQueries.qBm25TopK(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(1L, 2L, 3L))
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.map(_.getLong(2)).distinct.length === sorted.length)
+      // scores non-increasing with rank
+      val s = sorted.map(_.getDouble(3)).toSeq
+      assert(s === s.sorted.reverse, s"query $q not sorted: $s")
+    }
+  }
+}

@@ -37,6 +37,62 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got.head.getLong(0) === 201L)
   }
 
+  test("asOfJoinBucketed equals asOfJoin on crafted edge cases") {
+    // boundary-exact timestamps, equal-ts ties, duplicate (key, ts)
+    // right rows, keys with no prior right row — across several bucket
+    // widths, including one smaller than every gap (max seed-carry)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00")),
+      (2L, 10L, ts("2024-01-01 01:00:00")), // exactly on a 1h boundary
+      (3L, 10L, ts("2024-01-01 03:59:59")),
+      (4L, 20L, ts("2024-01-01 00:05:00")), // no prior right
+      (5L, 30L, ts("2024-01-01 02:00:00")) // tie with dup right rows
+    ).toDF("lid", "key", "lts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 00:00:00")),
+      (102L, 10L, ts("2024-01-01 01:00:00")), // equal ts → matches lid=2
+      (103L, 20L, ts("2024-01-01 00:06:00")),
+      (104L, 30L, ts("2024-01-01 02:00:00")), // dup (key, ts):
+      (105L, 30L, ts("2024-01-01 02:00:00")) //   winner must agree
+    ).toDF("rid", "key", "rts")
+    val plain = TemporalJoins.asOfJoin(left, right, "key", "lts", "rts")
+      .select(col("lid"), col("asof.rid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    for (bucket <- Seq(1000000L, 60L * 1000000, 3600L * 1000000)) {
+      val b = TemporalJoins
+        .asOfJoinBucketed(left, right, "key", "lts", "rts", bucket)
+        .select(col("lid"), col("asof.rid")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(b === plain, s"bucketMicros=$bucket")
+    }
+    assert(plain(2L) === 102L) // equal ts counted as at-or-before
+    assert(plain(4L) === -1L)
+  }
+
+  test("asOfJoinBucketed equals asOfJoin on the sf0.001 events table") {
+    val events = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val plain = key(TemporalJoins
+      .asOfJoin(purchases, clicks, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof.click_id")).collect())
+    // a tiny bucket forces long seed-carry chains; a huge one collapses
+    // to (nearly) the plain single-window shape
+    for (bucket <- Seq(60L * 1000000, 3600L * 1000000, 86400L * 1000000)) {
+      val b = key(TemporalJoins
+        .asOfJoinBucketed(purchases, clicks, "user_id", "ts", "ts", bucket)
+        .select(col("event_id"), col("asof.click_id")).collect())
+      assert(b === plain, s"bucketMicros=$bucket")
+    }
+  }
+
   test("slidingCountJoin counts the half-open preceding window only") {
     // window [ts - 10min, ts): candidate AT the probe ts excluded,
     // candidate exactly 10min before included, across bucket boundaries
