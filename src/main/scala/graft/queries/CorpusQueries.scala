@@ -326,4 +326,66 @@ object CorpusQueries {
       |      ::BIGINT + 1.0) / 4503599627370496.0) AS priority
       |FROM documents WHERE n_chars > 0
       |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin
+
+  /** q102 — corpus PII redaction ([[graft.operators.PiiScrub]]). The
+    * synthetic corpus carries no PII, so the query first splices a
+    * deterministic PII suffix onto each doc (email / phone / IPv4 / SSN
+    * by doc_id mod 4 — identical string algebra on both engines), then
+    * scrubs; the oracle hash-checks counts AND the redacted text, so
+    * both the counting and replacement regexes are pinned cross-engine.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = concat(
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit(" call 555-010-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit(" host 10."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")))
+        .otherwise(lit(" ssn 123-45-6789")))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), suffix).as("text"))
+    graft.operators.PiiScrub.scrub(docs, "text")
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+        col("n_ip"), col("n_pii"), col("scrubbed"))
+  }
+
+  val qPiiScrubSql: String =
+    """WITH spliced AS (
+      |  SELECT doc_id, text || CASE doc_id % 4
+      |    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com'
+      |    WHEN 1 THEN ' call 555-010-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.0.1'
+      |    ELSE ' ssn 123-45-6789' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_email,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+      |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+      |    + len(regexp_extract_all(text,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+      |    AS n_pii,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+      |    AS scrubbed
+      |FROM spliced""".stripMargin
 }
