@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *    token stream BEFORE the tf aggregate, so only (doc, query-term)
   *    rows ever shuffle — corpus tokens outside the query vocabulary
   *    never leave their scan task;
-  *  - document frequencies and the corpus stats (N, total tokens) are
-  *    tiny frames broadcast back — no second pass over the corpus;
+  *  - document frequencies come from a window count over the small
+  *    (doc, query-term) tf frame, not a second corpus aggregation (which
+  *    would re-evaluate the explode lineage and scan the corpus again);
+  *    the corpus stats (N, total tokens) are one extra scan+agg of the
+  *    text column only — the full plan touches the corpus exactly twice,
+  *    once per-token and once per-row;
   *  - the per-query top-k is a window over the scored (query, doc) rows,
   *    whose cardinality is bounded by docs-matching-any-term, not |corpus|.
   *
@@ -80,7 +84,11 @@ object Bm25 {
       .join(broadcast(qt.select("__term").distinct()), "__term")
       .groupBy("__doc", "__term", "__dl")
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+      // df as a window count over the (small) tf frame — NOT a second
+      // aggregation from the corpus, which would re-evaluate the whole
+      // explode+join+agg lineage and scan the corpus twice
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("__term"))))
     val tfT = col("__tf") * col("__t")
     val tfsat = (lit(44L) * tfT).cast("double") /
       (lit(20L) * tfT + lit(6L) * col("__t") +
@@ -89,7 +97,6 @@ object Bm25 {
       (lit(2L) * col("__df") + lit(1L)).cast("double")
     val idf = if (logIdf) log(lit(1.0) + odds) else odds
     val contrib = tf
-      .join(broadcast(dfreq), "__term")
       .crossJoin(broadcast(stats))
       .select(col("__term"), col("__doc"), (idf * tfsat).as("__c"))
     val w = Window.partitionBy(col("__qid"))

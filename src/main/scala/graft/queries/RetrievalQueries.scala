@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.Bm25
+import graft.operators.{Bm25, RankFusion, Similarity}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Lexical retrieval over the `documents` table (SURVEY §7.5 extension:
   * the search/ranking operator a RAG or eval pipeline runs next to the
@@ -70,5 +71,108 @@ object RetrievalQueries {
       |    ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id ASC) AS rank
       |  FROM qscore)
+      |WHERE rank <= 10""".stripMargin
+
+  /** Per-query anchor documents for the dense half of the hybrid
+    * search: "docs like this seed AND matching these keywords".
+    * doc_id and vec_id are aligned in the synthetic tables.
+    */
+  private val anchors: Seq[(Long, Long)] = Seq(1L -> 7L, 2L -> 42L,
+    3L -> 123L)
+
+  /** q103 — hybrid retrieval: BM25 top-20 (rational idf, [[Bm25.topK]])
+    * and anchor-embedding cosine top-20 ([[Similarity.bruteForceTopK]])
+    * fused with RRF ([[RankFusion.rrf]], c = 60) into a top-10. Every
+    * stage is the cross-engine-exact form, so the oracle hash-checks
+    * lexical ranking, dense ranking, and fusion in one query.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = querySet.toDF("query_id", "term")
+    val lexical = Bm25.topK(
+      Tables.documents(spark, dir), "doc_id", "text",
+      TextFunctions.tokens, queries, "query_id", "term",
+      k = 20, logIdf = false)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        lit("bm25").as("src"))
+    val emb = Tables.embeddings(spark, dir)
+    val anchorDf = anchors.toDF("fused_qid", "anchor")
+    val dense = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.join(anchorDf, col("vec_id") === col("anchor"))
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 20)
+      .join(anchorDf, col("query_id") === col("anchor"))
+      .select(col("fused_qid").as("query_id"),
+        col("neighbor_id").as("doc_id"),
+        col("rank"), lit("dense").as("src"))
+    RankFusion.rrf(lexical.unionByName(dense),
+      "query_id", "doc_id", "rank", "src", k = 10)
+  }
+
+  val qHybridRrfSql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  (1, 'spark'), (1, 'join'), (1, 'window'),
+      |  (2, 'vector'), (2, 'hash'), (2, 'merge'),
+      |  (3, 'table'), (3, 'scan')),
+      |anchors(query_id, anchor) AS (VALUES (1, 7), (2, 42), (3, 123)),
+      |stats AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS t
+      |  FROM documents),
+      |docterm AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |        FROM documents)),
+      |tf AS (
+      |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM docterm
+      |  WHERE term IN (SELECT DISTINCT term FROM q)
+      |  GROUP BY doc_id, term, dl),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT doc_id, term,
+      |    (CAST(2 * (n + 1) AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+      |    (CAST(44 * tf * t AS DOUBLE) /
+      |     CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE)) AS c
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+      |qscore AS (
+      |  SELECT q.query_id, c.doc_id,
+      |    list_reduce(list(c.c ORDER BY c.term), (a, b) -> a + b) AS score
+      |  FROM q JOIN contrib c USING (term)
+      |  GROUP BY q.query_id, c.doc_id),
+      |lexical AS (
+      |  SELECT query_id, doc_id, rank, 'bm25' AS src FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rank
+      |    FROM qscore)
+      |  WHERE rank <= 20),
+      |dense AS (
+      |  SELECT query_id, doc_id, rank, 'dense' AS src FROM (
+      |    SELECT a.query_id, c.vec_id AS doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+      |        ORDER BY list_cosine_similarity(
+      |          e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |        c.vec_id ASC) AS rank
+      |    FROM anchors a
+      |    JOIN embeddings e ON e.vec_id = a.anchor
+      |    CROSS JOIN embeddings c
+      |    WHERE c.vec_id <> a.anchor)
+      |  WHERE rank <= 20),
+      |unioned AS (
+      |  SELECT * FROM lexical UNION ALL SELECT * FROM dense),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |    list_reduce(
+      |      list(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE)
+      |        ORDER BY src), (a, b) -> a + b) AS rrf_score
+      |  FROM unioned GROUP BY query_id, doc_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, rrf_score
+      |FROM (
+      |  SELECT query_id, doc_id, rrf_score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      |  FROM fused)
       |WHERE rank <= 10""".stripMargin
 }

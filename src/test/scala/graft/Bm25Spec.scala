@@ -60,6 +60,36 @@ class Bm25Spec extends SparkSpecBase {
     }
   }
 
+  test("RRF fuses two lists: both-list docs beat single-list docs") {
+    import graft.operators.RankFusion
+    // doc 1 ranks 1st in A and 3rd in B; doc 2 only 2nd in A; doc 3
+    // only 1st in B. 1/(60+1)+1/(60+3) > 1/(60+1) > 1/(60+2)
+    val ranked = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "a"),
+      (1L, 3L, 1L, "b"), (1L, 1L, 3L, "b")
+    ).toDF("q", "d", "r", "s")
+    val got = RankFusion.rrf(ranked, "q", "d", "r", "s", k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L))
+    val s = got.map(_.getDouble(3))
+    assert(s(0) === 1.0 / 61 + 1.0 / 63)
+    assert(s(1) === 1.0 / 61 && s(2) === 1.0 / 62)
+  }
+
+  test("q103 on sf0.001: fused top-10 per query, unique docs") {
+    val got = RetrievalQueries.qHybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(1L, 2L, 3L))
+    for ((q, rows) <- byQ) {
+      assert(rows.length === 10, s"query $q")
+      assert(rows.map(_.getLong(2)).distinct.length === 10)
+      val sorted = rows.sortBy(_.getLong(1))
+      val s = sorted.map(_.getDouble(3)).toSeq
+      assert(s === s.sorted.reverse)
+    }
+  }
+
   test("q101 on sf0.001: k ranks per query, unique docs, sorted scores") {
     val got = RetrievalQueries.qBm25TopK(spark, "/root/testdata/sf0.001")
       .collect()
