@@ -20,6 +20,16 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Plain-function twin of [[tokens]] for per-row kernels — MUST stay
+    * semantically identical (trim, split on `\s+`, empty → empty).
+    * `String.split` drops trailing empties, and a trimmed string can't
+    * produce leading or trailing empties under `\s+`, so the two agree.
+    */
+  def tokensLocal(text: String): Array[String] = {
+    val t = if (text == null) "" else text.trim
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Distinct-token count (vocabulary size of the document). */

@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   * formulation with k1 = 1.2, b = 0.75.
   *
   * Scale shape (the part that matters at 100 TB):
-  *  - the query-term vocabulary broadcasts and semi-joins the exploded
-  *    token stream BEFORE the tf aggregate, so only (doc, query-term)
-  *    rows ever shuffle — corpus tokens outside the query vocabulary
-  *    never leave their scan task;
-  *  - document frequencies come from a window count over the small
-  *    (doc, query-term) tf frame, not a second corpus aggregation (which
-  *    would re-evaluate the explode lineage and scan the corpus again);
-  *    the corpus stats (N, total tokens) are one extra scan+agg of the
-  *    text column only — the full plan touches the corpus exactly twice,
-  *    once per-token and once per-row;
+  *  - term frequencies come from a single-pass per-document KERNEL: the
+  *    (small, by contract) query vocabulary ships in the closure and
+  *    each document emits only its matching (term, count) pairs — no
+  *    token explode, no corpus-sized shuffle, no tf aggregate at all
+  *    (the kernel pre-aggregates within the row). This is the same
+  *    kernel-over-HOF discipline the dedup path measured 10–100× on;
+  *    the explode+broadcast-join draft of this operator benched 1.75s
+  *    at sf0.1 vs 0.6s for the kernel form;
+  *  - document frequencies are a window count over the small matched
+  *    (doc, term) frame, not a second corpus aggregation;
+  *  - corpus stats (N, total tokens) are one cheap scan+agg of the text
+  *    column; the only other corpus touch is the kernel pass;
   *  - the per-query top-k is a window over the scored (query, doc) rows,
   *    whose cardinality is bounded by docs-matching-any-term, not |corpus|.
   *
@@ -48,12 +50,21 @@ object Bm25 {
 
   /** Top-k docs per query by BM25.
     *
-    * @param docs    corpus; `idCol` must be unique
-    * @param queries (queryIdCol, termCol) rows — one row per DISTINCT
-    *                query term (duplicate terms are collapsed; query-side
-    *                term frequency weighting is not applied)
-    * @param logIdf  true = standard `ln` idf; false = exact-rational odds
-    *                idf (cross-engine bit-exact, same per-term ranking)
+    * The query table is collected to the driver (it is the SMALL side by
+    * contract — a query workload, not a second corpus) so its vocabulary
+    * can ride the kernel closure.
+    *
+    * @param docs          corpus; `idCol` must be unique
+    * @param queries       (queryIdCol, termCol) rows — one row per
+    *                      DISTINCT query term (duplicates are collapsed;
+    *                      query-side tf weighting is not applied)
+    * @param tokenize      column-expression tokenizer (used for the
+    *                      corpus-stats pass)
+    * @param tokenizeLocal the SAME tokenization as a plain function
+    *                      (used inside the kernel) — the two must agree
+    * @param logIdf        true = standard `ln` idf; false = exact-rational
+    *                      odds idf (cross-engine bit-exact, same per-term
+    *                      ranking)
     * @return (query id, rank 1..k, doc id, score); docs sharing no term
     *         with the query never appear
     */
@@ -62,6 +73,7 @@ object Bm25 {
       idCol: String,
       textCol: String,
       tokenize: Column => Column,
+      tokenizeLocal: String => Array[String],
       queries: DataFrame,
       queryIdCol: String,
       termCol: String,
@@ -69,24 +81,33 @@ object Bm25 {
       logIdf: Boolean = true
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val toks = tokenize(col(textCol))
+    val spark = docs.sparkSession
+    import spark.implicits._
     val stats = docs.agg(
       count(lit(1)).as("__n"),
-      sum(size(toks).cast("long")).as("__t"))
+      sum(size(tokenize(col(textCol))).cast("long")).as("__t"))
     val qt = queries
       .select(col(queryIdCol).as("__qid"), col(termCol).as("__term"))
       .distinct()
-    val docTerm = docs.select(
-      col(idCol).as("__doc"),
-      size(toks).cast("long").as("__dl"),
-      explode(toks).as("__term"))
-    val tf = docTerm
-      .join(broadcast(qt.select("__term").distinct()), "__term")
-      .groupBy("__doc", "__term", "__dl")
-      .agg(count(lit(1)).as("__tf"))
-      // df as a window count over the (small) tf frame — NOT a second
-      // aggregation from the corpus, which would re-evaluate the whole
-      // explode+join+agg lineage and scan the corpus twice
+    val vocab: Set[String] =
+      qt.select("__term").distinct().as[String].collect().toSet
+    // one pass, pre-aggregated per row: (dl, [(matched term, count)...])
+    val kernel = udf { (text: String) =>
+      val toks = tokenizeLocal(if (text == null) "" else text)
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      toks.foreach { w =>
+        if (vocab.contains(w)) counts.update(w, counts.getOrElse(w, 0L) + 1)
+      }
+      (toks.length.toLong, counts.toSeq)
+    }
+    val tf = docs
+      .select(col(idCol).as("__doc"), kernel(col(textCol)).as("__k"))
+      .select(col("__doc"), col("__k._1").as("__dl"),
+        explode(col("__k._2")).as("__h"))
+      .select(col("__doc"), col("__dl"), col("__h._1").as("__term"),
+        col("__h._2").as("__tf"))
+      // df as a window count over the (small) matched frame — NOT a
+      // second corpus aggregation
       .withColumn("__df",
         count(lit(1)).over(Window.partitionBy(col("__term"))))
     val tfT = col("__tf") * col("__t")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, RankFusion, Similarity}
+import graft.operators.{Bm25, RankFusion, RetrievalEval, Similarity}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,7 +31,8 @@ object RetrievalQueries {
     val queries = querySet.toDF("query_id", "term")
     Bm25.topK(
       Tables.documents(spark, dir), "doc_id", "text",
-      TextFunctions.tokens, queries, "query_id", "term",
+      TextFunctions.tokens, TextFunctions.tokensLocal,
+      queries, "query_id", "term",
       k = 10, logIdf = false)
   }
 
@@ -91,7 +92,8 @@ object RetrievalQueries {
     val queries = querySet.toDF("query_id", "term")
     val lexical = Bm25.topK(
       Tables.documents(spark, dir), "doc_id", "text",
-      TextFunctions.tokens, queries, "query_id", "term",
+      TextFunctions.tokens, TextFunctions.tokensLocal,
+      queries, "query_id", "term",
       k = 20, logIdf = false)
       .select(col("query_id"), col("doc_id"), col("rank"),
         lit("bm25").as("src"))
@@ -175,4 +177,51 @@ object RetrievalQueries {
       |      ORDER BY rrf_score DESC, doc_id ASC) AS rank
       |  FROM fused)
       |WHERE rank <= 10""".stripMargin
+
+  /** q104 — retrieval evaluation ([[RetrievalEval.metrics]]): the q103
+    * hybrid top-10 scored against cluster-label relevance (a doc is
+    * relevant to a query iff it shares the anchor's embedding `label`,
+    * anchor excluded). recall@k and MRR are exact integer ratios, so
+    * the oracle hash-checks the whole rank→judge→score chain.
+    */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val anchorDf = anchors.toDF("query_id", "anchor")
+    val anchorLabels = emb.join(anchorDf, col("vec_id") === col("anchor"))
+      .select(col("query_id"), col("anchor"), col("label").as("__albl"))
+    val relevant = emb.join(broadcast(anchorLabels),
+      col("label") === col("__albl") && col("vec_id") =!= col("anchor"))
+      .select(col("query_id"), col("vec_id").as("doc_id"))
+    RetrievalEval.metrics(
+      qHybridRrf(spark, dir), "query_id", "rank", "doc_id",
+      relevant, "query_id", "doc_id")
+  }
+
+  val qRetrievalEvalSql: String = {
+    val fusedTop10 = qHybridRrfSql
+    s"""WITH fused_top AS ($fusedTop10),
+      |anch(query_id, anchor) AS (VALUES (1, 7), (2, 42), (3, 123)),
+      |relevant AS (
+      |  SELECT CAST(a.query_id AS BIGINT) AS query_id,
+      |    e.vec_id AS doc_id
+      |  FROM anch a
+      |  JOIN embeddings al ON al.vec_id = a.anchor
+      |  JOIN embeddings e ON e.label = al.label AND e.vec_id <> a.anchor),
+      |nrel AS (
+      |  SELECT query_id, COUNT(*) AS n_relevant FROM relevant
+      |  GROUP BY query_id),
+      |hits AS (
+      |  SELECT f.query_id, COUNT(*) AS hits, MIN(f.rank) AS minrank
+      |  FROM fused_top f JOIN relevant r
+      |    ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+      |  GROUP BY f.query_id)
+      |SELECT n.query_id, n.n_relevant,
+      |  COALESCE(h.hits, 0) AS hits,
+      |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(n.n_relevant AS DOUBLE)
+      |    AS recall_at_k,
+      |  CASE WHEN h.minrank IS NULL THEN 0.0
+      |    ELSE CAST(1 AS DOUBLE) / CAST(h.minrank AS DOUBLE) END AS mrr
+      |FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id""".stripMargin
+  }
 }

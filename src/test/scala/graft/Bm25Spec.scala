@@ -18,8 +18,8 @@ class Bm25Spec extends SparkSpecBase {
 
   private def run(terms: Seq[(Long, String)], logIdf: Boolean) =
     Bm25.topK(corpus, "doc_id", "text", TextFunctions.tokens,
-      terms.toDF("query_id", "term"), "query_id", "term",
-      k = 10, logIdf = logIdf)
+      TextFunctions.tokensLocal, terms.toDF("query_id", "term"),
+      "query_id", "term", k = 10, logIdf = logIdf)
 
   test("docs sharing no query term never appear; matches rank by score") {
     val got = run(Seq(1L -> "spark", 1L -> "join"), logIdf = true)
@@ -87,6 +87,33 @@ class Bm25Spec extends SparkSpecBase {
       val sorted = rows.sortBy(_.getLong(1))
       val s = sorted.map(_.getDouble(3)).toSeq
       assert(s === s.sorted.reverse)
+    }
+  }
+
+  test("RetrievalEval: recall and mrr on a hand-checked fixture") {
+    import graft.operators.RetrievalEval
+    val ranked = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), // rel: 11 @2, 12 @3
+      (2L, 1L, 20L), (2L, 2L, 21L) // no relevant retrieved
+    ).toDF("q", "r", "d")
+    val rel = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("q", "d")
+    val got = RetrievalEval.metrics(ranked, "q", "r", "d", rel, "q", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0, 0.5))) // first hit at rank 2
+    assert(got(2L) === ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("q104 on sf0.001: one row per query, metrics in range") {
+    val got = RetrievalQueries.qRetrievalEval(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    got.foreach { r =>
+      assert(r.getLong(1) > 0) // every label has >1 member
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
     }
   }
 
