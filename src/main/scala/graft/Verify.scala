@@ -15,10 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.SortedMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name -> String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +39,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a query that threw has no output dir and would otherwise just be
+    // ABSENT from the driver's report (round 5 lost 18 queries to a
+    // testdata schema change this way) — record failures explicitly
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

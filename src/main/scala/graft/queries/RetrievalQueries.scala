@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, RankFusion, RetrievalEval, Similarity}
+import graft.operators.{Bm25, IndexStats, MergeOps, RankFusion,
+  RetrievalEval, Similarity}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,4 +225,48 @@ object RetrievalQueries {
       |    ELSE CAST(1 AS DOUBLE) / CAST(h.minrank AS DOUBLE) END AS mrr
       |FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id""".stripMargin
   }
+
+  /** q105 — incremental index-stats maintenance
+    * ([[IndexStats.applyChanges]]): a deterministic merge batch
+    * (modified docs get a new token appended; brand-new docs insert)
+    * flows through [[MergeOps.changeFeed]] and updates the df table at
+    * O(changes) cost. The oracle recomputes df from the merged corpus —
+    * incremental must equal full recompute exactly.
+    */
+  def qIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val modified = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" graftnewterm")))
+    val added = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("brand new doc "), col("doc_id").cast("string"))
+          .as("text"))
+    val updates = modified.unionByName(added)
+    val spec = MergeOps.MergeSpec(Seq("doc_id"))
+    val base = IndexStats.termDf(docs, "text", TextFunctions.tokensLocal)
+    val changes = MergeOps.changeFeed(docs, updates, spec)
+    IndexStats.applyChanges(base, changes, "text",
+      TextFunctions.tokensLocal)
+  }
+
+  val qIndexStatsSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |u AS (
+      |  SELECT doc_id, text || ' graftnewterm' AS text FROM docs
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    'brand new doc ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM docs WHERE doc_id % 17 = 0),
+      |merged AS (
+      |  SELECT COALESCE(u.doc_id, d.doc_id) AS doc_id,
+      |    CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE d.text END
+      |      AS text
+      |  FROM docs d FULL OUTER JOIN u ON d.doc_id = u.doc_id)
+      |SELECT term, COUNT(*) AS df FROM (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+      |      AS term
+      |  FROM merged WHERE trim(text) <> '')
+      |GROUP BY term""".stripMargin
 }

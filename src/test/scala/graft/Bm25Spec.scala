@@ -117,6 +117,31 @@ class Bm25Spec extends SparkSpecBase {
     }
   }
 
+  test("IndexStats: incremental df equals full recompute, all change kinds") {
+    import graft.operators.{IndexStats, MergeOps}
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha alpha delta"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    // update replacing text (drops beta, adds zeta), plus a new doc
+    val updates = Seq((2L, "zeta gamma"), (9L, "alpha zeta"))
+      .toDF("doc_id", "text")
+    val spec = MergeOps.MergeSpec(Seq("doc_id"))
+    val incr = IndexStats.applyChanges(
+      IndexStats.termDf(docs, "text", TextFunctions.tokensLocal),
+      MergeOps.changeFeed(docs, updates, spec),
+      "text", TextFunctions.tokensLocal)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = IndexStats.termDf(
+      MergeOps.merge(docs, updates, spec), "text",
+      TextFunctions.tokensLocal)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incr === full)
+    assert(incr("beta") === 1L) // dropped from doc 2, kept in doc 1
+    assert(incr("zeta") === 2L) // doc 2 update + doc 9 insert
+    assert(!incr.contains("")) // no empty terms, no zero-df residue
+  }
+
   test("q101 on sf0.001: k ranks per query, unique docs, sorted scores") {
     val got = RetrievalQueries.qBm25TopK(spark, "/root/testdata/sf0.001")
       .collect()
