@@ -46,4 +46,32 @@ object Sampling {
         weightCol.cast("double") / hashUniform(col(idCol), seed))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
+
+  /** Leakage-safe train/val/test assignment: the split is drawn from
+    * the GROUP column (e.g. a near-dup component id from
+    * [[GraphOps.connectedComponents]]), never the row, so duplicates
+    * and near-duplicates always land in the same split — the standard
+    * guard against train→test contamination that per-row splitting
+    * cannot give. Appends a `split` column; pure per-row projection
+    * once the group column exists (zero shuffles), deterministic
+    * across runs, engines, and cluster sizes.
+    *
+    * Threshold comparisons happen on the exact 52-bit uniform, so a
+    * group is `train` iff u < trainFrac with both sides IEEE-exact —
+    * the oracle reproduces the assignment bit-for-bit.
+    */
+  def splitByGroup(
+      df: DataFrame,
+      groupCol: String,
+      seed: String,
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"bad fractions: train=$trainFrac val=$valFrac")
+    val u = hashUniform(col(groupCol), seed)
+    df.withColumn("split",
+      when(u < trainFrac, lit("train"))
+        .when(u < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -327,6 +327,35 @@ object CorpusQueries {
       |FROM documents WHERE n_chars > 0
       |ORDER BY priority DESC, doc_id LIMIT 60""".stripMargin
 
+  /** q106 — leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.splitByGroup]]): near-dup components
+    * (the q37 graph) are the split unit, so no near-duplicate pair can
+    * straddle train and test. 80/10/10 by the md5-52-bit uniform of the
+    * component id; the oracle recomputes components via recursive-CTE
+    * closure and applies the identical threshold rule.
+    */
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .splitByGroup(TextQueries.qDedupGroups(spark, dir), "component",
+        seed = "13")
+      .select("doc_id", "component", "split")
+
+  val qLeakageSplitSql: String = {
+    // the q37 oracle produces (doc_id, component); reuse it verbatim
+    val comps = TextQueries.qDedupGroupsSql
+    s"""WITH comps AS ($comps),
+      |u AS (
+      |  SELECT doc_id, component,
+      |    (('0x' || substr(md5('13:' || CAST(component AS VARCHAR)), 1, 13))
+      |      ::BIGINT + 1.0) / 4503599627370496.0 AS uu
+      |  FROM comps)
+      |SELECT doc_id, component,
+      |  CASE WHEN uu < 0.8 THEN 'train'
+      |       WHEN uu < 0.9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM u""".stripMargin
+  }
+
   /** q102 — corpus PII redaction ([[graft.operators.PiiScrub]]). The
     * synthetic corpus carries no PII, so the query first splices a
     * deterministic PII suffix onto each doc (email / phone / IPv4 / SSN

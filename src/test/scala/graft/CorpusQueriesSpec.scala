@@ -84,4 +84,23 @@ class CorpusQueriesSpec extends SparkSpecBase {
     assert(kernel === 3) // only the non-null doc's 3-grams (5 tokens)
     assert(md5g === 1) // 5 tokens → one 5-gram; null doc contributes none
   }
+
+  test("leakage-safe split: components never straddle splits; ~80/10/10") {
+    val rows = CorpusQueries.qLeakageSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one split per component — the leakage guarantee
+    val perComp = rows.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.map(_.getString(2)).distinct.length }
+    assert(perComp.forall(_ === 1))
+    // deterministic rerun
+    val again = CorpusQueries.qLeakageSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(rows.forall(r => again(r.getLong(0)) === r.getString(2)))
+    // group-level fractions roughly honor 80/10/10 (binomial slack)
+    val comps = rows.map(r => (r.getLong(1), r.getString(2))).distinct
+    val n = comps.length.toDouble
+    val frac = comps.groupBy(_._2).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+  }
 }
