@@ -53,10 +53,14 @@ object Bench {
         }
         name -> times.min
     }
-    val qs = results
+    // failed queries are EXCLUDED from the timings map and the total —
+    // an analysis failure's latency is not a runtime, and round 5's
+    // report showed how convincingly it can impersonate one
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")

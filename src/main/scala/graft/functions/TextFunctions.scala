@@ -21,13 +21,23 @@ object TextFunctions {
       .otherwise(split(trim(text), "\\s+"))
 
   /** Plain-function twin of [[tokens]] for per-row kernels — MUST stay
-    * semantically identical (trim, split on `\s+`, empty → empty).
-    * `String.split` drops trailing empties, and a trimmed string can't
-    * produce leading or trailing empties under `\s+`, so the two agree.
+    * semantically identical. Two traps make the obvious
+    * `text.trim.split("\\s+")` WRONG:
+    *  - SQL `trim` (Spark and DuckDB) strips only ' ' (U+0020), while
+    *    Java `String.trim` strips every char ≤ U+0020 — so "\tfoo"
+    *    must keep its tab and tokenize as ["", "foo"];
+    *  - Spark's `split` keeps trailing empty tokens (limit −1), while
+    *    Java's default `split` drops them — so "foo\t" must tokenize
+    *    as ["foo", ""].
     */
   def tokensLocal(text: String): Array[String] = {
-    val t = if (text == null) "" else text.trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    val s = if (text == null) "" else text
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val t = s.substring(from, to)
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
   }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

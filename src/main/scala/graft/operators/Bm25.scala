@@ -114,9 +114,12 @@ object Bm25 {
     val tfsat = (lit(44L) * tfT).cast("double") /
       (lit(20L) * tfT + lit(6L) * col("__t") +
         lit(18L) * col("__dl") * col("__n")).cast("double")
+    // odds = (N − df + ½)/(df + ½) + 1 — the "+1" is already inside
+    // (it's what makes the ratio equal 2(N+1)/(2df+1)), so the standard
+    // Okapi idf is ln(odds), NOT ln(1 + odds)
     val odds = (lit(2L) * (col("__n") + lit(1L))).cast("double") /
       (lit(2L) * col("__df") + lit(1L)).cast("double")
-    val idf = if (logIdf) log(lit(1.0) + odds) else odds
+    val idf = if (logIdf) log(odds) else odds
     val contrib = tf
       .crossJoin(broadcast(stats))
       .select(col("__term"), col("__doc"), (idf * tfsat).as("__c"))

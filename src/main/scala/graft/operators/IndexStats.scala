@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object IndexStats {
 
+  /** The one term-extraction rule both directions share — if full
+    * recompute and incremental maintenance ever tokenized differently,
+    * the operator's defining invariant (incremental == recompute)
+    * would silently break.
+    */
+  private def distinctTermsUdf(tokenizeLocal: String => Array[String]) =
+    udf { (text: String) => tokenizeLocal(text).distinct }
+
   /** Per-term document frequency of a corpus (the full-recompute form
     * and the base for [[applyChanges]]). One kernel pass per doc emits
     * its distinct terms; one aggregate counts docs per term.
@@ -29,15 +37,12 @@ object IndexStats {
       docs: DataFrame,
       textCol: String,
       tokenizeLocal: String => Array[String]
-  ): DataFrame = {
-    val distinctTerms = udf { (text: String) =>
-      tokenizeLocal(if (text == null) "" else text).distinct
-    }
+  ): DataFrame =
     docs
-      .select(explode(distinctTerms(col(textCol))).as("term"))
+      .select(explode(distinctTermsUdf(tokenizeLocal)(col(textCol)))
+        .as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
-  }
 
   /** Applies a merge's change feed to a df table.
     *
@@ -52,9 +57,7 @@ object IndexStats {
       textCol: String,
       tokenizeLocal: String => Array[String]
   ): DataFrame = {
-    val distinctTerms = udf { (text: String) =>
-      tokenizeLocal(if (text == null) "" else text).distinct
-    }
+    val distinctTerms = distinctTermsUdf(tokenizeLocal)
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))

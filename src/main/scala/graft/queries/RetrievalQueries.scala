@@ -37,20 +37,27 @@ object RetrievalQueries {
       k = 10, logIdf = false)
   }
 
-  val qBm25TopKSql: String =
-    """WITH q(query_id, term) AS (VALUES
+  /** Shared BM25 CTE chain (query set → stats → tf → df → per-(query,
+    * doc) scores) — interpolated into both the q101 and q103 oracles so
+    * a fix lands in both. The `trim(text) = ''` guards mirror Spark's
+    * `tokens` (empty → 0 tokens), where DuckDB's split of an empty
+    * string would yield [''] (1 token).
+    */
+  private val bm25CtesSql: String =
+    """q(query_id, term) AS (VALUES
       |  (1, 'spark'), (1, 'join'), (1, 'window'),
       |  (2, 'vector'), (2, 'hash'), (2, 'merge'),
       |  (3, 'table'), (3, 'scan')),
       |stats AS (
       |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-      |      AS t
+      |    CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+      |      AS BIGINT) AS t
       |  FROM documents),
       |docterm AS (
       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-      |        FROM documents)),
+      |        FROM documents WHERE trim(text) <> '')),
       |tf AS (
       |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM docterm
       |  WHERE term IN (SELECT DISTINCT term FROM q)
@@ -66,7 +73,10 @@ object RetrievalQueries {
       |  SELECT q.query_id, c.doc_id,
       |    list_reduce(list(c.c ORDER BY c.term), (a, b) -> a + b) AS score
       |  FROM q JOIN contrib c USING (term)
-      |  GROUP BY q.query_id, c.doc_id)
+      |  GROUP BY q.query_id, c.doc_id)""".stripMargin
+
+  val qBm25TopKSql: String =
+    s"""WITH $bm25CtesSql
       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
       |FROM (
       |  SELECT query_id, doc_id, score,
@@ -114,36 +124,8 @@ object RetrievalQueries {
   }
 
   val qHybridRrfSql: String =
-    """WITH q(query_id, term) AS (VALUES
-      |  (1, 'spark'), (1, 'join'), (1, 'window'),
-      |  (2, 'vector'), (2, 'hash'), (2, 'merge'),
-      |  (3, 'table'), (3, 'scan')),
+    s"""WITH $bm25CtesSql,
       |anchors(query_id, anchor) AS (VALUES (1, 7), (2, 42), (3, 123)),
-      |stats AS (
-      |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-      |      AS t
-      |  FROM documents),
-      |docterm AS (
-      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-      |        FROM documents)),
-      |tf AS (
-      |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM docterm
-      |  WHERE term IN (SELECT DISTINCT term FROM q)
-      |  GROUP BY doc_id, term, dl),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |contrib AS (
-      |  SELECT doc_id, term,
-      |    (CAST(2 * (n + 1) AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
-      |    (CAST(44 * tf * t AS DOUBLE) /
-      |     CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE)) AS c
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-      |qscore AS (
-      |  SELECT q.query_id, c.doc_id,
-      |    list_reduce(list(c.c ORDER BY c.term), (a, b) -> a + b) AS score
-      |  FROM q JOIN contrib c USING (term)
-      |  GROUP BY q.query_id, c.doc_id),
       |lexical AS (
       |  SELECT query_id, doc_id, rank, 'bm25' AS src FROM (
       |    SELECT query_id, doc_id,

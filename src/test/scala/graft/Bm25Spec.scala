@@ -21,6 +21,24 @@ class Bm25Spec extends SparkSpecBase {
       TextFunctions.tokensLocal, terms.toDF("query_id", "term"),
       "query_id", "term", k = 10, logIdf = logIdf)
 
+  test("tokensLocal matches the tokens column expression exactly") {
+    // the traps: SQL trim strips only ' ' (Java trim eats \t\n\r too);
+    // Spark split keeps trailing empties (Java default drops them)
+    val texts = Seq("a b", "  a  b  ", "\ta b", "a b\n", "a\tb", "", "  ",
+      "\t", "one", " lead", "trail ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val viaColumn = df
+      .select($"id", TextFunctions.tokens($"t").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(TextFunctions.tokensLocal(t).toList === viaColumn(i.toLong),
+        s"text=${t.replace("\t", "\\t").replace("\n", "\\n")}")
+    }
+    assert(TextFunctions.tokensLocal(null).isEmpty)
+  }
+
   test("docs sharing no query term never appear; matches rank by score") {
     val got = run(Seq(1L -> "spark", 1L -> "join"), logIdf = true)
       .orderBy("rank").collect()
