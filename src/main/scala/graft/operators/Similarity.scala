@@ -1210,20 +1210,24 @@ object Similarity {
     // bucket they probe (own bucket + hamming-1 neighbors)
     val hs: Array[Array[Double]] =
       hyperplanes(dim, planes, seed).map(_.toArray).toArray
-    def bucketOf(v: Array[Float]): Long = {
-      var bucket = 0L
-      var p = 0
-      while (p < hs.length) {
-        val h = hs(p)
+    def planeDots(v: Array[Float]): Array[Double] =
+      hs.map { h =>
         var d = 0.0
         var i = 0
         val n = math.min(v.length, h.length)
         while (i < n) { d += v(i).toDouble * h(i); i += 1 }
-        if (d >= 0) bucket |= (1L << p)
+        d
+      }
+    def bucketFromDots(dots: Array[Double]): Long = {
+      var bucket = 0L
+      var p = 0
+      while (p < dots.length) {
+        if (dots(p) >= 0) bucket |= (1L << p)
         p += 1
       }
       bucket
     }
+    def bucketOf(v: Array[Float]): Long = bucketFromDots(planeDots(v))
     val qData: Array[(Long, Array[Float], Double, Long)] = queries
       .select(col(queryId).cast("long"), col(queryVec))
       .as[(Long, Array[Float])]
@@ -1234,13 +1238,34 @@ object Similarity {
         while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
         (id, v, math.sqrt(n), bucketOf(v))
       }
-    val probeMasks: Array[Long] =
-      if (multiProbe) 0L +: Array.tabulate(planes)(i => 1L << i)
-      else Array(0L)
+    // Query-directed multi-probe (Lv et al., VLDB 2007): beyond the own
+    // bucket and every single-plane flip, also probe pair-flips of the
+    // LEAST-CONFIDENT planes (smallest |dot| — the boundaries this query
+    // sits closest to, where its true neighbors most likely fell on the
+    // other side). All probe cost is per QUERY (more buckets in the
+    // broadcast index); the corpus-side pass still hashes each row once.
+    val qDots: Array[Array[Double]] = qData.map(q => planeDots(q._2))
+    def probeMasksFor(qi: Int): Array[Long] =
+      if (!multiProbe) Array(0L)
+      else {
+        val singles = Array.tabulate(planes)(i => 1L << i)
+        val closest = qDots(qi).zipWithIndex
+          .sortBy { case (d, i) => (math.abs(d), i) }
+          .take(math.min(4, planes))
+          .map(_._2)
+        val pairs = for {
+          a <- closest.indices.iterator
+          b <- (a + 1) until closest.length
+        } yield (1L << closest(a)) | (1L << closest(b))
+        (0L +: singles) ++ pairs.toArray
+      }
     // bucket → dense query index list; ~2^planes entries, each query in
-    // `probes` lists — tiny next to the corpus
+    // `probes` lists — tiny next to the corpus. Distinct masks per query
+    // keep the one-meeting-per-pair guarantee (no dedup stage needed).
     val byBucket: Map[Long, Array[Int]] = qData.zipWithIndex
-      .flatMap { case ((_, _, _, b0), qi) => probeMasks.map(m => (b0 ^ m) -> qi) }
+      .flatMap { case ((_, _, _, b0), qi) =>
+        probeMasksFor(qi).map(m => (b0 ^ m) -> qi)
+      }
       .groupBy(_._1)
       .map { case (b, xs) => b -> xs.map(_._2) }
     val bcQ = spark.sparkContext.broadcast(qData)
