@@ -209,6 +209,40 @@ object TemporalJoins {
         "left")
   }
 
+  /** Linear multi-touch attribution: every `candidates` row in a probe
+    * row's window `[ts - W, ts)` shares the probe's value equally —
+    * credit = value / n_in_window — the standard equal-weight
+    * alternative to [[firstTouchJoin]] (time-decay weighting needs
+    * `exp`, which is not cross-engine bit-stable; linear is a single
+    * exact IEEE division). Same bucketed band-join shape; the per-probe
+    * window count runs over the matched pairs only.
+    *
+    * Output: one row per (probe, candidate) match — `probeIdCol`,
+    * `touch_<idCol>`, `n_in_window`, `credit`. Probes with an empty
+    * window emit nothing (no credit to assign). Probe ids must be
+    * unique.
+    */
+  def linearAttributionJoin(
+      probe: DataFrame,
+      candidates: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      probeIdCol: String,
+      idCol: String,
+      valueCol: String,
+      windowMicros: Long
+  ): DataFrame = {
+    val w = Window.partitionBy(col(probeIdCol))
+    bucketedWindowJoin(probe, candidates, keyCol, tsCol, windowMicros,
+      Seq(col(idCol).as("__cid")))
+      .filter(col("__cu").isNotNull)
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col(probeIdCol), col("__cid").as(s"touch_$idCol"),
+        col("n_in_window"),
+        (col(valueCol).cast("double") /
+          col("n_in_window").cast("double")).as("credit"))
+  }
+
   /** First-touch attribution join: for every probe row, the EARLIEST
     * `candidates` row with the same key in `[probe.ts - windowMicros,
     * probe.ts)` — null columns when the window is empty. Same bucketed

@@ -204,4 +204,46 @@ object TemporalQueries {
       |  COUNT(*) AS n_users
       |FROM f JOIN a ON a.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** q107 — linear multi-touch attribution
+    * ([[TemporalJoins.linearAttributionJoin]]): every click in the 30
+    * minutes before a purchase shares the purchase value equally
+    * (credit = value / n). One exact IEEE division per pair — the
+    * equal-weight complement of q71's first-touch argmin; time-decay
+    * weighting would need `exp`, which is not cross-engine bit-stable.
+    */
+  def qLinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    TemporalJoins
+      .linearAttributionJoin(purchases, clicks, "user_id", "ts",
+        "purchase_id", "click_id", "value",
+        windowMicros = 30L * 60 * 1000000)
+      .select(col("purchase_id"), col("touch_click_id").as("click_id"),
+        col("n_in_window"), col("credit"))
+  }
+
+  val qLinearAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(date_trunc('microseconds', ts)) AS u
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.event_id AS purchase_id, p.value,
+      |    c.event_id AS click_id
+      |  FROM p JOIN c
+      |    ON p.user_id = c.user_id
+      |    AND c.u >= p.u - 1800000000 AND c.u < p.u)
+      |SELECT purchase_id, click_id,
+      |  COUNT(*) OVER (PARTITION BY purchase_id) AS n_in_window,
+      |  CAST(value AS DOUBLE)
+      |    / CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS DOUBLE)
+      |    AS credit
+      |FROM pairs""".stripMargin
 }

@@ -93,6 +93,27 @@ class TemporalJoinsSpec extends SparkSpecBase {
     }
   }
 
+  test("linearAttributionJoin splits value equally across window clicks") {
+    val probe = Seq(
+      (100L, 7L, ts("2024-01-01 01:00:00"), 9.0), // 3 clicks → 3.0 each
+      (200L, 7L, ts("2024-01-01 03:00:00"), 5.0) // empty window → no rows
+    ).toDF("pid", "key", "t", "v")
+    val cand = Seq(
+      (1L, 7L, ts("2024-01-01 00:50:00")),
+      (2L, 7L, ts("2024-01-01 00:55:00")),
+      (3L, 7L, ts("2024-01-01 00:59:59")),
+      (4L, 7L, ts("2024-01-01 01:00:00")) // at probe ts: excluded
+    ).toDF("cid", "key", "t")
+    val got = TemporalJoins.linearAttributionJoin(
+      probe, cand, "key", "t", "pid", "cid", "v",
+      10L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 3)
+    assert(got.forall { case (p, _, n, c) => p == 100L && n == 3L && c == 3.0 })
+    assert(got.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("slidingCountJoin counts the half-open preceding window only") {
     // window [ts - 10min, ts): candidate AT the probe ts excluded,
     // candidate exactly 10min before included, across bucket boundaries
