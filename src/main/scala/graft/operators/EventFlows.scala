@@ -46,6 +46,43 @@ object EventFlows {
     }.reduce(_.unionByName(_))
   }
 
+  /** Sequence-model training examples from event logs: for every event
+    * with at least `contextLen` predecessors in its user's timeline,
+    * emit (context, target) where context is the previous `contextLen`
+    * event types oldest-first joined with ">" and target is this
+    * event's type — the next-token-prediction example builder for
+    * behavioral sequence models (and the event-stream analogue of
+    * text-side chunking, q59).
+    *
+    * Scale shape: one shuffle on the user key; the lags ride a single
+    * per-user window sort (all `lag` offsets share one Window frame),
+    * and no per-user sequence is ever collected. Ordering ties on
+    * equal timestamps break by `idCol` for determinism.
+    */
+  def sequenceExamples(
+      df: DataFrame,
+      userCol: String,
+      idCol: String,
+      typeCol: String,
+      tsCol: String,
+      contextLen: Int
+  ): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val lags = (contextLen to 1 by -1)
+      .map(k => lag(col(typeCol), k).over(w))
+    df.select(
+        col(userCol), col(idCol), col(tsCol),
+        concat_ws(">", lags: _*).as("context"),
+        col(typeCol).as("target"),
+        lags.head.isNotNull.as("__full"))
+      // concat_ws silently drops nulls — a short prefix would emit a
+      // truncated context, so require the OLDEST lag to exist
+      .filter(col("__full"))
+      .drop("__full")
+  }
+
   /** Weekly cohort retention: users are cohorted by the week of their
     * FIRST event; for every (cohort, week offset) pair, the count of
     * cohort users active that week. Three aggregates, all keyed on the
@@ -64,7 +101,10 @@ object EventFlows {
       .distinct()
     cohorts
       .join(active, Seq(userCol))
-      .groupBy(col("cohort"),
+      // DATE, not week-truncated timestamp: DuckDB's date_trunc('week')
+      // returns DATE, and matching the type exactly keeps the output
+      // comparable byte-for-byte across engines
+      .groupBy(to_date(col("cohort")).as("cohort"),
         // both sides are week-truncated, so the day gap is an exact
         // multiple of 7 — the division is engine-neutral
         (datediff(to_date(col("__wk")), to_date(col("cohort"))) / 7)

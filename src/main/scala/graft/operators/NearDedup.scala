@@ -253,6 +253,21 @@ object NearDedup {
       .otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** Asymmetric n-gram containment |G(a) ∩ G(b)| / |G(a)| over distinct
+    * shingle sets — the superset-duplicate detector: a short document
+    * wholly quoted inside a long one scores containment ≈ 1 where
+    * symmetric Jaccard (q27) dilutes toward |short|/|long| and misses
+    * it. Run on LSH candidate pairs, like [[ngramJaccard]]; empty G(a)
+    * → 0.0.
+    */
+  def ngramContainment(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(TextFunctions.wordNgrams(a, n))
+    val sb = array_distinct(TextFunctions.wordNgrams(b, n))
+    when(size(sa) === 0, lit(0.0))
+      .otherwise(size(array_intersect(sa, sb)).cast("double") /
+        size(sa).cast("double"))
+  }
+
   /** 64-bit SimHash of the shingle multiset. One UDF per doc over the
     * already-hashed shingle array (the bit-vote loop has no builtin
     * equivalent); everything around it stays codegen.

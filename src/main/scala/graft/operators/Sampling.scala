@@ -47,6 +47,38 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
 
+  /** Curriculum staging: assign every row to one of `nStages` stages by
+    * the exact global CDF of `weightCol` (e.g. document length — the
+    * short-to-long curriculum recipe). Row's stage =
+    * `(#rows with strictly smaller weight) * nStages div N`, so stages
+    * are equal-ish sized and rows with EQUAL weight always share a
+    * stage (no arbitrary tiebreak inside a weight class).
+    *
+    * Scale shape: a global `ntile` would funnel the corpus through one
+    * window task; instead the CDF is computed on the GROUPED frame —
+    * one aggregate over distinct weights, a running sum over that
+    * (bounded by the weight vocabulary, like the q21 term window), and
+    * one join back on the weight key. Pure integer arithmetic, so the
+    * assignment is exact and engine-neutral.
+    */
+  def curriculumStages(
+      df: DataFrame,
+      weightCol: String,
+      nStages: Int): DataFrame = {
+    require(nStages > 0, s"nStages must be positive, got $nStages")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(weightCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cdf = df.groupBy(col(weightCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__less", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over())
+      .select(col(weightCol),
+        expr(s"(__less * $nStages) div __n").as("stage"))
+    df.join(cdf, Seq(weightCol))
+  }
+
   /** Leakage-safe train/val/test assignment: the split is drawn from
     * the GROUP column (e.g. a near-dup component id from
     * [[GraphOps.connectedComponents]]), never the row, so duplicates

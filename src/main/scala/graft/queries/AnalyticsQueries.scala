@@ -158,6 +158,33 @@ object AnalyticsQueries {
       |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c""".stripMargin
 
+  /** q113 — sequence-model training examples
+    * ([[graft.operators.EventFlows.sequenceExamples]]): every event
+    * with ≥3 predecessors becomes a (context "a>b>c" oldest-first,
+    * target) next-token example — the dataset-builder complement of
+    * q98's transition MATRIX. One user-key shuffle, all lags on a
+    * single window sort.
+    */
+  def q113SeqExamples(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventFlows.sequenceExamples(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts")),
+      "user_id", "event_id", "event_type", "ts", contextLen = 3)
+
+  val q113SeqExamplesSql: String =
+    """SELECT user_id, event_id, ts,
+      |  lag3 || '>' || lag2 || '>' || lag1 AS context,
+      |  event_type AS target
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type, 3) OVER w AS lag3,
+      |    lag(event_type, 2) OVER w AS lag2,
+      |    lag(event_type, 1) OVER w AS lag1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE lag3 IS NOT NULL""".stripMargin
+
   /** q100 — rolling + cumulative window frames over the daily revenue
     * series: 7-row trailing sum/avg and a running total, decimal-exact
     * until the final double cast. The windows are unpartitioned BY

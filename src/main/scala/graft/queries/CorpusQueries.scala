@@ -363,6 +363,69 @@ object CorpusQueries {
     * scrubs; the oracle hash-checks counts AND the redacted text, so
     * both the counting and replacement regexes are pinned cross-engine.
     */
+  /** q109 — bigram language-model counts
+    * ([[graft.operators.NgramLm.bigramCounts]]): corpus-wide bigram
+    * frequencies with exact conditional probabilities (the KenLM-style
+    * count pass), pruned to bigrams seen ≥ 3 times. Counts are
+    * integers and p_cond a single IEEE division, so the whole kernel →
+    * explode → count → window chain hash-checks.
+    */
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.bigramCounts(
+      Tables.documents(spark, dir), "text",
+      (c, n) => wordNgramsKernel(c, n), minCount = 3L)
+
+  val qBigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |bg AS (
+      |  SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+      |    FROM tok)),
+      |counted AS (
+      |  SELECT w1, w2, COUNT(*) AS c_bigram FROM bg GROUP BY w1, w2),
+      |with_den AS (
+      |  SELECT w1, w2, c_bigram,
+      |    CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_w1
+      |  FROM counted)
+      |SELECT w1, w2, c_bigram, c_w1,
+      |  CAST(c_bigram AS DOUBLE) / CAST(c_w1 AS DOUBLE) AS p_cond
+      |FROM with_den WHERE c_bigram >= 3""".stripMargin
+
+  /** q112 — curriculum staging ([[Sampling.curriculumStages]]): docs
+    * assigned to 4 stages by the exact global length CDF (equal-length
+    * docs always share a stage), summarized per stage. The stage rule
+    * is pure integer arithmetic, so assignment is engine-neutral.
+    */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .curriculumStages(Tables.documents(spark, dir), "n_chars", 4)
+      .groupBy("stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"))
+
+  val qCurriculumSql: String =
+    """WITH cdf AS (
+      |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+      |s AS (
+      |  SELECT n_chars,
+      |    CAST((COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 4)
+      |      // SUM(cnt) OVER () AS BIGINT) AS stage
+      |  FROM cdf)
+      |SELECT stage, COUNT(*) AS n_docs,
+      |  MIN(d.n_chars) AS min_chars, MAX(d.n_chars) AS max_chars,
+      |  CAST(SUM(d.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_chars
+      |FROM documents d JOIN s ON d.n_chars = s.n_chars
+      |GROUP BY stage""".stripMargin
+
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val suffix = concat(
       when(pmod(col("doc_id"), lit(4)) === 0,

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.{Bm25, IndexStats, MergeOps, RankFusion,
-  RetrievalEval, Similarity}
+import graft.operators.{Bm25, IndexStats, InvertedIndex, MergeOps, Mining,
+  RankFusion, RetrievalEval, Similarity}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -230,6 +230,103 @@ object RetrievalQueries {
     IndexStats.applyChanges(base, changes, "text",
       TextFunctions.tokensLocal)
   }
+
+  /** q108 — blocked inverted-index construction
+    * ([[InvertedIndex.buildBlocks]]): term → 32-entry posting blocks of
+    * (doc, 1-based position), with per-term document frequency. The
+    * whole build — posexplode, per-term numbering, block packing, df —
+    * is hash-checked against DuckDB computing the same postings with
+    * window functions.
+    */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    InvertedIndex.buildBlocks(
+      Tables.documents(spark, dir), "doc_id", "text",
+      TextFunctions.tokens, blockSize = 32)
+
+  val qInvertedIndexSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |posting AS (
+      |  SELECT u.term AS term, doc_id, u.pos AS pos FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(tk,
+      |        (x, i) -> struct_pack(term := x, pos := i))) AS u
+      |    FROM tok)),
+      |numbered AS (
+      |  SELECT term, doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY term
+      |      ORDER BY doc_id, pos) AS rn
+      |  FROM posting),
+      |blocks AS (
+      |  SELECT term, CAST((rn - 1) // 32 AS BIGINT) AS block,
+      |    COUNT(*) AS n_in_block,
+      |    string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+      |      ',' ORDER BY doc_id, pos) AS postings
+      |  FROM numbered GROUP BY term, (rn - 1) // 32),
+      |dfreq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM posting
+      |  GROUP BY term)
+      |SELECT b.term, b.block, d.df, b.n_in_block, b.postings
+      |FROM blocks b JOIN dfreq d USING (term)""".stripMargin
+
+  /** q110 — hard-negative mining ([[Mining.hardNegatives]]): the
+    * anchors' dense top-20 with same-label (relevant) docs anti-joined
+    * away, top-5 negatives per query re-ranked — the contrastive
+    * training-triple builder over the q103 dense ranking.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val anchorDf = anchors.toDF("fused_qid", "anchor")
+    val dense = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.join(anchorDf, col("vec_id") === col("anchor"))
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 20)
+      .join(anchorDf, col("query_id") === col("anchor"))
+      .select(col("fused_qid").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val anchorLabels = emb.join(anchorDf, col("vec_id") === col("anchor"))
+      .select(col("fused_qid"), col("anchor"), col("label").as("__albl"))
+    val relevant = emb.join(broadcast(anchorLabels),
+      col("label") === col("__albl") && col("vec_id") =!= col("anchor"))
+      .select(col("fused_qid").as("query_id"), col("vec_id").as("doc_id"))
+    Mining.hardNegatives(dense, "query_id", "doc_id", "rank",
+      relevant, "query_id", "doc_id", nNeg = 5)
+  }
+
+  val qHardNegativesSql: String =
+    """WITH anchors(query_id, anchor) AS (VALUES (1, 7), (2, 42), (3, 123)),
+      |dense AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT a.query_id, c.vec_id AS doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+      |        ORDER BY list_cosine_similarity(
+      |          e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |        c.vec_id ASC) AS rank
+      |    FROM anchors a
+      |    JOIN embeddings e ON e.vec_id = a.anchor
+      |    CROSS JOIN embeddings c
+      |    WHERE c.vec_id <> a.anchor)
+      |  WHERE rank <= 20),
+      |relevant AS (
+      |  SELECT a.query_id, e.vec_id AS doc_id
+      |  FROM anchors a
+      |  JOIN embeddings al ON al.vec_id = a.anchor
+      |  JOIN embeddings e ON e.label = al.label AND e.vec_id <> a.anchor),
+      |negs AS (
+      |  SELECT d.query_id, d.doc_id, d.rank,
+      |    ROW_NUMBER() OVER (PARTITION BY d.query_id
+      |      ORDER BY d.rank) AS neg_rank
+      |  FROM dense d
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM relevant r
+      |    WHERE r.query_id = d.query_id AND r.doc_id = d.doc_id))
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CAST(rank AS BIGINT) AS orig_rank, CAST(neg_rank AS BIGINT)
+      |    AS neg_rank
+      |FROM negs WHERE neg_rank <= 5""".stripMargin
 
   val qIndexStatsSql: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),

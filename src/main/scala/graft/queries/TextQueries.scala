@@ -1074,11 +1074,15 @@ object TextQueries {
        |  CAST(n_chars AS BIGINT) AS keep_quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
-  val qBandPairsSql: String = {
+  /** The q36 oracle's CTE chain (docs∪copies → distinct 3-gram sets →
+    * md5-minhash sigs → 4×2 bands → candidate pairs), shared with the
+    * q111 containment oracle so a fix lands in both.
+    */
+  private val md5BandCtesSql: String = {
     val mins = (0 until 8).map { s =>
       s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
     }.mkString(",\n      ")
-    s"""WITH input AS (
+    s"""input AS (
        |  SELECT * FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
@@ -1103,12 +1107,48 @@ object TextQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val qBandPairsSql: String =
+    s"""WITH $md5BandCtesSql
        |SELECT id_a, id_b,
        |  CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i]))
        |    AS DOUBLE) / 8.0 AS agreement
        |FROM cand
        |JOIN sigs sa ON sa.doc_id = id_a
        |JOIN sigs sb ON sb.doc_id = id_b""".stripMargin
+
+  /** q111 — asymmetric n-gram containment over the q36 LSH candidate
+    * pairs ([[graft.operators.NearDedup.ngramContainment]]): the
+    * superset-duplicate verifier — a doc quoted whole inside a longer
+    * one scores cont ≈ 1 where symmetric Jaccard dilutes toward
+    * |short|/|long|. Both directions, exact distinct-gram-set ratios.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val input = corpusWithCopies(spark, dir)
+    bandCandidates(md5Sigs(input))
+      .join(input.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+        "id_a")
+      .join(input.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.operators.NearDedup
+          .ngramContainment(col("__ta"), col("__tb")).as("cont_ab"),
+        graft.operators.NearDedup
+          .ngramContainment(col("__tb"), col("__ta")).as("cont_ba"))
   }
+
+  val qContainmentSql: String =
+    s"""WITH $md5BandCtesSql
+       |SELECT id_a, id_b,
+       |  CASE WHEN len(ga.grams) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |      / CAST(len(ga.grams) AS DOUBLE) END AS cont_ab,
+       |  CASE WHEN len(gb.grams) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(gb.grams, ga.grams)) AS DOUBLE)
+       |      / CAST(len(gb.grams) AS DOUBLE) END AS cont_ba
+       |FROM cand
+       |JOIN g ga ON ga.doc_id = id_a
+       |JOIN g gb ON gb.doc_id = id_b""".stripMargin
 }

@@ -1,0 +1,168 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{EventFlows, InvertedIndex, Mining, NearDedup,
+  NgramLm, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-6 training-pipeline operators: blocked
+  * inverted index, bigram LM counts, hard-negative mining, n-gram
+  * containment, curriculum staging, and sequence-example building.
+  */
+class MiningAndIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- InvertedIndex ----------------------------------------------------
+
+  test("buildBlocks packs postings and counts df across block straddles") {
+    val docs = Seq(
+      (1L, "t a t"), // t at pos 1, 3
+      (2L, "t b")    // t at pos 1
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex
+      .buildBlocks(docs, "doc_id", "text", TextFunctions.tokens,
+        blockSize = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toSet
+    assert(got === Set(
+      // doc 1's postings straddle t's two blocks; df must still be 2,
+      // not 3 (the per-block-distinct double count)
+      ("t", 0L, 2L, 2L, "1:1,1:3"),
+      ("t", 1L, 2L, 1L, "2:1"),
+      ("a", 0L, 1L, 1L, "1:2"),
+      ("b", 0L, 1L, 1L, "2:2")
+    ))
+  }
+
+  test("buildBlocks: empty and null text emit no postings") {
+    val docs = Seq((1L, ""), (2L, "  "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(InvertedIndex.buildBlocks(docs, "doc_id", "text",
+      TextFunctions.tokens, blockSize = 4).count() === 0L)
+  }
+
+  // ---- NgramLm ----------------------------------------------------------
+
+  test("bigramCounts: conditional denominator spans pruned rows") {
+    val docs = Seq(
+      (1L, "a b a b a c"), // (a,b)=2 (b,a)=2 (a,c)=1
+      (2L, "solo")         // 1-token doc: no bigrams
+    ).toDF("doc_id", "text")
+    val got = NgramLm
+      .bigramCounts(docs, "text",
+        (c, n) => TextFunctions.wordNgramsKernel(c, n), minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+    // (a,c) is pruned by minCount but still counts in a's denominator:
+    // p(b|a) = 2/3, not 2/2
+    assert(got === Set(
+      ("a", "b", 2L, 3L, 2.0 / 3.0),
+      ("b", "a", 2L, 2L, 1.0)
+    ))
+  }
+
+  // ---- Mining -----------------------------------------------------------
+
+  test("hardNegatives anti-joins relevance and re-ranks survivors") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "doc_id")
+    val got = Mining
+      .hardNegatives(ranked, "query_id", "doc_id", "rank",
+        relevant, "query_id", "doc_id", nNeg = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // q1: 11 removed; 10, 12 survive as negs 1, 2 (13 cut by nNeg).
+    // q2: everything relevant → no negatives at all.
+    assert(got === Set((1L, 10L, 1L, 1L), (1L, 12L, 3L, 2L)))
+  }
+
+  // ---- NearDedup.ngramContainment ---------------------------------------
+
+  test("containment flags superset duplicates that Jaccard dilutes") {
+    val short = "w1 w2 w3 w4 w5"
+    val long = s"p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 $short"
+    val df = Seq((short, long)).toDF("a", "b")
+    val row = df.select(
+      NearDedup.ngramContainment(col("a"), col("b")).as("ab"),
+      NearDedup.ngramContainment(col("b"), col("a")).as("ba"),
+      NearDedup.ngramJaccard(col("a"), col("b")).as("j")
+    ).head()
+    assert(row.getDouble(0) === 1.0) // short fully inside long
+    assert(row.getDouble(1) < 0.5)   // long mostly NOT in short
+    assert(row.getDouble(2) < 0.5)   // symmetric Jaccard misses it
+  }
+
+  // ---- Sampling.curriculumStages ----------------------------------------
+
+  test("curriculumStages buckets by exact CDF; ties share a stage") {
+    val docs = (1 to 8).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "w")
+    val got = Sampling.curriculumStages(docs, "w", 4)
+      .select("doc_id", "stage")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === (1 to 8).map(i => (i.toLong, ((i - 1) / 2).toLong)).toSet)
+
+    val tied = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 9L))
+      .toDF("doc_id", "w")
+    val stages = Sampling.curriculumStages(tied, "w", 4)
+      .select("doc_id", "stage")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    // the three weight-5 docs share stage 0 (0 strictly-smaller rows);
+    // the weight-9 doc has 3 of 4 below it → stage 3
+    assert(stages === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
+  }
+
+  // ---- EventFlows.sequenceExamples --------------------------------------
+
+  test("sequenceExamples emits full-context next-token pairs only") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, 101L, "a", t(0)), (1L, 102L, "b", t(1)),
+      (1L, 103L, "c", t(2)), (1L, 104L, "d", t(3)),
+      (1L, 105L, "e", t(4)),
+      (2L, 201L, "x", t(0)), (2L, 202L, "y", t(1)),
+      (2L, 203L, "z", t(2)) // only 2 predecessors: no example
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventFlows
+      .sequenceExamples(events, "user_id", "event_id", "event_type",
+        "ts", contextLen = 3)
+      .select("event_id", "context", "target")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === Set(
+      (104L, "a>b>c", "d"),
+      (105L, "b>c>d", "e")
+    ))
+  }
+
+  test("sequenceExamples breaks equal-timestamp ties by id") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, 4L, "d", ts0), (1L, 3L, "c", ts0),
+      (1L, 2L, "b", ts0), (1L, 1L, "a", ts0)
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventFlows
+      .sequenceExamples(events, "user_id", "event_id", "event_type",
+        "ts", contextLen = 3)
+      .select("context", "target")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(got === Set(("a>b>c", "d")))
+  }
+}

@@ -207,10 +207,13 @@ class TemporalJoinsSpec extends SparkSpecBase {
       (2L, ts("2024-01-03 10:00:00")), // week 0 cohort (Wednesday)
       (3L, ts("2024-01-08 10:00:00"))  // week 1 cohort
     ).toDF("user_id", "ts")
-    val got = EventFlows.weeklyRetention(events, "user_id", "ts")
+    val out = EventFlows.weeklyRetention(events, "user_id", "ts")
+    // cohort is DATE (DuckDB's date_trunc('week') type), not timestamp
+    assert(out.schema("cohort").dataType ===
+      org.apache.spark.sql.types.DateType)
+    val got = out
       .collect()
-      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
-        r.getLong(2)))
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
       .toSet
     assert(got === Set(
       ("2024-01-01", 0L, 2L), // u1 + u2 active in their cohort week
