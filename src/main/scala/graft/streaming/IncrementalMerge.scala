@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{IncrementalAgg, MergeOps}
+import graft.operators.{IncrementalAgg, IndexStats, MergeOps}
 import graft.sinks.GraftTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -71,6 +71,50 @@ object IncrementalMerge {
     * localCheckpointed per batch to keep lineage flat across many
     * micro-batches.
     */
+  /** [[run]] plus streaming index-stats maintenance: the per-term
+    * document-frequency table ([[IndexStats]]) is kept current across
+    * micro-batches at O(changes per batch) cost — the streaming form
+    * of q105, i.e. a live BM25/retrieval index whose stats never need
+    * a corpus rescan while documents merge in. Seeded from the table's
+    * pre-stream contents; localCheckpointed per batch to keep lineage
+    * flat. Returns (micro-batches applied, maintained df table).
+    */
+  def runWithIndexStats(
+      stream: DataFrame,
+      table: GraftTable,
+      spec: MergeOps.MergeSpec,
+      checkpointDir: String,
+      textCol: String,
+      tokenizeLocal: String => Array[String],
+      orderCol: Option[String] = None
+  ): (Long, DataFrame) = {
+    var df: DataFrame =
+      if (table.exists)
+        IndexStats.termDf(table.read(), textCol, tokenizeLocal)
+          .localCheckpoint(true)
+      else IndexStats.termDf(
+        stream.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), textCol, tokenizeLocal)
+    var batches = 0L
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ordered = dedupBatch(batch, spec, orderCol)
+        val current = if (table.exists) table.read() else ordered.limit(0)
+        val changes = MergeOps.changeFeed(current, ordered, spec)
+        df = IndexStats
+          .applyChanges(df, changes, textCol, tokenizeLocal)
+          .localCheckpoint(true)
+        table.merge(ordered)
+        batches += 1
+      }
+      .start()
+    q.awaitTermination()
+    (batches, df)
+  }
+
   def runWithAgg(
       stream: DataFrame,
       table: GraftTable,

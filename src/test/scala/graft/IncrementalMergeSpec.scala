@@ -88,6 +88,50 @@ class IncrementalMergeSpec extends SparkSpecBase {
     assert(toMap(agg2)("g3") === ((1L, 40.0)))
   }
 
+  test("stream-maintained index stats equal a full recompute") {
+    import graft.functions.TextFunctions
+    import graft.operators.IndexStats
+    val srcDir = Files.createTempDirectory("idx-src").toString
+    val tableDir = Files.createTempDirectory("idx-table").toString
+    val ckpt = Files.createTempDirectory("idx-ckpt").toString
+
+    // wave 1: three docs, one in-batch duplicate on id=2 (last wins —
+    // its FIRST version's terms must not leak into the df table)
+    Seq((1L, "alpha beta", 1L), (2L, "beta gamma", 1L),
+      (2L, "beta delta", 2L), (3L, "alpha", 1L))
+      .toDF("id", "text", "seq")
+      .write.mode("append").parquet(srcDir)
+
+    val spec = MergeSpec(Seq("id"))
+    val table = GraftTable(spark, tableDir, spec)
+    val schema = spark.read.parquet(srcDir).schema
+    def drain() = IncrementalMerge.runWithIndexStats(
+      spark.readStream.schema(schema).parquet(srcDir),
+      table, spec, ckpt, "text", TextFunctions.tokensLocal,
+      orderCol = Some("seq"))
+
+    val toMap = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (b1, df1) = drain()
+    assert(b1 >= 1)
+    assert(toMap(df1) === toMap(IndexStats.termDf(
+      table.read(), "text", TextFunctions.tokensLocal)))
+    assert(toMap(df1) ===
+      Map("alpha" -> 2L, "beta" -> 2L, "delta" -> 1L))
+
+    // wave 2: update doc 1 (retires "beta" from it) + insert doc 4;
+    // the maintained df must equal recomputing over the merged corpus
+    Seq((1L, "alpha epsilon", 3L), (4L, "gamma", 1L))
+      .toDF("id", "text", "seq")
+      .write.mode("append").parquet(srcDir)
+    val (b2, df2) = drain()
+    assert(b2 >= 1)
+    assert(toMap(df2) === toMap(IndexStats.termDf(
+      table.read(), "text", TextFunctions.tokensLocal)))
+    assert(toMap(df2) === Map("alpha" -> 2L, "beta" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L, "gamma" -> 1L))
+  }
+
   test("runWithAgg returns an empty aggregate when nothing streams") {
     val srcDir = Files.createTempDirectory("iva-empty-src").toString
     val tableDir = Files.createTempDirectory("iva-empty-table").toString
