@@ -108,6 +108,31 @@ object TextFunctions {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(wordNgrams(text, n), g => xxhash64(g)))
 
+  /** Unicode NFC composition — one kernel UDF (java.text.Normalizer;
+    * no Spark builtin exists); DuckDB's `nfc_normalize` implements the
+    * same Unicode normal form, so NFC output is cross-engine exact.
+    */
+  val nfcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  /** Canonical text normalization — the pass a corpus runs BEFORE
+    * dedup/fingerprinting so that byte-different, visually-identical
+    * variants (decomposed accents, case, ragged whitespace, stray
+    * control chars) collapse to one form: NFC-compose → strip
+    * C0/DEL control chars → lowercase → collapse whitespace runs →
+    * trim. Everything except the NFC kernel stays codegen builtins.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      // strip C0 controls EXCEPT \t \n \r (those are whitespace the
+      // collapse step must still see) plus DEL
+      lower(regexp_replace(nfcUdf(text),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")),
+      "\\s+", " "))
+
   /** BPE-ish subword count estimate: whitespace tokens split further at
     * letter/digit/other boundaries (a cheap proxy for tokenizer cost).
     * The replacement appends a U+0001 separator after each run (so

@@ -253,6 +253,51 @@ object NearDedup {
       .otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** LSH band table of a corpus in the md5-minhash-8 family (4 bands ×
+    * 2 rows): (id, band, bv) — the searchable index form of the q36
+    * banding, and the base [[applyBandChanges]] maintains under
+    * merges.
+    */
+  def md5BandTable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sig = TextFunctions.md5MinHash8Udf(col(textCol))
+    val bandArr = array((0 until 4).map { b =>
+      concat_ws("|", sig(2 * b), sig(2 * b + 1))
+    }: _*)
+    docs.select(col(idCol),
+      posexplode(bandArr).as(Seq("band", "bv")))
+      .select(col(idCol), col("band").cast("long").as("band"), col("bv"))
+  }
+
+  /** Incremental LSH index maintenance — the near-dup analog of
+    * [[IndexStats.applyChanges]]: consume a merge's change feed and
+    * emit the post-merge band table at O(changes) cost. Retired rows
+    * (delete / update_preimage) anti-join out by id; inserted rows
+    * (insert / update_postimage) hash through the SAME signature
+    * kernel the full build uses — if the two paths ever tokenized
+    * differently, incremental == full-rebuild would silently break
+    * (the q116 oracle recomputes from the merged corpus and
+    * hash-matches). At 100 TB a daily merge touching 0.1% of docs
+    * re-hashes 0.1%, not the corpus; candidate-pair discovery for the
+    * NEW docs is then `newBands ⋈ (band, bv)` against this table —
+    * bounded by the changed docs' bucket occupancy.
+    */
+  def applyBandChanges(
+      baseBands: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val retired = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol))
+    val added = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    baseBands
+      .join(retired, Seq(idCol), "left_anti")
+      .unionByName(md5BandTable(added, idCol, textCol))
+  }
+
   /** Asymmetric n-gram containment |G(a) ∩ G(b)| / |G(a)| over distinct
     * shingle sets — the superset-duplicate detector: a short document
     * wholly quoted inside a long one scores containment ≈ 1 where

@@ -426,6 +426,61 @@ object CorpusQueries {
       |FROM documents d JOIN s ON d.n_chars = s.n_chars
       |GROUP BY stage""".stripMargin
 
+  /** q114 — dataset manifest ([[graft.operators.DataManifest]]): per
+    * source, row/char counts plus an order-independent bit_xor content
+    * digest over per-row md5-60 hashes — the "data card" record that
+    * lets two independently-produced corpus copies be proven identical
+    * without comparing rows. Digest invariance to row order means the
+    * oracle hash-matches regardless of either engine's scan order.
+    */
+  def qManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DataManifest
+      .manifest(Tables.documents(spark, dir), "source", "doc_id", "text")
+
+  val qManifestSql: String =
+    """SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+      |    1, 15))::BIGINT) AS content_digest,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** q115 — canonical text normalization
+    * ([[graft.functions.TextFunctions.normalizeText]]): NFC-compose →
+    * strip non-whitespace control chars → lowercase → collapse
+    * whitespace → trim, the pass that runs BEFORE dedup so
+    * byte-different visually-identical variants collapse. Each doc is
+    * decorated with decomposed accents (e + combining acute, A +
+    * combining ring), a C0 control char, and ragged whitespace, so the
+    * oracle exercises real composition work (DuckDB `nfc_normalize`
+    * implements the same Unicode normal form) rather than passing
+    * vacuously on ASCII.
+    */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // decomposed accents + a C0 control + tab, the same sequence
+        // the oracle builds with chr(): CAFE U+0301 U+0001 ' A' U+030A TAB ' '
+        normalizeText(concat(lit("CAFE\u0301\u0001 A\u030a\t "),
+          col("text"))).as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+
+  val qNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    lower(regexp_replace(
+      |      nfc_normalize('CAFE' || chr(769) || chr(1) || ' A' || chr(778)
+      |        || chr(9) || ' ' || text),
+      |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+      |    '\s+', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(
+      |    lower(regexp_replace(
+      |      nfc_normalize('CAFE' || chr(769) || chr(1) || ' A' || chr(778)
+      |        || chr(9) || ' ' || text),
+      |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS n_norm
+      |FROM documents""".stripMargin
+
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val suffix = concat(
       when(pmod(col("doc_id"), lit(4)) === 0,

@@ -1151,4 +1151,63 @@ object TextQueries {
        |FROM cand
        |JOIN g ga ON ga.doc_id = id_a
        |JOIN g gb ON gb.doc_id = id_b""".stripMargin
+
+  /** q116 — incremental LSH band-index maintenance
+    * ([[NearDedup.applyBandChanges]]): the q105 merge fixture's change
+    * feed (modified docs get a token appended, brand-new docs insert)
+    * updates the band table at O(changes) cost — retired pre-images
+    * anti-join out, post-images re-hash through the same signature
+    * kernel. The oracle recomputes the banding from the fully merged
+    * corpus: incremental == full rebuild, hash-exact.
+    */
+  def qIncrementalBands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeOps
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val modified = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" graftnewterm")))
+    val added = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("brand new doc "), col("doc_id").cast("string"))
+          .as("text"))
+    val changes = MergeOps.changeFeed(docs,
+      modified.unionByName(added), MergeOps.MergeSpec(Seq("doc_id")))
+    NearDedup.applyBandChanges(
+      NearDedup.md5BandTable(docs, "doc_id", "text"),
+      changes, "doc_id", "text")
+  }
+
+  val qIncrementalBandsSql: String = {
+    val mins = (0 until 8).map { s =>
+      s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
+    }.mkString(",\n      ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |u AS (
+       |  SELECT doc_id, text || ' graftnewterm' AS text FROM docs
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    'brand new doc ' || CAST(doc_id AS VARCHAR) AS text
+       |  FROM docs WHERE doc_id % 17 = 0),
+       |merged AS (
+       |  SELECT COALESCE(u.doc_id, d.doc_id) AS doc_id,
+       |    CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE d.text END
+       |      AS text
+       |  FROM docs d FULL OUTER JOIN u ON d.doc_id = u.doc_id),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM merged),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+       |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, [
+       |      $mins
+       |    ] AS sig
+       |  FROM g)
+       |SELECT doc_id, CAST(r.i AS BIGINT) AS band,
+       |  sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
+       |FROM sigs CROSS JOIN range(0, 4) r(i)""".stripMargin
+  }
 }

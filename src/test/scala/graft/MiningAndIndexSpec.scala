@@ -125,6 +125,80 @@ class MiningAndIndexSpec extends SparkSpecBase {
     assert(stages === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
   }
 
+  // ---- NearDedup.applyBandChanges ---------------------------------------
+
+  test("applyBandChanges: incremental band table equals full rebuild") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    // an update (pre+post image), an insert, and a delete
+    val changes = Seq(
+      ("update_preimage", 2L, "epsilon zeta eta theta"),
+      ("update_postimage", 2L, "epsilon zeta eta theta REVISED"),
+      ("insert", 4L, "nu xi omicron pi"),
+      ("delete", 3L, "iota kappa lambda mu")
+    ).toDF("_change_type", "doc_id", "text")
+    val merged = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta REVISED"),
+      (4L, "nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val toSet = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val incremental = graft.operators.NearDedup.applyBandChanges(
+      graft.operators.NearDedup.md5BandTable(base, "doc_id", "text"),
+      changes, "doc_id", "text")
+    val rebuilt = graft.operators.NearDedup
+      .md5BandTable(merged, "doc_id", "text")
+    assert(toSet(incremental) === toSet(rebuilt))
+    assert(toSet(incremental).size === 12) // 3 docs × 4 bands
+  }
+
+  // ---- DataManifest -----------------------------------------------------
+
+  test("manifest digest is invariant to row order and partitioning") {
+    import graft.operators.DataManifest
+    val rows = Seq((1L, "g", "alpha"), (2L, "g", "beta"), (3L, "g", "gamma"))
+    val a = DataManifest.manifest(
+      rows.toDF("id", "grp", "text"), "grp", "id", "text")
+    val b = DataManifest.manifest(
+      rows.reverse.toDF("id", "grp", "text").repartition(7),
+      "grp", "id", "text")
+    assert(a.collect().toSeq === b.collect().toSeq)
+    // and it DETECTS a content change
+    val c = DataManifest.manifest(
+      Seq((1L, "g", "alpha"), (2L, "g", "beta"), (3L, "g", "gamma!"))
+        .toDF("id", "grp", "text"), "grp", "id", "text")
+    assert(a.select("content_digest").head().getLong(0) !==
+      c.select("content_digest").head().getLong(0))
+  }
+
+  // ---- TextFunctions.normalizeText --------------------------------------
+
+  test("normalizeText composes, strips controls, lowercases, collapses") {
+    import graft.functions.TextFunctions
+    val raw = "CAFÉ  du\t\tMonde \n"
+    val got = Seq(raw).toDF("t")
+      .select(TextFunctions.normalizeText(col("t")))
+      .head().getString(0)
+    assert(got === "café du monde")
+    // whitespace controls (\t \n) survive the control strip so the
+    // collapse step still separates tokens
+    val tabbed = Seq("a\tb").toDF("t")
+      .select(TextFunctions.normalizeText(col("t")))
+      .head().getString(0)
+    assert(tabbed === "a b")
+    // decomposed A + combining ring composes to precomposed å; the
+    // C0 control is stripped entirely
+    val decomposed = Seq("A\u030a\u0001x").toDF("t")
+      .select(TextFunctions.normalizeText(col("t")))
+      .head().getString(0)
+    assert(decomposed === "åx")
+    assert(decomposed.length === 2)
+  }
+
   // ---- EventFlows.sequenceExamples --------------------------------------
 
   test("sequenceExamples emits full-context next-token pairs only") {
