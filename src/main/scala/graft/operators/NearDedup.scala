@@ -287,10 +287,19 @@ object NearDedup {
       changes: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val retired = changes
+    // the retired and added branches both read `changes`; without
+    // materialization Spark plans the change feed's full-outer join
+    // (and everything upstream of it) once PER BRANCH — measured 2.3×
+    // on q116. The frame is O(changes) by the operator's own premise,
+    // and its projection is plain columns (not an expensive
+    // interpreted tree — the case where checkpointing is a trap).
+    val ch = changes
+      .select(col("_change_type"), col(idCol), col(textCol))
+      .localCheckpoint(true)
+    val retired = ch
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .select(col(idCol))
-    val added = changes
+    val added = ch
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(col(idCol), col(textCol))
     baseBands

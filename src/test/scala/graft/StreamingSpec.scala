@@ -142,6 +142,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamPairs === batchPairs)
   }
 
+  test("streaming sequence examples equal the batch builder on sorted replay") {
+    import graft.streaming.StreamSequence
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "event_type", "ts")
+    val batch = graft.operators.EventFlows
+      .sequenceExamples(events, "user_id", "event_id", "event_type",
+        "ts", contextLen = 3)
+      .select("event_id", "context", "target").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    // sorted replay: three time-ordered files, one micro-batch each —
+    // per-user event time is then non-decreasing ACROSS batches, the
+    // operator's exact-parity contract
+    val dir = Files.createTempDirectory("stream-seq").toString
+    val mm = events.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def cut(ms: Long) = timestamp_millis(lit(ms))
+    Seq(
+      events.filter(col("ts") <= cut(t1)),
+      events.filter(col("ts") > cut(t1) && col("ts") <= cut(t2)),
+      events.filter(col("ts") > cut(t2))
+    ).zipWithIndex.foreach { case (wave, i) =>
+      // plain dir names (no "=": would trigger partition inference);
+      // written oldest-first so the file source's mod-time order
+      // replays them in time order
+      wave.coalesce(1).write.mode("overwrite")
+        .parquet(f"$dir/wave-$i%03d")
+    }
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/wave-*")
+      .withWatermark("ts", "365 days")
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      StreamSequence.sequenceExamplesStream(stream, "user_id",
+        "event_id", "event_type", "ts", contextLen = 3).toDF(),
+      "seq_stream_test")
+    val got = streamed.select("event_id", "context", "target").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+  }
+
+  test("batch-mode sequence-example state op matches the batch window") {
+    import graft.streaming.StreamSequence
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "event_type", "ts")
+    val viaState = StreamSequence
+      .sequenceExamplesStream(events, "user_id", "event_id",
+        "event_type", "ts", contextLen = 3)
+      .toDF().select("event_id", "context", "target").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val viaWindow = graft.operators.EventFlows
+      .sequenceExamples(events, "user_id", "event_id", "event_type",
+        "ts", contextLen = 3)
+      .select("event_id", "context", "target").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaState === viaWindow)
+  }
+
   test("q80 batch-mode stateful near-dup matches the batch candidate set") {
     // SparkEntry runs minHashPairsStream over a BATCH frame: Spark
     // executes flatMapGroupsWithState with each key's rows in a single
