@@ -72,13 +72,18 @@ object EventFlows {
       .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     val lags = (contextLen to 1 by -1)
       .map(k => lag(col(typeCol), k).over(w))
+    // concat_ws silently DROPS nulls — a null event type inside the
+    // window would emit a truncated (wrong-length) context; null-out
+    // the whole context instead, which is also exactly what SQL's
+    // null-propagating `||` concatenation yields
+    val context = when(lags.map(_.isNotNull).reduce(_ && _),
+      concat_ws(">", lags: _*))
     df.select(
         col(userCol), col(idCol), col(tsCol),
-        concat_ws(">", lags: _*).as("context"),
+        context.as("context"),
         col(typeCol).as("target"),
         lags.head.isNotNull.as("__full"))
-      // concat_ws silently drops nulls — a short prefix would emit a
-      // truncated context, so require the OLDEST lag to exist
+      // emit only once contextLen predecessors exist (oldest lag set)
       .filter(col("__full"))
       .drop("__full")
   }

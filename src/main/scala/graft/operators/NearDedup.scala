@@ -260,11 +260,18 @@ object NearDedup {
     */
   def md5BandTable(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val sig = TextFunctions.md5MinHash8Udf(col(textCol))
+    // stage the signature as its own projection so the 8 element
+    // accesses below index ONE evaluated array — inlining the UDF call
+    // per access would run the whole minhash kernel up to 8× per doc
+    // wherever common-subexpression elimination doesn't apply
+    // (CollapseProject keeps the split: the alias is referenced more
+    // than once and a UDF is not a cheap expression)
+    val sigs = docs.select(col(idCol),
+      TextFunctions.md5MinHash8Udf(col(textCol)).as("__sig"))
     val bandArr = array((0 until 4).map { b =>
-      concat_ws("|", sig(2 * b), sig(2 * b + 1))
+      concat_ws("|", col("__sig")(2 * b), col("__sig")(2 * b + 1))
     }: _*)
-    docs.select(col(idCol),
+    sigs.select(col(idCol),
       posexplode(bandArr).as(Seq("band", "bv")))
       .select(col(idCol), col("band").cast("long").as("band"), col("bv"))
   }

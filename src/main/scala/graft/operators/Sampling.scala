@@ -70,13 +70,18 @@ object Sampling {
       .orderBy(col(weightCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val cdf = df.groupBy(col(weightCol))
+    // null weights are OUTSIDE the CDF (their order is engine-specific:
+    // Spark sorts nulls first, DuckDB last — counting them would skew
+    // every real stage differently per engine) and come back with a
+    // null stage via the left join, never silently dropped
+    val cdf = df.filter(col(weightCol).isNotNull)
+      .groupBy(col(weightCol))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__less", coalesce(sum(col("__cnt")).over(w), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over())
       .select(col(weightCol),
         expr(s"(__less * $nStages) div __n").as("stage"))
-    df.join(cdf, Seq(weightCol))
+    df.join(cdf, Seq(weightCol), "left")
   }
 
   /** Leakage-safe train/val/test assignment: the split is drawn from

@@ -438,12 +438,18 @@ object CorpusQueries {
       .manifest(Tables.documents(spark, dir), "source", "doc_id", "text")
 
   val qManifestSql: String =
-    """SELECT source, COUNT(*) AS n_rows,
+    """WITH h AS (
+      |  SELECT source, doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+      |      1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-      |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
-      |    1, 15))::BIGINT) AS content_digest,
+      |  bit_xor(h) AS content_digest,
+      |  CAST(SUM(h::HUGEINT) % 2305843009213693951 AS BIGINT)
+      |    AS content_sum,
       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-      |FROM documents GROUP BY source""".stripMargin
+      |FROM h GROUP BY source""".stripMargin
 
   /** q115 — canonical text normalization
     * ([[graft.functions.TextFunctions.normalizeText]]): NFC-compose →

@@ -91,7 +91,7 @@ object SimilarityQueries {
   def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity
-      // nprobe 6/16: +0.13 recall@5 over 4/16 (0.59 → 0.72 at sf0.01)
+      // nprobe 6/16: +0.14 recall@5 over 4/16 (0.59 → 0.73, SimilaritySpec pin)
       // for scanning 3/8 of the lists instead of 1/4 — the knee of the
       // measured probe-budget curve (8/16 reads half the corpus)
       .ivfTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
@@ -109,7 +109,7 @@ object SimilarityQueries {
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity
-      // ksub 64 (6-bit codes): recall@5 0.66 → 0.87 at sf0.01 for the
+      // ksub 64 (6-bit codes): recall@5 0.66 → 0.88 (SimilaritySpec pin) for the
       // same m-code scan — codebook resolution is nearly free at query
       // time (the per-query LUT is m×ksub dots), the faiss lesson of
       // defaulting to wide codebooks. rerank stays 8: doubling it buys
@@ -128,8 +128,8 @@ object SimilarityQueries {
   def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity
-      // nprobe 6 + 32-wide residual codebooks: recall@5 0.55 → 0.66 at
-      // sf0.01 (0.71 with rerank 16, not worth the doubled shortlist
+      // nprobe 6 + 32-wide residual codebooks: recall@5 0.59 → 0.67
+      // (SimilaritySpec pin; ~0.71 with rerank 16, not worth the doubled shortlist
       // shuffle); the residual ADC caps the gain vs raw-vector PQ (q73)
       // because the shortlist competes across differently-centered
       // lists

@@ -1074,22 +1074,19 @@ object TextQueries {
        |  CAST(n_chars AS BIGINT) AS keep_quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
-  /** The q36 oracle's CTE chain (docs∪copies → distinct 3-gram sets →
-    * md5-minhash sigs → 4×2 bands → candidate pairs), shared with the
-    * q111 containment oracle so a fix lands in both.
+  /** The md5-minhash signature CTE fragment (tokens → distinct 3-gram
+    * sets → 8-seed md5 minima) over the relation `from` — THE one SQL
+    * statement of the signature convention, shared by the q36, q111,
+    * and q116 oracles so a fix to the gram or signature rule lands in
+    * all of them.
     */
-  private val md5BandCtesSql: String = {
+  private def md5SigCtesSql(from: String): String = {
     val mins = (0 until 8).map { s =>
       s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
     }.mkString(",\n      ")
-    s"""input AS (
-       |  SELECT * FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
-       |  FROM documents WHERE doc_id % 7 = 0),
-       |toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM input),
+       |  FROM $from),
        |g AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
@@ -1099,7 +1096,19 @@ object TextQueries {
        |  SELECT doc_id, [
        |      $mins
        |    ] AS sig
-       |  FROM g),
+       |  FROM g)""".stripMargin
+  }
+
+  /** The q36/q111 oracle chain: docs∪copies → signatures → 4×2 bands →
+    * candidate pairs.
+    */
+  private val md5BandCtesSql: String =
+    s"""input AS (
+       |  SELECT * FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |${md5SigCtesSql("input")},
        |bands AS (
        |  SELECT doc_id, r.i AS band,
        |    sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
@@ -1108,7 +1117,6 @@ object TextQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val qBandPairsSql: String =
     s"""WITH $md5BandCtesSql
@@ -1176,10 +1184,7 @@ object TextQueries {
       changes, "doc_id", "text")
   }
 
-  val qIncrementalBandsSql: String = {
-    val mins = (0 until 8).map { s =>
-      s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
-    }.mkString(",\n      ")
+  val qIncrementalBandsSql: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents),
        |u AS (
        |  SELECT doc_id, text || ' graftnewterm' AS text FROM docs
@@ -1193,21 +1198,8 @@ object TextQueries {
        |    CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE d.text END
        |      AS text
        |  FROM docs d FULL OUTER JOIN u ON d.doc_id = u.doc_id),
-       |toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM merged),
-       |g AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-       |      i -> array_to_string(t[i:i+2], ' '))) AS grams
-       |  FROM toks),
-       |sigs AS (
-       |  SELECT doc_id, [
-       |      $mins
-       |    ] AS sig
-       |  FROM g)
+       |${md5SigCtesSql("merged")}
        |SELECT doc_id, CAST(r.i AS BIGINT) AS band,
        |  sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
        |FROM sigs CROSS JOIN range(0, 4) r(i)""".stripMargin
-  }
 }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.streaming.Trigger
   * same merge semantics the batch pipeline uses. The checkpoint makes
   * re-runs resume where they stopped; merge idempotency makes replayed
   * batches harmless — together, exactly-once table contents.
+  *
+  * [[runWithAgg]] and [[runWithIndexStats]] additionally maintain a
+  * derived table (a grouped aggregate / the per-term df index) from
+  * each batch's change feed at O(changes per batch) — the streaming
+  * forms of q84 and q105.
   */
 object IncrementalMerge {
 
@@ -38,6 +43,31 @@ object IncrementalMerge {
       .drop("__file", "__seq")
   }
 
+  /** The drain skeleton every entry point shares: AvailableNow +
+    * checkpoint, per-batch last-wins dedup, then `fold` (side effects
+    * + merge ordering are the fold's contract — [[runWithAgg]] and
+    * [[runWithIndexStats]] read the change feed BEFORE merging).
+    * Returns the number of micro-batches applied.
+    */
+  private def drain(
+      stream: DataFrame,
+      spec: MergeOps.MergeSpec,
+      checkpointDir: String,
+      orderCol: Option[String]
+  )(fold: DataFrame => Unit): Long = {
+    var batches = 0L
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fold(dedupBatch(batch, spec, orderCol))
+        batches += 1
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
   /** Drain all available input from `stream` into the table and stop
     * (AvailableNow). Returns the number of micro-batches applied.
     */
@@ -47,19 +77,8 @@ object IncrementalMerge {
       spec: MergeOps.MergeSpec,
       checkpointDir: String,
       orderCol: Option[String] = None
-  ): Long = {
-    var batches = 0L
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.merge(dedupBatch(batch, spec, orderCol))
-        batches += 1
-      }
-      .start()
-    q.awaitTermination()
-    batches
-  }
+  ): Long =
+    drain(stream, spec, checkpointDir, orderCol)(table.merge(_))
 
   /** [[run]] plus streaming incremental view maintenance: before each
     * micro-batch merges, its change feed against the CURRENT table
@@ -71,6 +90,37 @@ object IncrementalMerge {
     * localCheckpointed per batch to keep lineage flat across many
     * micro-batches.
     */
+  def runWithAgg(
+      stream: DataFrame,
+      table: GraftTable,
+      spec: MergeOps.MergeSpec,
+      checkpointDir: String,
+      groupCol: String,
+      valueCol: String,
+      orderCol: Option[String] = None
+  ): (Long, DataFrame) = {
+    // seed from the table's pre-stream contents, or a zero aggregate
+    // with the stream's schema — never null, even if the stream
+    // delivers no micro-batches at all
+    var agg: DataFrame =
+      if (table.exists)
+        IncrementalAgg.countSum(table.read(), groupCol, valueCol)
+          .localCheckpoint(true)
+      else IncrementalAgg.countSum(
+        stream.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), groupCol, valueCol)
+    val batches = drain(stream, spec, checkpointDir, orderCol) { ordered =>
+      val current = if (table.exists) table.read() else ordered.limit(0)
+      val changes = MergeOps.changeFeed(current, ordered, spec)
+      agg = IncrementalAgg
+        .applyChanges(agg, changes, groupCol, valueCol)
+        .localCheckpoint(true)
+      table.merge(ordered)
+    }
+    (batches, agg)
+  }
+
   /** [[run]] plus streaming index-stats maintenance: the per-term
     * document-frequency table ([[IndexStats]]) is kept current across
     * micro-batches at O(changes per batch) cost — the streaming form
@@ -96,61 +146,14 @@ object IncrementalMerge {
         stream.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           stream.schema), textCol, tokenizeLocal)
-    var batches = 0L
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ordered = dedupBatch(batch, spec, orderCol)
-        val current = if (table.exists) table.read() else ordered.limit(0)
-        val changes = MergeOps.changeFeed(current, ordered, spec)
-        df = IndexStats
-          .applyChanges(df, changes, textCol, tokenizeLocal)
-          .localCheckpoint(true)
-        table.merge(ordered)
-        batches += 1
-      }
-      .start()
-    q.awaitTermination()
+    val batches = drain(stream, spec, checkpointDir, orderCol) { ordered =>
+      val current = if (table.exists) table.read() else ordered.limit(0)
+      val changes = MergeOps.changeFeed(current, ordered, spec)
+      df = IndexStats
+        .applyChanges(df, changes, textCol, tokenizeLocal)
+        .localCheckpoint(true)
+      table.merge(ordered)
+    }
     (batches, df)
-  }
-
-  def runWithAgg(
-      stream: DataFrame,
-      table: GraftTable,
-      spec: MergeOps.MergeSpec,
-      checkpointDir: String,
-      groupCol: String,
-      valueCol: String,
-      orderCol: Option[String] = None
-  ): (Long, DataFrame) = {
-    // seed from the table's pre-stream contents, or a zero aggregate
-    // with the stream's schema — never null, even if the stream
-    // delivers no micro-batches at all
-    var agg: DataFrame =
-      if (table.exists)
-        IncrementalAgg.countSum(table.read(), groupCol, valueCol)
-          .localCheckpoint(true)
-      else IncrementalAgg.countSum(
-        stream.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          stream.schema), groupCol, valueCol)
-    var batches = 0L
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ordered = dedupBatch(batch, spec, orderCol)
-        val current = if (table.exists) table.read() else ordered.limit(0)
-        val changes = MergeOps.changeFeed(current, ordered, spec)
-        agg = IncrementalAgg
-          .applyChanges(agg, changes, groupCol, valueCol)
-          .localCheckpoint(true)
-        table.merge(ordered)
-        batches += 1
-      }
-      .start()
-    q.awaitTermination()
-    (batches, agg)
   }
 }

@@ -78,12 +78,15 @@ object StreamSequence {
           val fresh = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
           val out = fresh.flatMap { e =>
+            // batch parity: emit iff the OLDEST lag is non-null (≥
+            // contextLen predecessors AND that predecessor's type is
+            // set); a null type anywhere inside nulls the context,
+            // like the batch operator and SQL's `||`
             val ex =
-              if (recent.size >= contextLen)
-                // recent holds the last contextLen types oldest-first —
-                // exactly the batch operator's ">"-joined context
+              if (recent.size >= contextLen && recent.head != null)
                 Some(Example(e.user_id, e.event_id, e.ts,
-                  recent.mkString(">"), e.event_type))
+                  if (recent.contains(null)) null else recent.mkString(">"),
+                  e.event_type))
               else None
             recent = (recent :+ e.event_type).takeRight(contextLen)
             ex

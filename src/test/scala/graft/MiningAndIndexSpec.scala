@@ -175,6 +175,28 @@ class MiningAndIndexSpec extends SparkSpecBase {
       c.select("content_digest").head().getLong(0))
   }
 
+  test("manifest content_sum catches even-count duplicates xor cancels") {
+    import graft.operators.DataManifest
+    // A and B agree on n_rows, n_chars, min/max id AND the xor digest
+    // (the doubled rows cancel out of it) — only the multiplicity-
+    // sensitive sum separates them
+    val a = DataManifest.manifest(
+      Seq((1L, "g", "aa"), (2L, "g", "bb"), (2L, "g", "bb"),
+        (5L, "g", "cc")).toDF("id", "grp", "text"), "grp", "id", "text")
+      .head()
+    val b = DataManifest.manifest(
+      Seq((1L, "g", "aa"), (4L, "g", "dd"), (4L, "g", "dd"),
+        (5L, "g", "cc")).toDF("id", "grp", "text"), "grp", "id", "text")
+      .head()
+    assert(a.getAs[Long]("n_rows") === b.getAs[Long]("n_rows"))
+    assert(a.getAs[Long]("n_chars") === b.getAs[Long]("n_chars"))
+    assert(a.getAs[Long]("min_id") === b.getAs[Long]("min_id"))
+    assert(a.getAs[Long]("max_id") === b.getAs[Long]("max_id"))
+    assert(a.getAs[Long]("content_digest") ===
+      b.getAs[Long]("content_digest"))
+    assert(a.getAs[Long]("content_sum") !== b.getAs[Long]("content_sum"))
+  }
+
   // ---- TextFunctions.normalizeText --------------------------------------
 
   test("normalizeText composes, strips controls, lowercases, collapses") {
@@ -197,6 +219,21 @@ class MiningAndIndexSpec extends SparkSpecBase {
       .head().getString(0)
     assert(decomposed === "åx")
     assert(decomposed.length === 2)
+  }
+
+  test("curriculumStages: null weights get a null stage, skew nothing") {
+    val docs = Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Some(3L)),
+      (4L, Some(4L)), (5L, None), (6L, None))
+      .toDF("doc_id", "w")
+    val got = Sampling.curriculumStages(docs, "w", 2)
+      .select("doc_id", "stage")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // the 4 real weights split 2/2 as if the nulls did not exist;
+    // null-weight rows survive with a null stage
+    assert(got === Map(1L -> Some(0L), 2L -> Some(0L), 3L -> Some(1L),
+      4L -> Some(1L), 5L -> None, 6L -> None))
   }
 
   // ---- EventFlows.sequenceExamples --------------------------------------
@@ -222,6 +259,27 @@ class MiningAndIndexSpec extends SparkSpecBase {
       (104L, "a>b>c", "d"),
       (105L, "b>c>d", "e")
     ))
+  }
+
+  test("sequenceExamples: a null event type nulls the context, never truncates") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      (1L, 101L, Some("a"), t(0)), (1L, 102L, None, t(1)),
+      (1L, 103L, Some("c"), t(2)), (1L, 104L, Some("d"), t(3))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventFlows
+      .sequenceExamples(events, "user_id", "event_id", "event_type",
+        "ts", contextLen = 3)
+      .select("event_id", "context", "target")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))
+      .toSet
+    // event 104's window is [a, null, c]: the context must be NULL
+    // (like SQL's null-propagating ||), NOT the truncated "a>c" that
+    // concat_ws alone would fabricate
+    assert(got === Set((104L, null, "d")))
   }
 
   test("sequenceExamples breaks equal-timestamp ties by id") {
