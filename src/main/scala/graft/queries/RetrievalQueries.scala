@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions
 import graft.operators.{Bm25, IndexStats, InvertedIndex, MergeOps, Mining,
-  RankFusion, RetrievalEval, Similarity}
+  Prf, RankFusion, RetrievalEval, Similarity}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -327,6 +327,55 @@ object RetrievalQueries {
       |  CAST(rank AS BIGINT) AS orig_rank, CAST(neg_rank AS BIGINT)
       |    AS neg_rank
       |FROM negs WHERE neg_rank <= 5""".stripMargin
+
+  /** q117 — pseudo-relevance-feedback query expansion
+    * ([[Prf.expansionTerms]]): each query's BM25 top-10 docs vote for
+    * expansion terms by exact occurrence count, original query terms
+    * excluded, top-5 kept. The oracle recomputes the whole chain
+    * (ranking → feedback tokens → counts → exclusion → rank) in SQL.
+    */
+  def qPrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = querySet.toDF("query_id", "term")
+    val docs = Tables.documents(spark, dir)
+    val ranked = Bm25.topK(
+      docs, "doc_id", "text",
+      TextFunctions.tokens, TextFunctions.tokensLocal,
+      queries, "query_id", "term",
+      k = 10, logIdf = false)
+    Prf.expansionTerms(ranked, "query_id", "doc_id", "rank",
+      docs, "doc_id", "text", TextFunctions.tokens,
+      queries, "query_id", "term", fbDocs = 10, nTerms = 5)
+  }
+
+  val qPrfExpansionSql: String =
+    s"""WITH $bm25CtesSql,
+      |fb AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id ASC) AS rank
+      |    FROM qscore)
+      |  WHERE rank <= 10),
+      |fbterm AS (
+      |  SELECT f.query_id,
+      |    unnest(string_split_regex(trim(d.text), '\\s+')) AS term
+      |  FROM fb f JOIN documents d ON d.doc_id = f.doc_id
+      |  WHERE trim(d.text) <> ''),
+      |counted AS (
+      |  SELECT query_id, term, COUNT(*) AS fb_count FROM fbterm
+      |  GROUP BY query_id, term),
+      |expansions AS (
+      |  SELECT c.query_id, c.term, c.fb_count,
+      |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+      |      ORDER BY c.fb_count DESC, c.term ASC) AS exp_rank
+      |  FROM counted c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM q
+      |    WHERE q.query_id = c.query_id AND q.term = c.term))
+      |SELECT CAST(query_id AS BIGINT) AS query_id, term, fb_count,
+      |  CAST(exp_rank AS BIGINT) AS exp_rank
+      |FROM expansions WHERE exp_rank <= 5""".stripMargin
 
   val qIndexStatsSql: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),

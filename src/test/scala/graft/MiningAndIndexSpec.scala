@@ -125,6 +125,34 @@ class MiningAndIndexSpec extends SparkSpecBase {
     assert(stages === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
   }
 
+  // ---- Prf --------------------------------------------------------------
+
+  test("expansionTerms counts feedback terms, excludes query terms") {
+    import graft.operators.Prf
+    val docs = Seq(
+      (10L, "spark shuffle join shuffle"),
+      (11L, "spark codegen shuffle"),
+      (12L, "unrelated noise")
+    ).toDF("doc_id", "text")
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), // doc 12 not in feedback
+      (1L, 12L, 3)
+    ).toDF("query_id", "doc_id", "rank")
+    val queryTerms = Seq((1L, "spark")).toDF("query_id", "term")
+    val got = Prf.expansionTerms(ranked, "query_id", "doc_id", "rank",
+      docs, "doc_id", "text", graft.functions.TextFunctions.tokens,
+      queryTerms, "query_id", "term", fbDocs = 2, nTerms = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // "spark" excluded (query term); "shuffle" counted 3× across both
+    // feedback docs; then "codegen"/"join" tie at 1 → term asc
+    assert(got === Set(
+      (1L, "shuffle", 3L, 1L),
+      (1L, "codegen", 1L, 2L)
+    ))
+  }
+
   // ---- NearDedup.applyBandChanges ---------------------------------------
 
   test("applyBandChanges: incremental band table equals full rebuild") {
