@@ -40,7 +40,13 @@ object Bench {
       case (name, fn) =>
         val times = (1 to math.max(1, runs)).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          // materialize the FULL output (queryExecution.toRdd), not
+          // df.count(): under count() Catalyst prunes every unused
+          // projection, so a map-only query's per-row work was never
+          // measured at all — one interpreted-HOF query benched 0.2s
+          // while costing 9 CPU-minutes when actually evaluated. This
+          // measures what a consumer of the result pays.
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch {
             // a failed query must not masquerade as a fast one: record it
             case e: Throwable =>

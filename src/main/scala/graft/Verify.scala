@@ -17,7 +17,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.SortedMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // final stage into one task, so a query whose projection falls
+      // out of codegen re-evaluates it single-threaded (one sf0.1
+      // query burned 9 CPU-minutes in one task this way); repartition
+      // keeps the computation parallel and only the tiny final write
+      // runs on one task — same single-file output the driver reads
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += name -> String.valueOf(e.getMessage).take(500)

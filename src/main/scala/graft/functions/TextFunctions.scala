@@ -108,6 +108,44 @@ object TextFunctions {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(wordNgrams(text, n), g => xxhash64(g)))
 
+  /** Rolling-hash fingerprint (q28's Rabin–Karp over md5-28 token
+    * hashes) as ONE kernel pass: hash each token once, fold each
+    * 5-token window with `acc·B + x mod M`, keep the window minimum.
+    * Returns struct(fp, n_windows). The expression form (`transform`
+    * windows slicing a `transform(tokens, md5)` array) re-evaluated
+    * the full token-hash build PER WINDOW interpreted — measured 15s
+    * at sf0.1 for 5000 docs (hidden by Bench's count() pruning) vs
+    * ~0.2s for this kernel. Arithmetic is bit-identical to the DuckDB
+    * oracle's list_reduce fold: B = 1000003, M = 2³¹−1, zero seed,
+    * 28-bit hashes = the first 7 hex chars of md5(token).
+    */
+  val rollingFp28Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val toks = tokensLocal(text)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val th = new Array[Long](toks.length)
+      var k = 0
+      while (k < toks.length) {
+        val d = md.digest(
+          toks(k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        th(k) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+        k += 1
+      }
+      val nw = math.max(th.length - 4, 1)
+      var minv = Long.MaxValue
+      var i = 0
+      while (i < nw) {
+        var acc = 0L
+        var j = i
+        val end = math.min(i + 5, th.length)
+        while (j < end) { acc = (acc * 1000003L + th(j)) % 2147483647L; j += 1 }
+        if (acc < minv) minv = acc
+        i += 1
+      }
+      (minv, nw.toLong)
+    }
+
   /** Unicode NFC composition — one kernel UDF (java.text.Normalizer;
     * no Spark builtin exists); DuckDB's `nfc_normalize` implements the
     * same Unicode normal form, so NFC output is cross-engine exact.

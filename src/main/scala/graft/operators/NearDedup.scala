@@ -314,12 +314,51 @@ object NearDedup {
       .unionByName(md5BandTable(added, idCol, textCol))
   }
 
+  /** Kernel form of the q27 self-prefix Jaccard: tokenize ONCE, build
+    * both distinct gram sets (full text and its `frac`-token prefix)
+    * and intersect in one JVM pass. The expression form
+    * ([[ngramJaccard]] over a `concat_ws(slice(tokens))` prefix) is
+    * interpreted — and because the prefix column nests inside
+    * `wordNgrams`'s per-gram lambda, it re-evaluates the tokenize and
+    * the prefix PER GRAM: quadratic per document (caught at sf0.1,
+    * where one such task burned 9 CPU-minutes; Bench's count() had
+    * hidden it by pruning the projection). Same round-3 kernel lesson;
+    * semantics identical to the DuckDB oracle's
+    * `t[1:greatest(floor(len·frac),1)]` convention.
+    */
+  val prefixJaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, frac: Double, n: Int) =>
+      val toks = TextFunctions.tokensLocal(text)
+      def grams(ts: Array[String]): java.util.LinkedHashSet[String] = {
+        val count = math.max(ts.length - (n - 1), 1)
+        val out = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < count) {
+          out.add(ts.slice(i, i + n).mkString(" "))
+          i += 1
+        }
+        out
+      }
+      val full = grams(toks)
+      val pLen = math.max(math.floor(toks.length * frac).toInt, 1)
+      val pref = grams(toks.take(pLen))
+      var inter = 0
+      val it = pref.iterator()
+      while (it.hasNext) { if (full.contains(it.next())) inter += 1 }
+      val union = full.size + pref.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
   /** Asymmetric n-gram containment |G(a) ∩ G(b)| / |G(a)| over distinct
     * shingle sets — the superset-duplicate detector: a short document
     * wholly quoted inside a long one scores containment ≈ 1 where
     * symmetric Jaccard (q27) dilutes toward |short|/|long| and misses
     * it. Run on LSH candidate pairs, like [[ngramJaccard]]; empty G(a)
-    * → 0.0.
+    * → 0.0. Expression form — fine on SMALL candidate sets; for
+    * per-corpus or large-candidate use, build each doc's distinct gram
+    * set ONCE with [[distinctGramsUdf]] and score with
+    * [[setContainmentUdf]] (the interpreted `wordNgrams` here
+    * re-tokenizes per gram — quadratic per evaluation).
     */
   def ngramContainment(a: Column, b: Column, n: Int = 3): Column = {
     val sa = array_distinct(TextFunctions.wordNgrams(a, n))
@@ -328,6 +367,27 @@ object NearDedup {
       .otherwise(size(array_intersect(sa, sb)).cast("double") /
         size(sa).cast("double"))
   }
+
+  /** Distinct word n-grams as one kernel pass — the precompute-once
+    * side of the scalable containment path.
+    */
+  val distinctGramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) =>
+      TextFunctions.distinctGramsJvm(text, n)
+    }
+
+  /** |A ∩ B| / |A| over two precomputed distinct-gram arrays. */
+  val setContainmentUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: scala.collection.Seq[String], b: scala.collection.Seq[String]) =>
+      if (a == null || a.isEmpty) 0.0
+      else {
+        val bs = new java.util.HashSet[String]()
+        b.foreach(bs.add)
+        var inter = 0
+        a.foreach(g => if (bs.contains(g)) inter += 1)
+        inter.toDouble / a.size
+      }
+    }
 
   /** 64-bit SimHash of the shingle multiset. One UDF per doc over the
     * already-hashed shingle array (the bit-vote loop has no builtin

@@ -37,30 +37,28 @@ object RetrievalQueries {
       k = 10, logIdf = false)
   }
 
-  /** Shared BM25 CTE chain (query set → stats → tf → df → per-(query,
-    * doc) scores) — interpolated into both the q101 and q103 oracles so
-    * a fix lands in both. The `trim(text) = ''` guards mirror Spark's
-    * `tokens` (empty → 0 tokens), where DuckDB's split of an empty
-    * string would yield [''] (1 token).
+  /** The BM25 scoring CTE chain (stats → tf → df → per-(query, doc)
+    * scores) parameterized over the query-set relation `qName` — ONE
+    * statement of the scoring convention, shared by the q101/q103/q117
+    * oracles (literal query set) and the q118 second pass (expanded
+    * query set), so a fix lands in all of them. The `trim(text) = ''`
+    * guards mirror Spark's `tokens` (empty → 0 tokens), where DuckDB's
+    * split of an empty string would yield [''] (1 token).
     */
-  private val bm25CtesSql: String =
-    """q(query_id, term) AS (VALUES
-      |  (1, 'spark'), (1, 'join'), (1, 'window'),
-      |  (2, 'vector'), (2, 'hash'), (2, 'merge'),
-      |  (3, 'table'), (3, 'scan')),
-      |stats AS (
+  private def bm25ChainSql(qName: String): String =
+    s"""stats AS (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-      |      ELSE len(string_split_regex(trim(text), '\s+')) END)
+      |      ELSE len(string_split_regex(trim(text), '\\s+')) END)
       |      AS BIGINT) AS t
       |  FROM documents),
       |docterm AS (
       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
       |        FROM documents WHERE trim(text) <> '')),
       |tf AS (
       |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM docterm
-      |  WHERE term IN (SELECT DISTINCT term FROM q)
+      |  WHERE term IN (SELECT DISTINCT term FROM $qName)
       |  GROUP BY doc_id, term, dl),
       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
       |contrib AS (
@@ -70,10 +68,23 @@ object RetrievalQueries {
       |     CAST(20 * tf * t + 6 * t + 18 * dl * n AS DOUBLE)) AS c
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
       |qscore AS (
-      |  SELECT q.query_id, c.doc_id,
+      |  SELECT qq.query_id, c.doc_id,
       |    list_reduce(list(c.c ORDER BY c.term), (a, b) -> a + b) AS score
-      |  FROM q JOIN contrib c USING (term)
-      |  GROUP BY q.query_id, c.doc_id)""".stripMargin
+      |  FROM $qName qq JOIN contrib c USING (term)
+      |  GROUP BY qq.query_id, c.doc_id)""".stripMargin
+
+  /** The literal benchmark-query VALUES CTE, shared with the q118
+    * oracle's union.
+    */
+  private val querySetValuesSql: String =
+    """(VALUES
+      |  (1, 'spark'), (1, 'join'), (1, 'window'),
+      |  (2, 'vector'), (2, 'hash'), (2, 'merge'),
+      |  (3, 'table'), (3, 'scan'))""".stripMargin
+
+  private val bm25CtesSql: String =
+    s"""q(query_id, term) AS $querySetValuesSql,
+      |${bm25ChainSql("q")}""".stripMargin
 
   val qBm25TopKSql: String =
     s"""WITH $bm25CtesSql
@@ -376,6 +387,41 @@ object RetrievalQueries {
       |SELECT CAST(query_id AS BIGINT) AS query_id, term, fb_count,
       |  CAST(exp_rank AS BIGINT) AS exp_rank
       |FROM expansions WHERE exp_rank <= 5""".stripMargin
+
+  /** q118 — the PRF SECOND pass: BM25 re-run with each query's
+    * vocabulary grown by its q117 expansion terms (the RM3 loop
+    * closed: rank → feedback → expand → re-rank). The second-pass
+    * query set is data-dependent, which the oracle reproduces by
+    * nesting the full q117 chain as a subquery and unioning it with
+    * the literal terms.
+    */
+  def qPrfSecondPass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = querySet.toDF("query_id", "term")
+    val expanded = queries
+      .unionByName(qPrfExpansion(spark, dir).select("query_id", "term"))
+      .distinct()
+    Bm25.topK(
+      Tables.documents(spark, dir), "doc_id", "text",
+      TextFunctions.tokens, TextFunctions.tokensLocal,
+      expanded, "query_id", "term",
+      k = 10, logIdf = false)
+  }
+
+  val qPrfSecondPassSql: String =
+    s"""WITH q2 AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+      |  FROM $querySetValuesSql v(query_id, term)
+      |  UNION
+      |  SELECT query_id, term FROM ($qPrfExpansionSql)),
+      |${bm25ChainSql("q2")}
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+      |FROM (
+      |  SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM qscore)
+      |WHERE rank <= 10""".stripMargin
 
   val qIndexStatsSql: String =
     """WITH docs AS (SELECT doc_id, text FROM documents),

@@ -122,12 +122,18 @@ object TextQueries {
     * against exact Jaccard).
     */
   def qMinHashSig(spark: SparkSession, dir: String): DataFrame = {
-    val grams = array_distinct(wordNgrams(col("text"), 3))
-    val sigs = (0 until 8).map { s =>
-      array_min(transform(grams, g => md5(concat(lit(s"$s:"), g))))
-        .as(s"mh_$s")
-    }
-    Tables.documents(spark, dir).select(col("doc_id") +: sigs: _*)
+    // ONE kernel pass producing all 8 minima (the q36 signature
+    // family — min over the multiset == min over the distinct set, and
+    // unsigned digest-byte order == hex order, so it equals the
+    // expression form's array_min(transform(distinct grams, md5)) the
+    // oracle states). The expression form was interpreted AND
+    // re-evaluated the gram build once per signature column — 8× a
+    // per-gram re-tokenize at sf0.1 (hidden by Bench's count()
+    // pruning; caught by Verify's full materialization).
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5MinHash8Udf(col("text")).as("__sig"))
+    sigs.select(col("doc_id") +:
+      (0 until 8).map(s => col("__sig")(s).as(s"mh_$s")): _*)
   }
 
   val qMinHashSigSql: String = {
@@ -304,17 +310,17 @@ object TextQueries {
     * deterministic near-duplicate both engines construct identically),
     * exercising shingle building + set overlap with meaningful values.
     */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val prefix = concat_ws(" ",
-      slice(toks, lit(1),
-        greatest(floor(size(toks) * 0.6), lit(1)).cast("int")))
-    docs.select(
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
       col("doc_id"),
-      NearDedup.ngramJaccard(col("text"), prefix).as("jaccard")
+      // ONE kernel pass per doc — the expression form
+      // (ngramJaccard over a concat_ws(slice(tokens)) prefix column)
+      // re-evaluated the tokenize+prefix inside wordNgrams' per-gram
+      // lambda: interpreted AND quadratic per document (9 CPU-minutes
+      // on one sf0.1 task; see NearDedup.prefixJaccardUdf)
+      NearDedup.prefixJaccardUdf(col("text"), lit(0.6), lit(3))
+        .as("jaccard")
     )
-  }
 
   val qNgramJaccardSql: String =
     """WITH toks AS (
@@ -349,24 +355,22 @@ object TextQueries {
     * cheaper engine-internal scale path; language id is oracle-covered
     * by q70. n_subwords exercises the BPE-ish boundary splitter.
     */
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val B = 1000003L
-    val M = 2147483647L
-    val th = transform(tokens(col("text")),
-      t => conv(substring(md5(t), 1, 7), 16, 10).cast("long"))
-    val nw = greatest(size(th) - 4, lit(1))
-    val rolls = transform(sequence(lit(0), nw - 1),
-      i => aggregate(slice(th, i + 1, lit(5)), lit(0L),
-        (acc, x) => (acc * lit(B) + x) % lit(M)))
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
+      // rollingFp28Udf: one kernel pass per doc — the expression form
+      // (windowed transform slicing a transform(tokens, md5) array)
+      // re-ran the full token-hash build per window interpreted:
+      // 15s → 0.2s at sf0.1 (see the kernel's scaladoc)
+      .select(col("doc_id"),
+        rollingFp28Udf(col("text")).as("__r"),
+        subwordCount(col("text")).as("n_subwords"))
       .select(
         col("doc_id"),
-        array_min(rolls).as("fp"),
-        nw.cast("long").as("n_windows"),
-        subwordCount(col("text")).as("n_subwords")
+        col("__r._1").as("fp"),
+        col("__r._2").as("n_windows"),
+        col("n_subwords")
       )
-  }
 
   /** DuckDB twin of [[qFingerprint]]: list_reduce has no initial
     * accumulator, so a 0 is prepended to mirror Spark's `aggregate`
@@ -769,12 +773,19 @@ object TextQueries {
     * one signature string so the DuckDB hash compare is byte-stable.
     */
   def qWinnowFp(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = transform(wordNgrams(col("text"), 3), g => md5_60(g))
+    // gram hashes from the single-pass kernel, STAGED as their own
+    // projection: the interpreted windowing lambdas below then slice
+    // an attribute (cheap) instead of re-evaluating the hash build per
+    // window — the expression form re-tokenized per gram AND re-hashed
+    // per window at sf0.1 (hidden by Bench's count() pruning)
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5Grams60Udf(col("text"), lit(3)).as("__h"))
+    val hashes = col("__h")
     val nw = greatest(size(hashes) - 3, lit(1))
     val mins = transform(sequence(lit(0), nw - 1),
       i => array_min(slice(hashes, i + 1, lit(4))))
     val fp = array_sort(array_distinct(mins))
-    Tables.documents(spark, dir).select(
+    hashed.select(
       col("doc_id"),
       concat_ws(":", transform(fp, x => x.cast("string"))).as("fp_sig"),
       size(fp).cast("long").as("n_fp")
@@ -1135,16 +1146,31 @@ object TextQueries {
     */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
     val input = corpusWithCopies(spark, dir)
-    bandCandidates(md5Sigs(input))
-      .join(input.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+    // gram sets built ONCE per doc (kernel pass) and ONLY for docs
+    // that appear in a candidate pair — the verification stage's work
+    // scales with the candidate set, not the corpus. (The original
+    // expression form re-tokenized per gram per pair, quadratic per
+    // doc per pair — hidden by Bench's count() pruning, caught by
+    // Verify's materialization.)
+    val cands = bandCandidates(md5Sigs(input))
+      .localCheckpoint(true) // referenced three times below
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionByName(cands.select(col("id_b").as("doc_id")))
+      .distinct()
+    val grams = input.join(candIds, "doc_id")
+      .select(col("doc_id"),
+        graft.operators.NearDedup
+          .distinctGramsUdf(col("text"), lit(3)).as("g"))
+    cands
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("__ga")),
         "id_a")
-      .join(input.select(col("doc_id").as("id_b"), col("text").as("__tb")),
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("__gb")),
         "id_b")
       .select(col("id_a"), col("id_b"),
         graft.operators.NearDedup
-          .ngramContainment(col("__ta"), col("__tb")).as("cont_ab"),
+          .setContainmentUdf(col("__ga"), col("__gb")).as("cont_ab"),
         graft.operators.NearDedup
-          .ngramContainment(col("__tb"), col("__ta")).as("cont_ba"))
+          .setContainmentUdf(col("__gb"), col("__ga")).as("cont_ba"))
   }
 
   val qContainmentSql: String =

@@ -153,6 +153,24 @@ class MiningAndIndexSpec extends SparkSpecBase {
     ))
   }
 
+  test("PRF second pass re-ranks with the expanded vocabulary") {
+    val sf001 = "/root/testdata/sf0.001"
+    val first = graft.queries.RetrievalQueries
+      .qBm25TopK(spark, sf001)
+      .select("query_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val second = graft.queries.RetrievalQueries
+      .qPrfSecondPass(spark, sf001)
+      .select("query_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(second.nonEmpty)
+    // the expanded vocabulary must actually move the ranking — if the
+    // two passes agree exactly, the expansion terms did nothing and
+    // the loop is vacuous
+    assert(second !== first)
+    assert(second.map(_._1) === first.map(_._1)) // same query ids served
+  }
+
   // ---- NearDedup.applyBandChanges ---------------------------------------
 
   test("applyBandChanges: incremental band table equals full rebuild") {
