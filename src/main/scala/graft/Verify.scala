@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    // optional trailing args = subset of query names (dev loop); the
+    // driver passes none and gets the full registry
+    val unknown = rest.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val selected =
+      if (rest.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => rest.contains(kv._1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.SortedMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
       // final stage into one task, so a query whose projection falls
       // out of codegen re-evaluates it single-threaded (one sf0.1

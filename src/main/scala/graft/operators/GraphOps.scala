@@ -193,4 +193,64 @@ object GraphOps {
       .select(col("component"), col("n_members"),
         col("id").as("keep_id"), col("__q").as("keep_quality"))
   }
+
+  /** PageRank over a directed edge frame, in INTEGER micro-rank units.
+    *
+    * Ranks are maintained as longs in units of `scale⁻¹` (default 1e-12)
+    * and every update uses integer floor division:
+    * `r' = (0.15·scale) div n  +  (85 · Σ_in (r div outdeg)) div 100`.
+    * Floats never appear, so two engines running the same iteration count
+    * agree BIT-EXACTLY — the property the DuckDB oracle (q121) checks.
+    * The usual float formulation is approximate under re-ordered sums;
+    * this one is associative by construction. Dangling-node mass is
+    * dropped (the common simplification; documented, deterministic).
+    *
+    * Shape per iteration: one equi-join rank⋈edges on src (outdeg is
+    * pre-joined into the edge frame once, so the loop body is join +
+    * partial-agg shuffle keyed on dst + left join back to the node
+    * universe). No driver state except the node count; iterates are
+    * localCheckpoint'ed like [[connectedComponents]] to keep the plan
+    * linear in `iters`.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters out of range: $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // single scalar aggregate; no row data collected
+    if (n == 0) { e.unpersist(); nodes.unpersist(); return nodes.withColumn("rank", lit(0L)) }
+    val withDeg = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (scale * 15L / 100L) / n
+    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val in = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inr"))
+      val next = nodes.join(in, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(inr, 0L)) div 100")).as("rank"))
+      val prev = ranks
+      ranks = next.localCheckpoint(true)
+      prev.unpersist()
+      it += 1
+    }
+    e.unpersist(); nodes.unpersist(); withDeg.unpersist()
+    ranks
+  }
 }

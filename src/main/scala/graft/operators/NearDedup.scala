@@ -479,4 +479,32 @@ object NearDedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Paragraph-level exact dedup (the C4/RefinedWeb span-dedup shape at
+    * paragraph granularity): split each document on blank-line boundaries,
+    * hash every non-empty trimmed paragraph, and keep only the FIRST
+    * occurrence corpus-wide (first = lowest (idCol, paragraph index)).
+    *
+    * Returns one row per paragraph: (id, idx, plen, h, rn) with rn = 1 for
+    * the kept occurrence. The window is partitioned on the md5 hash, so
+    * the shuffle carries (id, idx, hash, length) — 4 fixed-width columns,
+    * never the paragraph text — and at 100 TB the repeated-content skew
+    * lands on distinct hash keys, not one reducer.
+    */
+  def paragraphDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val paras = docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("idx", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(length(col("para")) > 0)
+      .select(col("id"), col("idx").cast("long").as("idx"),
+        length(col("para")).cast("long").as("plen"),
+        md5(col("para")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("idx"))
+    paras.withColumn("rn", row_number().over(w).cast("long"))
+  }
 }

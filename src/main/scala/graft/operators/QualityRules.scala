@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality rules (Rae et al. 2021, §A1.1), the
+  * heuristic filter battery every large-scale pretraining pipeline runs
+  * before dedup: word-count bounds, mean-word-length bounds, symbol-to-word
+  * ratio, bullet/ellipsis line fractions, and a stopword-presence check.
+  *
+  * All metrics are INTEGER counts and every threshold is applied by integer
+  * cross-multiplication (`10*n_sym <= n_words` instead of
+  * `n_sym/n_words <= 0.1`), so the decision is exact and engine-portable —
+  * no float ratio ever exists to disagree across engines.
+  *
+  * The counting kernel is one compiled-regex pass per document inside a
+  * single UDF returning a struct: one projection, no explode, nothing
+  * shuffled. At 100 TB this is a map-only stage that pipelines into the
+  * parquet scan.
+  */
+object QualityRules {
+
+  /** The Gopher stopword-presence list (word must appear ≥2 distinct). */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val BulletRe = java.util.regex.Pattern.compile("^[ \\t\\r]*[-*•]")
+  private val EllipsisRe =
+    java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \\t\\r]*$")
+
+  /** One-pass counting kernel. Mirrors, token for token, the DuckDB
+    * formulas in [[graft.queries.CurationQueries.qGopherRulesSql]]:
+    * words = regex `\s+` split of trimmed text; word chars = non-`\s`
+    * chars; symbols = '#' + non-overlapping "..." + '…'; lines =
+    * `\n` split of the raw text.
+    */
+  private[graft] def statsLocal(
+      text: String,
+      stopRes: Array[java.util.regex.Pattern]): (Long, Long, Long, Long, Long, Long, Long) = {
+    val s = if (text == null) "" else text
+    val trimmed = s.trim
+    val words = trimmed.split("\\s+", -1)
+    val nWords = words.length.toLong
+    var wordChars = 0L
+    var nSym = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != ' ' && c != '\t' && c != '\n' && c != 0x0B.toChar && c != '\f' && c != '\r')
+        wordChars += 1
+      if (c == '#' || c == '…') nSym += 1
+      i += 1
+    }
+    // non-overlapping "..." occurrences, leftmost-first like RE2
+    var from = 0
+    while ({ from = s.indexOf("...", from); from >= 0 }) { nSym += 1; from += 3 }
+    val lines = s.split("\n", -1)
+    val nLines = lines.length.toLong
+    var nBullet = 0L
+    var nEllip = 0L
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      if (BulletRe.matcher(l).find()) nBullet += 1
+      if (EllipsisRe.matcher(l).find()) nEllip += 1
+      li += 1
+    }
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    var nStop = 0L
+    var si = 0
+    while (si < stopRes.length) {
+      if (stopRes(si).matcher(lower).find()) nStop += 1
+      si += 1
+    }
+    (nWords, wordChars, nSym, nLines, nBullet, nEllip, nStop)
+  }
+
+  /** Kernel as a UDF; stopword patterns compile once at plan time and ship
+    * in the closure (Pattern is Serializable), not per row.
+    */
+  def statsUdf(stopwords: Seq[String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val pats = stopwords
+      .map(w => java.util.regex.Pattern.compile("\\b" + w + "\\b")).toArray
+    udf { (text: String) => statsLocal(text, pats) }
+  }
+
+  /** Append the metric columns plus the integer-exact `keep` verdict.
+    * `minWords`/`maxWords` are the Gopher bounds (50/100k for web text);
+    * callers tune them per corpus.
+    */
+  def withQualityRules(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stopwords: Seq[String] = StopWords): DataFrame = {
+    val withStats = docs.withColumn("__gs", statsUdf(stopwords)(col(textCol)))
+    val named = withStats
+      .withColumn("n_words", col("__gs._1"))
+      .withColumn("word_chars", col("__gs._2"))
+      .withColumn("n_sym", col("__gs._3"))
+      .withColumn("n_lines", col("__gs._4"))
+      .withColumn("n_bullet", col("__gs._5"))
+      .withColumn("n_ellip", col("__gs._6"))
+      .withColumn("n_stop", col("__gs._7"))
+      .drop("__gs")
+    named.withColumn("keep", keepVerdict(minWords, maxWords))
+  }
+
+  /** The Gopher verdict as a Column over the metric columns — integer
+    * comparisons only: mean word length in [3,10] is
+    * `3*n_words <= word_chars <= 10*n_words`, symbol ratio ≤ 0.1 is
+    * `10*n_sym <= n_words`, bullet fraction ≤ 0.9 is
+    * `10*n_bullet <= 9*n_lines`, ellipsis fraction ≤ 0.3 is
+    * `10*n_ellip <= 3*n_lines`.
+    */
+  def keepVerdict(minWords: Long, maxWords: Long): Column =
+    col("n_words") >= minWords && col("n_words") <= maxWords &&
+      lit(3L) * col("n_words") <= col("word_chars") &&
+      col("word_chars") <= lit(10L) * col("n_words") &&
+      lit(10L) * col("n_sym") <= col("n_words") &&
+      lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
+      lit(10L) * col("n_ellip") <= lit(3L) * col("n_lines") &&
+      col("n_stop") >= 2L
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{GraphOps, NearDedup, QualityRules}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 corpus-curation operators: Gopher quality rules, paragraph-level
+  * dedup, integer-exact PageRank centrality, co-occurrence statistics, and
+  * robust (median/MAD) outlier flagging. Every query is oracle-checked —
+  * the float-nondeterminism traps (ratio thresholds, interpolated medians,
+  * re-ordered float sums) are designed out with integer cross-
+  * multiplication, discrete medians, and integer micro-rank arithmetic.
+  */
+object CurationQueries {
+
+  /** Corpus-tuned stopword list for the synthetic `documents` vocabulary
+    * (the Gopher defaults are web-English; this corpus is a ~40-word
+    * synthetic vocabulary, so presence checks use its frequent terms).
+    */
+  private val CorpusStop = Seq("the", "a", "and", "of", "to", "data", "value", "table")
+
+  /** q119 — Gopher-style quality-rule battery over `documents`: integer
+    * metric counts plus the exact cross-multiplied keep verdict.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    QualityRules
+      .withQualityRules(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "text", minWords = 30L, maxWords = 100000L, stopwords = CorpusStop)
+      .select(col("doc_id"), col("n_words"), col("word_chars"), col("n_sym"),
+        col("n_lines"), col("n_bullet"), col("n_ellip"), col("n_stop"),
+        col("keep"))
+      .orderBy("doc_id")
+
+  val qGopherRulesSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+      |  CAST(length(text) - length(replace(text, '#', ''))
+      |     + len(regexp_extract_all(text, '\.\.\.'))
+      |     + length(text) - length(replace(text, '…', '')) AS BIGINT) AS n_sym,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |       l -> regexp_matches(l, '^[ \t\r]*[-*•]'))) AS BIGINT) AS n_bullet,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |       l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$'))) AS BIGINT) AS n_ellip,
+      |  CAST((CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\bdata\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\bvalue\b') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lower(text), '\btable\b') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_stop,
+      |  (n_words >= 30 AND n_words <= 100000
+      |   AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+      |   AND 10 * n_sym <= n_words
+      |   AND 10 * n_bullet <= 9 * n_lines
+      |   AND 10 * n_ellip <= 3 * n_lines
+      |   AND n_stop >= 2) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q120 — corpus-wide paragraph-level exact dedup. The synthetic docs are
+    * single-line, so multi-paragraph "pages" are built deterministically
+    * (three consecutive docs joined on blank lines, every 7th page also
+    * re-keyed as an exact copy); the operator then keeps each paragraph's
+    * first corpus-wide occurrence and reports per-page survivor stats.
+    */
+  def qParaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pages = docs
+      .groupBy(expr("doc_id div 3").as("page_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")),
+        "\n\n").as("text"))
+    val copies = pages.filter(col("page_id") % 7 === 0)
+      .withColumn("page_id", col("page_id") + lit(2000000L))
+    val all = pages.unionByName(copies)
+    NearDedup.paragraphDedup(all, "page_id", "text")
+      .groupBy(col("id").as("page_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(when(col("rn") === 1, col("plen")).otherwise(0L)).as("kept_chars"))
+      .orderBy("page_id")
+  }
+
+  val qParaDedupSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 3 AS page_id,
+      |         string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+      |  FROM documents GROUP BY doc_id // 3),
+      |alldocs AS (
+      |  SELECT page_id, text FROM pages
+      |  UNION ALL
+      |  SELECT page_id + 2000000, text FROM pages WHERE page_id % 7 = 0),
+      |p0 AS (
+      |  SELECT page_id,
+      |         unnest(string_split_regex(text, '\n\n')) AS para,
+      |         generate_subscripts(string_split_regex(text, '\n\n'), 1) AS idx
+      |  FROM alldocs),
+      |p AS (SELECT page_id, idx, trim(para) AS para
+      |      FROM p0 WHERE length(trim(para)) > 0),
+      |r AS (SELECT page_id, idx, length(para) AS plen,
+      |        ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY page_id, idx) AS rn
+      |      FROM p)
+      |SELECT page_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN plen ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM r GROUP BY page_id ORDER BY page_id""".stripMargin
+
+  /** q121 — PageRank over the customer-nation → supplier-nation trade graph
+    * (distinct nation pairs that actually traded), 5 iterations of
+    * [[GraphOps.pageRank]]'s integer micro-rank recurrence — bit-exact
+    * against the unrolled oracle below.
+    */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val edges = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .select(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
+      .distinct()
+    GraphOps.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
+  }
+
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node,
+       |    (150000000000 // p.n) + (85 * COALESCE(s.inr, 0)) // 100 AS rank
+       |  FROM nodes nd CROSS JOIN params p LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inr
+       |    FROM edges e JOIN $prev r ON e.src = r.node
+       |    JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+
+  val qPageRankSql: String = {
+    val iters = (0 until 5)
+      .map(i => prIterSql(s"r$i", s"r${i + 1}")).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |                  CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // p.n AS rank
+       |       FROM nodes CROSS JOIN params p),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** q122 — document co-occurrence statistics for the top-50 vocabulary:
+    * for every vocab pair, in how many documents both terms appear. All
+    * outputs are integer counts (the consumer derives PMI from them), so
+    * the oracle is exact. The pair stage self-joins per doc_id over the
+    * ≤50-term vocab intersection — bounded ≤1225 pairs per doc, shuffled
+    * on doc_id, with the vocab side broadcast.
+    */
+  def qCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(50)
+      .localCheckpoint(true) // 50 rows; avoids re-running the token scan per reuse
+    val vt = toks.join(broadcast(vocab.select("term")), Seq("term"))
+    val pairs = vt.select(col("doc_id"), col("term").as("term_a"))
+      .join(vt.select(col("doc_id"), col("term").as("term_b")), Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"), col("df").as("df_a"))), Seq("term_a"))
+      .join(broadcast(vocab.select(col("term").as("term_b"), col("df").as("df_b"))), Seq("term_b"))
+      .orderBy(col("n_ab").desc, col("term_a").asc, col("term_b").asc)
+      .limit(100)
+      .select("term_a", "term_b", "n_ab", "df_a", "df_b")
+  }
+
+  val qCooccurSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |          FROM toks GROUP BY term ORDER BY df DESC, term ASC LIMIT 50),
+      |vt AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab v ON t.term = v.term),
+      |p AS (SELECT a.term AS term_a, b.term AS term_b,
+      |             CAST(COUNT(*) AS BIGINT) AS n_ab
+      |      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |      GROUP BY a.term, b.term
+      |      HAVING COUNT(*) >= 5)
+      |SELECT p.term_a, p.term_b, p.n_ab, va.df AS df_a, vb.df AS df_b
+      |FROM p JOIN vocab va ON p.term_a = va.term
+      |       JOIN vocab vb ON p.term_b = vb.term
+      |ORDER BY p.n_ab DESC, p.term_a ASC, p.term_b ASC LIMIT 100""".stripMargin
+
+  /** q123 — robust outlier detection per event type: DISCRETE median (the
+    * order statistic at position ⌈n/2⌉, an actual data value — no
+    * interpolation, so engines can't disagree), MAD from it the same way,
+    * and the |v − med| > 3·MAD flag. Two window passes + one broadcast
+    * join; the per-type medians are grouped order statistics, never a
+    * driver sort.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    def discMedian(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valCol))
+      val wAll = Window.partitionBy("event_type")
+      df.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("event_type"), col(valCol).as(outCol))
+    }
+    val med = discMedian(ev, "value", "med")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = discMedian(dev.select(col("event_type"), col("dev")), "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_out", col("dev") > lit(3.0) * col("mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("value"))).as("min_out"),
+        max(when(col("is_out"), col("value"))).as("max_out"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val qMadOutliersSql: String =
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, value AS med FROM (
+      |    SELECT event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ev)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+      |  FROM ev e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, dev AS mad FROM (
+      |    SELECT event_type, dev,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  MIN(CASE WHEN d.dev > 3 * m.mad THEN d.value END) AS min_out,
+      |  MAX(CASE WHEN d.dev > 3 * m.mad THEN d.value END) AS max_out,
+      |  ANY_VALUE(d.med) AS med,
+      |  ANY_VALUE(m.mad) AS mad
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+}

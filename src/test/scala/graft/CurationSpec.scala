@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{GraphOps, NearDedup, QualityRules}
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators: Gopher quality-rule kernel, paragraph-level
+  * dedup, integer-exact PageRank, and the MAD-outlier query invariants.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def stats(text: String, stop: Seq[String] = QualityRules.StopWords) =
+    QualityRules.statsLocal(text,
+      stop.map(w => java.util.regex.Pattern.compile("\\b" + w + "\\b")).toArray)
+
+  test("quality kernel counts words, symbols, lines, bullets, ellipses") {
+    val t = "- the quick #item\n* another line...\nplain text with … end\n\nthe be to"
+    val (nW, wc, nSym, nL, nB, nE, nStop) = stats(t)
+    assert(nW === 15L) // whitespace tokens of trimmed text
+    assert(wc === t.count(c => !c.isWhitespace).toLong)
+    assert(nSym === 3L) // one '#', one '...', one '…'
+    assert(nL === 5L) // 4 newlines
+    assert(nB === 2L) // '-' and '*' lines
+    assert(nE === 1L) // only the '...' line ends with an ellipsis
+    assert(nStop === 4L) // the, be, to, with
+  }
+
+  test("ellipsis rule only fires at line END; bullet allows indent") {
+    val (_, _, _, _, nB, nE, _) = stats("  \t- indented\nmid ... dots\nends...")
+    assert(nB === 1L)
+    assert(nE === 1L)
+  }
+
+  test("empty and null-ish text behave like the SQL formulas") {
+    val (nW, wc, _, nL, _, _, nStop) = stats("")
+    assert(nW === 1L) // split('') == [''] — same as DuckDB string_split_regex
+    assert(wc === 0L)
+    assert(nL === 1L)
+    assert(nStop === 0L)
+  }
+
+  test("keep verdict uses integer cross-multiplication, no float ratios") {
+    import spark.implicits._
+    // 9 words of 3 chars: mean length exactly 3.0 — boundary must KEEP
+    val doc = Seq.fill(4)("the and").mkString(" ") + " the"
+    val df = QualityRules.withQualityRules(
+      Seq((1L, doc)).toDF("doc_id", "text"), "text", minWords = 5L)
+    val r = df.select("n_words", "word_chars", "keep").head()
+    assert(r.getLong(0) === 9L && r.getLong(1) === 27L)
+    assert(r.getBoolean(2) === true)
+    // 9 words of 2 chars: mean 2.0 < 3 — must DROP (stopwords still ≥2)
+    val df2 = QualityRules.withQualityRules(
+      Seq((1L, Seq.fill(4)("to be").mkString(" ") + " to")).toDF("doc_id", "text"),
+      "text", minWords = 5L)
+    assert(df2.select("keep").head().getBoolean(0) === false)
+  }
+
+  test("paragraph dedup keeps first corpus-wide occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\nshared para\n\ngamma"),
+      (2L, "shared para\n\ndelta"),
+      (3L, "  shared para  \n\nalpha beta")
+    ).toDF("id", "text")
+    val pd = NearDedup.paragraphDedup(docs, "id", "text")
+      .select("id", "idx", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pd((1L, 0L)) === 1L) // first "alpha beta"
+    assert(pd((1L, 1L)) === 1L) // first "shared para"
+    assert(pd((2L, 0L)) === 2L) // dup of doc 1's paragraph
+    assert(pd((3L, 0L)) === 3L) // trimmed to the same paragraph → third copy
+    assert(pd((3L, 1L)) === 2L) // "alpha beta" dup
+  }
+
+  test("pageRank one iteration matches the hand-computed integer recurrence") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=3, init=333333333333, base=150000000000//3=50000000000
+    // node1 ← r2 div 2: 50000000000 + 85*166666666666//100 = 191666666666
+    // node2 ← r1 div 1: 50000000000 + 85*333333333333//100 = 333333333333
+    // node3 ← r2 div 2: same as node 1
+    assert(got === Map(1L -> 191666666666L, 2L -> 333333333333L,
+      3L -> 191666666666L))
+  }
+
+  test("pageRank conserves bounded mass and is deterministic across runs") {
+    import spark.implicits._
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)).toDF("src", "dst")
+    val a = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    val total = a.values.sum
+    assert(total > 0L && total <= 1000000000000L) // floor divisions only lose mass
+  }
+
+  test("q123 MAD outliers: med/mad are actual data values, flags consistent") {
+    val rows = CurationQueries.qMadOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val nOut = r.getAs[Long]("n_outliers")
+      assert(nOut >= 0L && nOut < n) // an outlier rule can't flag everything
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+  }
+
+  test("q122 co-occurrence counts are symmetric-upper and df-bounded") {
+    val rows = CurationQueries.qCooccur(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("term_a"), r.getAs[String]("term_b"))
+      assert(a < b)
+      val nAb = r.getAs[Long]("n_ab")
+      assert(nAb <= math.min(r.getAs[Long]("df_a"), r.getAs[Long]("df_b")))
+    }
+  }
+}
