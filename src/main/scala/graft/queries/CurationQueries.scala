@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, GraphOps, NearDedup, QualityRules}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -241,6 +241,143 @@ object CurationQueries {
         first(col("med")).as("med"),
         first(col("mad")).as("mad"))
       .orderBy("event_type")
+  }
+
+  /** The nation-trade edge frame shared by q121/q124: distinct
+    * (customer nation, supplier nation) pairs that actually traded.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .select(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
+      .distinct()
+  }
+
+  /** q124 — triangle enumeration over the undirected nation-trade graph
+    * ([[GraphOps.triangles]], degree-oriented wedge join). The oracle is
+    * the naive a<b<c three-way join — same triangle set, which is exactly
+    * what the orientation rewrite must preserve.
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.triangles(tradeEdges(spark, dir), "src", "dst")
+      .orderBy("ta", "tb", "tc")
+
+  val qTrianglesSql: String =
+    """WITH raw AS (
+      |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+      |                  CAST(s.s_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |ce AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM raw WHERE src <> dst)
+      |SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      |FROM ce e1
+      |JOIN ce e2 ON e2.a = e1.b
+      |JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+      |ORDER BY ta, tb, tc""".stripMargin
+
+  /** q125 — pairwise corpus-overlap matrix between sources: distinct
+    * 3-token shingles per source, then |A∩B| / |A| / |B| / |A∪B| as exact
+    * integer counts for every source pair. The pair stage joins on the
+    * GRAM key (each gram meets only the sources containing it), never
+    * all-pairs on documents.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(wordNgramsKernel(col("text"), 3)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // reused by sizes + both join sides
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .select("src_a", "src_b", "n_inter", "n_a", "n_b", "n_union")
+      .orderBy("src_a", "src_b")
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM grams GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.src_a, i.src_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+      |  sa.n + sb.n - i.n_inter AS n_union
+      |FROM inter i JOIN sizes sa ON i.src_a = sa.source
+      |             JOIN sizes sb ON i.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  /** q126 — n-gram novelty curve: for each doc (in doc_id order), how many
+    * of its distinct 3-grams were never seen in any earlier doc. One
+    * gram-keyed min-aggregate + one join back; the standard corpus-growth
+    * diagnostic for dataset curation.
+    */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (doc, gram) pairs once; first_doc via a window over the
+    // gram key — one gram-keyed shuffle + one doc-keyed aggregate, no
+    // second evaluation of the gram pipeline for a join build side
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgramsKernel(col("text"), 3))).as("g"))
+    grams
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("g")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .orderBy("doc_id")
+  }
+
+  val qNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks),
+      |first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+      |SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel
+      |FROM grams gr JOIN first f ON gr.g = f.g
+      |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin
+
+  /** q127 — BPE vocabulary induction over the corpus word-frequency
+    * dictionary ([[BpeVocab.train]], 8 merges). No oracle: the merge loop
+    * is iterative argmax state the driver's SQL gate can't express;
+    * CurationSpec pins the distributed trainer against the single-machine
+    * reference implementation instead (rows-only gate).
+    */
+  def qBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    BpeVocab.train(spark, words, "w", "cnt", merges = 8)
   }
 
   val qMadOutliersSql: String =

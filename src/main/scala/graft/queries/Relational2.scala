@@ -160,29 +160,43 @@ object Relational2 {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q67 — exact per-group percentiles by rank selection: the value at
-    * row `ceil(p·n)` of each group's sorted stream (discrete/type-1
+    * rank `ceil(p·n)` of each group's sorted multiset (discrete/type-1
     * quantile). Engine-neutral by construction — selecting a member of
     * the multiset needs no interpolation arithmetic, so the hash compare
     * is safe where `percentile_cont` families differ in float rounding.
-    * Shape at scale: ONE shuffle on the group key; the window sort and
-    * the rank filter pipeline map-side after it.
+    * Shape at scale: one partial-agg'd shuffle builds a per-group value
+    * histogram; the rank pick runs over the histogram (bounded by the
+    * value vocabulary), never over raw rows.
     */
   def q67Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy("l_returnflag")))
+    // Exact percentiles via a VALUE HISTOGRAM, not a per-row window:
+    // aggregate counts per (flag, value) first — one partial-agg'd
+    // shuffle of ≤ |flags|·|distinct values| rows — then pick the order
+    // statistic rank k = ceil(n·q) from the cumulative counts
+    // (`cum−c < k ≤ cum` selects exactly the value the naive
+    // row_number()=k pick would, since equal values are contiguous).
+    // The previous row_number() form funneled the whole table through
+    // |flags| single-threaded window tasks — 3 tasks sorting 200k rows
+    // each at sf0.1, and a straight scale-killer at 100 TB.
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wAll = Window.partitionBy("l_returnflag")
+    def pick(q: Double): org.apache.spark.sql.Column = {
+      val k = ceil(col("n") * q)
+      max(when(col("cum") - col("c") < k && k <= col("cum"),
+        col("l_quantity")))
+    }
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
       .groupBy("l_returnflag")
       .agg(
-        max(when(col("rn") === ceil(col("n") * 0.5), col("l_quantity")))
-          .as("median_qty"),
-        max(when(col("rn") === ceil(col("n") * 0.95), col("l_quantity")))
-          .as("p95_qty"),
-        max(when(col("rn") === ceil(col("n") * 0.99), col("l_quantity")))
-          .as("p99_qty"),
-        count(lit(1)).as("n_rows"))
+        pick(0.5).as("median_qty"),
+        pick(0.95).as("p95_qty"),
+        pick(0.99).as("p99_qty"),
+        sum(col("c")).as("n_rows"))
       .orderBy("l_returnflag")
   }
 

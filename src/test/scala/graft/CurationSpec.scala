@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, GraphOps, NearDedup, QualityRules}
 import graft.queries.CurationQueries
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,52 @@ class CurationSpec extends SparkSpecBase {
       assert(nOut >= 0L && nOut < n) // an outlier rule can't flag everything
       assert(r.getAs[Double]("mad") >= 0.0)
     }
+  }
+
+  test("triangles: oriented wedge join finds exactly the closed triples") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + a pendant edge + a hub star that
+    // closes nothing
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (9L, 10L), (9L, 11L), (9L, 12L)).toDF("src", "dst")
+    val got = GraphOps.triangles(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles: direction and duplicate edges do not change the set") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val b = Seq((2L, 1L), (3L, 2L), (1L, 3L), (1L, 2L), (1L, 1L)).toDF("src", "dst")
+    val ta = GraphOps.triangles(a, "src", "dst").collect().toSeq.map(_.toSeq)
+    val tb = GraphOps.triangles(b, "src", "dst").collect().toSeq.map(_.toSeq)
+    assert(ta === Seq(Seq(1L, 2L, 3L)) && tb === ta)
+  }
+
+  test("BPE distributed trainer equals the single-machine reference") {
+    import spark.implicits._
+    val wc = Seq(("lower", 5L), ("lowest", 2L), ("newer", 6L), ("wider", 3L))
+    val got = BpeVocab.train(spark, wc.toDF("w", "cnt"), "w", "cnt", merges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val want = BpeVocab.trainLocal(wc, merges = 6)
+    assert(got === want)
+    // classic example: 'er' merges first (lower 5 + newer 6 + wider 3 = 14)
+    assert(got.head._2 == "e" && got.head._3 == "r" && got.head._4 == 14L)
+  }
+
+  test("BPE stops when no pairs remain") {
+    import spark.implicits._
+    val got = BpeVocab.train(spark, Seq(("ab", 3L)).toDF("w", "cnt"),
+      "w", "cnt", merges = 5).collect()
+    assert(got.length === 1) // after merging 'a b' the word is one symbol
+  }
+
+  test("q127 merge rules on the corpus are deterministic across runs") {
+    val a = CurationQueries.qBpeVocab(spark, sf).collect().map(_.toSeq).toSeq
+    val b = CurationQueries.qBpeVocab(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
   }
 
   test("q122 co-occurrence counts are symmetric-upper and df-bounded") {
