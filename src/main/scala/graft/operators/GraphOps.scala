@@ -259,16 +259,23 @@ object GraphOps {
     * Shape per iteration: one equi-join rank⋈edges on src (outdeg is
     * pre-joined into the edge frame once, so the loop body is join +
     * partial-agg shuffle keyed on dst + left join back to the node
-    * universe). No driver state except the node count; iterates are
-    * localCheckpoint'ed like [[connectedComponents]] to keep the plan
-    * linear in `iters`.
+    * universe). No driver state except the node count. Unlike
+    * [[connectedComponents]] (whose iterate references itself TWICE, so
+    * lineage doubles per round), each PageRank iterate references its
+    * predecessor once — the plan grows linearly and the whole loop can
+    * run as ONE job over the persisted edge frame. Iterates are only
+    * localCheckpoint'ed every `checkpointEvery` rounds to bound plan
+    * depth for large iteration counts, not every round (per-round eager
+    * checkpoints cost a full job-scheduling round-trip each and bought
+    * nothing at 5 iterations).
     */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int = 5,
-      scale: Long = 1000000000000L
+      scale: Long = 1000000000000L,
+      checkpointEvery: Int = 8
   ): DataFrame = {
     require(iters >= 0 && iters <= 100, s"iters out of range: $iters")
     val e = edges
@@ -286,22 +293,20 @@ object GraphOps {
       e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * 15L / 100L) / n
-    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(scale / n))
     var it = 0
     while (it < iters) {
       val in = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("inr"))
-      val next = nodes.join(in, Seq("node"), "left_outer")
+      ranks = nodes.join(in, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(inr, 0L)) div 100")).as("rank"))
-      val prev = ranks
-      ranks = next.localCheckpoint(true)
-      prev.unpersist()
       it += 1
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
-    e.unpersist(); nodes.unpersist(); withDeg.unpersist()
     ranks
   }
 }
