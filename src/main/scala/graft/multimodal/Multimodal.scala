@@ -303,6 +303,69 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
+  /** 64-bit average hash (aHash, the classic perceptual image hash):
+    * 8×8 mean-luminance grid, bit i set iff cell i ≥ the grid's own
+    * mean. Real images pool real pixels (the same pooling kernel as
+    * [[embed]] at dim=64, an exact 8×8 grid); payloads no codec parses
+    * hash their fallback embedding the same way, so the operator stays
+    * total and deterministic. Brightness/contrast shifts move every
+    * cell AND the mean together, which is why near-identical images
+    * collide — the property near-dup mining wants.
+    */
+  private[graft] def aHashBits(cells: Array[Float]): Long = {
+    var s = 0.0f
+    var i = 0
+    while (i < cells.length) { s += cells(i); i += 1 }
+    val mean = s / cells.length
+    var bits = 0L
+    i = 0
+    while (i < cells.length && i < 64) {
+      if (cells(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  def perceptualHash(decoded: Dataset[DecodedRow]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { rows =>
+      rows.map { r =>
+        val cells =
+          if (r.kind == "image")
+            tryEmbedImage(r.bytes, 64).getOrElse(fakeEmbed(r.bytes, 64))
+          else fakeEmbed(r.bytes, 64)
+        (r.media_id, aHashBits(cells))
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` of each other, via
+    * 4×16-bit block banding: two 64-bit hashes ≤3 bits apart must share
+    * at least one exact 16-bit block (pigeonhole), so candidates join
+    * keyed on (block index, block value) — never all-pairs — and the
+    * exact hamming check (`bit_count(xor)`, codegen'd) prunes the rest.
+    * The same banded self-join shape as SimHash text near-dup (q26).
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding only guarantees recall for hamming <= 3, got $maxHamming")
+    val blocks = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"),
+          shiftrightunsigned(col("phash"), i * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("b"))
+      .select(col("media_id"), col("phash"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Build a media table from any (id, text) corpus — test/bench helper
     * that treats UTF-8 text bytes as the opaque payload.
     */

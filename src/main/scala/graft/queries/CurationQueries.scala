@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{BpeVocab, GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, CountMinSketch, GraphOps, NearDedup, QualityRules}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -379,6 +379,93 @@ object CurationQueries {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     BpeVocab.train(spark, words, "w", "cnt", merges = 8)
   }
+
+  /** q128 — count-min sketch build + probe ([[CountMinSketch]]): term
+    * frequencies sketched into a 4×256 table, top-20 true terms probed
+    * back. Estimates can only overcount, and because the md5-60 hash
+    * family is SQL-expressible the whole sketch — not just an error
+    * bound — is oracle-exact.
+    */
+  def qCmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .localCheckpoint(true) // vocab-sized; feeds sketch AND probe set
+    val sketch = CountMinSketch.build(terms, "term", "true_cnt")
+    val top = terms.orderBy(col("true_cnt").desc, col("term").asc).limit(20)
+    CountMinSketch.probe(sketch, top.select("term"), "term")
+      .join(broadcast(top), Seq("term"))
+      .select(col("term"), col("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("term").asc)
+  }
+
+  val qCmsFreqSql: String =
+    """WITH terms AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents)
+      |  GROUP BY term),
+      |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+      |cells AS (
+      |  SELECT d,
+      |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+      |      % 256 AS bucket,
+      |    CAST(SUM(true_cnt) AS BIGINT) AS cnt
+      |  FROM terms CROSS JOIN ds GROUP BY 1, 2),
+      |top AS (SELECT term, true_cnt FROM terms
+      |        ORDER BY true_cnt DESC, term ASC LIMIT 20),
+      |est AS (
+      |  SELECT t.term, MIN(c.cnt) AS est_cnt
+      |  FROM top t CROSS JOIN ds
+      |  JOIN cells c ON c.d = ds.d AND c.bucket =
+      |    ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.term), 1, 15))::BIGINT
+      |      % 256
+      |  GROUP BY t.term)
+      |SELECT t.term, t.true_cnt, e.est_cnt
+      |FROM top t JOIN est e ON t.term = e.term
+      |ORDER BY t.true_cnt DESC, t.term ASC""".stripMargin
+
+  /** q129 — distribution drift between two corpus partitions (even vs odd
+    * doc_id): per-term counts on each side ranked by the CROSS-MULTIPLIED
+    * effect size |cnt_a·n_b − cnt_b·n_a| — the integer-exact analogue of
+    * the per-term chi-square contribution, so the ranking needs no float
+    * arithmetic anywhere. The training-data drift monitor between two
+    * snapshots/sources.
+    */
+  def qDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(
+      sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("effect",
+        abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")))
+      .orderBy(col("effect").desc, col("term").asc)
+      .limit(20)
+      .select("term", "cnt_a", "cnt_b", "n_a", "n_b", "effect")
+  }
+
+  val qDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 = 0 AS in_a,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM toks GROUP BY term),
+      |totals AS (
+      |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+      |         CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM counts)
+      |SELECT term, cnt_a, cnt_b, n_a, n_b,
+      |  abs(cnt_a * n_b - cnt_b * n_a) AS effect
+      |FROM counts CROSS JOIN totals
+      |ORDER BY effect DESC, term ASC LIMIT 20""".stripMargin
 
   val qMadOutliersSql: String =
     """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

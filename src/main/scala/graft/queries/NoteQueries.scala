@@ -121,4 +121,28 @@ object NoteQueries {
       |  sha256(text) AS payload_sha,
       |  CAST(32 AS BIGINT) AS emb_dim
       |FROM documents""".stripMargin
+
+  /** q130 — image near-dup mining by 64-bit perceptual hash
+    * ([[Multimodal.perceptualHash]] aHash + 4×16-bit banded pair join):
+    * the corpus plus exact copies (every 13th payload) and lightly
+    * perturbed copies (every 9th, two bytes appended) flows decode →
+    * aHash → banded candidate join → exact hamming ≤ 3. Rows-only gate
+    * (hash values ride the decode kernels); MultimodalSpec pins the
+    * real-codec behavior: identical PNGs collide at hamming 0, a
+    * +1-brightness re-render stays within threshold, and structurally
+    * different images are rejected.
+    */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val exact = docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(6000000L))
+    val near = docs.filter(col("doc_id") % 9 === 0)
+      .withColumn("text", concat(col("text"), lit(" x")))
+      .withColumn("doc_id", col("doc_id") + lit(3000000L))
+    val media = Multimodal.mediaFromDocuments(
+      spark, docs.unionByName(exact).unionByName(near))
+    val hashes = Multimodal.perceptualHash(Multimodal.decode(media))
+    Multimodal.phashPairs(hashes, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
 }

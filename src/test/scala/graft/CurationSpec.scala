@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BpeVocab, GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, CountMinSketch, GraphOps, NearDedup, QualityRules}
 import graft.queries.CurationQueries
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,43 @@ class CurationSpec extends SparkSpecBase {
     val a = CurationQueries.qBpeVocab(spark, sf).collect().map(_.toSeq).toSeq
     val b = CurationQueries.qBpeVocab(spark, sf).collect().map(_.toSeq).toSeq
     assert(a === b && a.nonEmpty)
+  }
+
+  test("count-min sketch never undercounts and is exact without collisions") {
+    import spark.implicits._
+    val keyed = Seq(("a", 100L), ("b", 40L), ("c", 7L)).toDF("k", "w")
+    val sk = CountMinSketch.build(keyed, "k", "w", depth = 4, width = 1024)
+    val est = CountMinSketch.probe(sk, Seq("a", "b", "c").toDF("k"), "k",
+      depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 keys in 4×1024 cells: no collisions, estimates exact
+    assert(est === Map("a" -> 100L, "b" -> 40L, "c" -> 7L))
+    // total mass per depth row equals the input mass
+    val perDepth = sk.groupBy("depth").sum("cnt").collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(perDepth === Seq.fill(4)(147L))
+  }
+
+  test("count-min sketch under heavy collision still upper-bounds") {
+    import spark.implicits._
+    val keyed = (1 to 500).map(i => (s"k$i", 1L)).toDF("k", "w")
+    val sk = CountMinSketch.build(keyed, "k", "w", depth = 4, width = 8)
+    val est = CountMinSketch.probe(sk, Seq("k1", "k499").toDF("k"), "k",
+      depth = 4, width = 8)
+      .collect().map(r => r.getLong(1))
+    assert(est.forall(_ >= 1L)) // never undercounts the true count of 1
+  }
+
+  test("q129 drift effect ranking is integer-exact and symmetric") {
+    val rows = CurationQueries.qDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("effect") === math.abs(ca * nb - cb * na))
+    }
+    val effects = rows.map(_.getAs[Long]("effect")).toSeq
+    assert(effects === effects.sorted.reverse)
   }
 
   test("q122 co-occurrence counts are symmetric-upper and df-bounded") {

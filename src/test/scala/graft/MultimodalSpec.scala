@@ -134,4 +134,48 @@ class MultimodalSpec extends SparkSpecBase {
     assert(meta.durationMs === 500L)
     assert(meta.format === "audio/wav")
   }
+
+  private def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("perceptual hash: identity collides, brightness shift tolerated, structure rejected") {
+    import spark.implicits._
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val grad = pngOf((x, _) => grey(x * 255 / 63))
+    val gradBright = pngOf((x, _) => grey(math.min(255, x * 255 / 63 + 8)))
+    val checker = pngOf((x, y) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) 0xFFFFFF else 0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", grad),
+      Multimodal.MediaRow(2L, "image", grad),
+      Multimodal.MediaRow(3L, "image", gradBright),
+      Multimodal.MediaRow(4L, "image", checker)).toDS()
+    val h = Multimodal.perceptualHash(Multimodal.decode(media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) === h(2L))
+    assert(hamming(h(1L), h(3L)) <= 3)
+    assert(hamming(h(1L), h(4L)) > 3)
+    val pairs = Multimodal.phashPairs(
+      Multimodal.perceptualHash(Multimodal.decode(media)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("aHash kernel thresholds cells by their own mean") {
+    val cells = new Array[Float](64)
+    cells(0) = 1.0f; cells(63) = 1.0f // mean = 2/64; only those two >= mean
+    val bits = Multimodal.aHashBits(cells)
+    assert(bits === ((1L << 0) | (1L << 63)))
+    // uniform cells: every cell >= mean, all 64 bits set
+    assert(Multimodal.aHashBits(Array.fill(64)(0.5f)) === -1L)
+  }
 }
