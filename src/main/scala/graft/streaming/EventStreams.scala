@@ -147,6 +147,48 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+  final case class FunnelState(step: Int, lastTsMs: Long)
+  final case class FunnelTransition(
+      user_id: Long, step: Long, event_type: String, t: Timestamp)
+
+  /** Streaming funnel: per-user conversion-step state via
+    * flatMapGroupsWithState, emitting a transition row the moment a user
+    * completes the next step (first `steps(k)` event strictly after the
+    * step-(k−1) completion — the greedy forward scan computes exactly the
+    * batch funnel's chained MIN times). State per user is ONE (step,
+    * lastTs) pair — constant, regardless of the user's event volume.
+    * Exact-parity contract: per-user event time non-decreasing across
+    * micro-batches (sorted replay); within a batch the group is sorted
+    * here. StreamingSpec proves step counts equal the batch q89 funnel.
+    */
+  def statefulFunnel(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String]
+  ): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (userId, rows, state: GroupState[FunnelState]) =>
+        var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelTransition]
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          if (st.step < stepArr.length && e.event_type == stepArr(st.step) &&
+            (st.step == 0 || e.ts.getTime > st.lastTsMs)) {
+            st = FunnelState(st.step + 1, e.ts.getTime)
+            out += FunnelTransition(userId, st.step.toLong,
+              stepArr(st.step - 1), e.ts)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Click→purchase attribution pairs: every purchase joined to the
     * same user's clicks in the `window` just before it (half-open —
     * the click at the purchase instant is excluded). On BATCH frames

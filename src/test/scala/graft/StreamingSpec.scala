@@ -187,6 +187,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === batch)
   }
 
+  test("streaming funnel equals the batch funnel on sorted replay") {
+    import graft.streaming.EventStreams
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val batch = graft.operators.EventFlows
+      .funnel(events, "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users"))
+      .toMap
+
+    val dir = Files.createTempDirectory("stream-funnel").toString
+    val mm = events.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def cut(ms: Long) = timestamp_millis(lit(ms))
+    Seq(
+      events.filter(col("ts") <= cut(t1)),
+      events.filter(col("ts") > cut(t1) && col("ts") <= cut(t2)),
+      events.filter(col("ts") > cut(t2))
+    ).zipWithIndex.foreach { case (wave, i) =>
+      wave.coalesce(1).write.mode("overwrite").parquet(f"$dir/wave-$i%03d")
+    }
+    import spark.implicits._
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/wave-*")
+      .as[EventStreams.FunnelEvent]
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      EventStreams.statefulFunnel(stream, steps).toDF(),
+      "funnel_stream_test")
+    val got = streamed.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step")))
+    // one transition per (user, step), counts per step match the batch
+    assert(got.length === got.distinct.length)
+    val counts = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert((1L to steps.length.toLong).forall(s =>
+      counts.getOrElse(s, 0L) === batch.getOrElse(s, 0L)))
+    assert(counts.getOrElse(1L, 0L) > 0L)
+    // nested conversion sets: a user at step k also completed step k-1
+    val byStep = got.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(byStep.getOrElse(3L, Set.empty[Long])
+      .subsetOf(byStep.getOrElse(2L, Set.empty[Long])))
+    assert(byStep.getOrElse(2L, Set.empty[Long])
+      .subsetOf(byStep.getOrElse(1L, Set.empty[Long])))
+  }
+
   test("batch-mode sequence-example state op matches the batch window") {
     import graft.streaming.StreamSequence
     val events = Tables.events(spark, "/root/testdata/sf0.001")
