@@ -235,4 +235,19 @@ object SimilarityQueries {
       |  CAST(list_min(list_concat(qs, [0])) AS BIGINT) AS qmin,
       |  CAST(list_max(list_concat(qs, [0])) AS BIGINT) AS qmax
       |FROM q""".stripMargin
+
+  /** q131 — PCA compaction of the embedding column
+    * ([[graft.operators.Pca]]): fit 8 components in one moment-
+    * accumulation pass, project every vector. Rows-only gate (eigen
+    * decomposition is engine-internal numerics); PcaSpec pins
+    * orthonormality, descending variances, projected-variance ==
+    * eigenvalue, and near-zero reconstruction error at k=d.
+    */
+  def qPcaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+    graft.operators.Pca.transform(emb, "embedding", model)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("pca"))
+  }
 }
