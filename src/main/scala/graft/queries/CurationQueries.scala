@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{BpeVocab, CountMinSketch, GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, CountMinSketch, GraphOps, JoinDiscovery, NearDedup, QualityRules}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -466,6 +466,51 @@ object CurationQueries {
       |  abs(cnt_a * n_b - cnt_b * n_a) AS effect
       |FROM counts CROSS JOIN totals
       |ORDER BY effect DESC, term ASC LIMIT 20""".stripMargin
+
+  /** The (name, table, column) candidates q132 profiles — every key
+    * column of the TPC-H-ish lake.
+    */
+  private val JoinCandidates: Seq[(String, String)] = Seq(
+    "customer.c_custkey" -> "c_custkey",
+    "orders.o_custkey" -> "o_custkey",
+    "customer.c_nationkey" -> "c_nationkey",
+    "supplier.s_nationkey" -> "s_nationkey",
+    "nation.n_nationkey" -> "n_nationkey",
+    "part.p_partkey" -> "p_partkey",
+    "lineitem.l_partkey" -> "l_partkey",
+    "orders.o_orderkey" -> "o_orderkey",
+    "lineitem.l_orderkey" -> "l_orderkey")
+
+  /** q132 — joinable-column discovery ([[JoinDiscovery.matchMatrix]]):
+    * 32 salted minhash minima per key column across the lake's tables,
+    * pairwise match counts as the join-ability score. The md5-60 family
+    * makes the full sketch and match matrix oracle-exact.
+    */
+  def qJoinDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val cols = JoinCandidates.map { case (name, c) =>
+      val table = name.split("\\.")(0)
+      (name, Tables.load(spark, dir, table), c)
+    }
+    JoinDiscovery.matchMatrix(spark, cols, k = 32)
+      .orderBy("col_a", "col_b")
+  }
+
+  val qJoinDiscoverySql: String = {
+    val sketches = JoinCandidates.map { case (name, c) =>
+      val table = name.split("\\.")(0)
+      s"""  SELECT '$name' AS name, salt,
+         |    MIN(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || v), 1, 15))::BIGINT) AS mh
+         |  FROM (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM $table
+         |        WHERE $c IS NOT NULL) CROSS JOIN ds GROUP BY salt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ds AS (SELECT unnest(range(0, 32)) AS salt),
+       |sk AS (
+       |$sketches)
+       |SELECT a.name AS col_a, b.name AS col_b,
+       |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |FROM sk a JOIN sk b ON a.salt = b.salt AND a.name < b.name
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   val qMadOutliersSql: String =
     """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),

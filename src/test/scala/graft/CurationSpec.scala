@@ -193,6 +193,29 @@ class CurationSpec extends SparkSpecBase {
     assert(effects === effects.sorted.reverse)
   }
 
+  test("join discovery: identical value sets match on every salt") {
+    import spark.implicits._
+    val a = (1 to 100).map(_.toString).toDF("x")
+    val b = (1 to 100).map(_.toString).toDF("y")
+    val c = (900 to 999).map(_.toString).toDF("z")
+    val m = graft.operators.JoinDiscovery.matchMatrix(spark,
+      Seq(("t.a", a, "x"), ("t.b", b, "y"), ("t.c", c, "z")), k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m(("t.a", "t.b")) === 16L) // same set → all minima equal
+    assert(m(("t.a", "t.c")) === 0L) // disjoint sets → no matches
+  }
+
+  test("join discovery: q132 finds the real FK relationships") {
+    val rows = CurationQueries.qJoinDiscovery(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // o_custkey values ⊂ c_custkey: high overlap; nation keys identical
+    assert(rows(("customer.c_nationkey", "nation.n_nationkey")) >= 24L)
+    assert(rows(("customer.c_custkey", "orders.o_custkey")) >= 16L)
+    // unrelated domains (custkey vs orderkey) overlap at most by chance
+    assert(rows(("customer.c_custkey", "orders.o_orderkey")) <= 8L)
+  }
+
   test("q122 co-occurrence counts are symmetric-upper and df-bounded") {
     val rows = CurationQueries.qCooccur(spark, sf).collect()
     assert(rows.nonEmpty)
