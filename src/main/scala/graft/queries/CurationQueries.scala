@@ -499,8 +499,9 @@ object CurationQueries {
     val sketches = JoinCandidates.map { case (name, c) =>
       val table = name.split("\\.")(0)
       s"""  SELECT '$name' AS name, salt,
-         |    MIN(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || v), 1, 15))::BIGINT) AS mh
-         |  FROM (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM $table
+         |    MIN(('0x' || substr(d, 1, 15))::BIGINT
+         |        + salt * (('0x' || substr(d, 16, 8))::BIGINT % 1073741824)) AS mh
+         |  FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS d FROM $table
          |        WHERE $c IS NOT NULL) CROSS JOIN ds GROUP BY salt""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ds AS (SELECT unnest(range(0, 32)) AS salt),
