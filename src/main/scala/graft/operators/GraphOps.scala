@@ -245,6 +245,57 @@ object GraphOps {
     out
   }
 
+  /** Single-source shortest paths by synchronous Bellman-Ford rounds:
+    * `dist_{r+1}(v) = min(dist_r(v), min_{(u,v,w)∈E} dist_r(u) + w)` —
+    * each round is one join + one partial-agg'd min shuffle keyed on dst,
+    * the canonical iterative-relaxation shape (Pregel's SSSP as plain
+    * DataFrame joins). All-integer weights ⇒ bit-exact across engines;
+    * unreached nodes keep the `Unreachable` sentinel. Rounds are capped
+    * by `iters` (distances are exact once `iters` ≥ the shortest-path
+    * hop diameter); plan depth grows linearly so no per-round
+    * checkpoints, like [[pageRank]].
+    */
+  val Unreachable: Long = 1000000000000000L
+
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String],
+      source: Long,
+      iters: Int = 5,
+      checkpointEvery: Int = 8
+  ): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters out of range: $iters")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")) // parallel edges → min
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes.withColumn("dist",
+      when(col("node") === source, 0L).otherwise(lit(Unreachable)))
+    var it = 0
+    while (it < iters) {
+      val relaxed = e.join(dist, col("src") === col("node"))
+        .filter(col("dist") < Unreachable)
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min(col("cand")).as("cand"))
+      dist = dist.join(relaxed, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("cand"), lit(Unreachable)))
+            .as("dist"))
+      it += 1
+      if (it % checkpointEvery == 0 && it < iters)
+        dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
   /** PageRank over a directed edge frame, in INTEGER micro-rank units.
     *
     * Ranks are maintained as longs in units of `scale⁻¹` (default 1e-12)

@@ -513,6 +513,90 @@ object CurationQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q133 — single-source shortest paths over the weighted trade graph
+    * (weight = distinct orders between the nation pair; source = nation
+    * 0), 5 Bellman-Ford rounds of [[GraphOps.shortestPaths]] — pure
+    * integer relaxation, bit-exact against the unrolled oracle.
+    */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val edges = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
+      .agg(countDistinct(o("o_orderkey")).as("w"))
+    GraphOps.shortestPaths(edges, "src", "dst", Some("w"),
+      source = 0L, iters = 5).orderBy("node")
+  }
+
+  private def ssspIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |    least(d.dist, COALESCE(r.cand, 1000000000000000)) AS dist
+       |  FROM nodes n JOIN $prev d ON n.node = d.node
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, MIN(d.dist + e.w) AS cand
+       |    FROM e JOIN $prev d ON e.src = d.node
+       |    WHERE d.dist < 1000000000000000
+       |    GROUP BY e.dst) r ON n.node = r.node)""".stripMargin
+
+  val qSsspSql: String = {
+    val iters = (0 until 5)
+      .map(i => ssspIterSql(s"d$i", s"d${i + 1}")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst,
+       |         COUNT(DISTINCT o.o_orderkey) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |d0 AS (SELECT node,
+       |         CASE WHEN node = 0 THEN 0 ELSE 1000000000000000 END AS dist
+       |       FROM nodes),
+       |$iters
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d5 ORDER BY node""".stripMargin
+  }
+
+  /** q134 — per-document keyword extraction: terms ranked inside each doc
+    * by (tf desc, df asc, term asc) — high frequency in the doc, rare in
+    * the corpus — top 3 per doc. The float-free integer analogue of
+    * tf-idf keyword ranking, so the oracle is exact.
+    */
+  def qKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= 3)
+      .select("doc_id", "kw_rank", "term", "tf", "df")
+      .orderBy("doc_id", "kw_rank")
+  }
+
+  val qKeywordsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      |          FROM tf GROUP BY term)
+      |SELECT doc_id, kw_rank, term, tf, df FROM (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |      ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS BIGINT) AS kw_rank
+      |  FROM tf t JOIN dfreq d ON t.term = d.term)
+      |WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin
+
   val qMadOutliersSql: String =
     """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
       |med AS (

@@ -216,6 +216,41 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(("customer.c_custkey", "orders.o_orderkey")) <= 8L)
   }
 
+  test("shortest paths: weighted relaxation finds the cheap detour") {
+    import spark.implicits._
+    // 0→1 costs 10 direct, but 0→2→1 costs 1+2=3; node 3 unreachable
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (3L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.shortestPaths(edges, "src", "dst", Some("w"),
+      source = 0L, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 3L, 2L -> 1L,
+      3L -> GraphOps.Unreachable))
+  }
+
+  test("shortest paths: parallel edges keep the minimum weight") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 9L), (0L, 1L, 4L)).toDF("src", "dst", "w")
+    val got = GraphOps.shortestPaths(edges, "src", "dst", Some("w"),
+      source = 0L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 4L)
+  }
+
+  test("shortest paths: unweighted hop counts on a chain need the rounds") {
+    import spark.implicits._
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.shortestPaths(chain, "src", "dst", None,
+      source = 0L, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 6L).forall(i => got(i) === i))
+    // too few rounds: the far end stays unreached — the iters contract
+    val short = GraphOps.shortestPaths(chain, "src", "dst", None,
+      source = 0L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short(6L) === GraphOps.Unreachable)
+  }
+
   test("q122 co-occurrence counts are symmetric-upper and df-bounded") {
     val rows = CurationQueries.qCooccur(spark, sf).collect()
     assert(rows.nonEmpty)
