@@ -252,8 +252,13 @@ object GraphOps {
     * DataFrame joins). All-integer weights ⇒ bit-exact across engines;
     * unreached nodes keep the `Unreachable` sentinel. Rounds are capped
     * by `iters` (distances are exact once `iters` ≥ the shortest-path
-    * hop diameter); plan depth grows linearly so no per-round
-    * checkpoints, like [[pageRank]].
+    * hop diameter). Unlike [[pageRank]] (one self-reference per round),
+    * each SSSP round references `dist` TWICE — in the relaxation join and
+    * in the keep-the-old-minimum merge — so without truncation the plan
+    * DOUBLES per round (2^iters subtrees; the un-checkpointed form
+    * measured 8s for 5 rounds on a 25-node graph, pure planning blowup).
+    * Every round is localCheckpoint'ed, the [[connectedComponents]]
+    * discipline.
     */
   val Unreachable: Long = 1000000000000000L
 
@@ -263,8 +268,7 @@ object GraphOps {
       dstCol: String,
       weightCol: Option[String],
       source: Long,
-      iters: Int = 5,
-      checkpointEvery: Int = 8
+      iters: Int = 5
   ): DataFrame = {
     require(iters >= 0 && iters <= 100, s"iters out of range: $iters")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
@@ -279,6 +283,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = nodes.withColumn("dist",
       when(col("node") === source, 0L).otherwise(lit(Unreachable)))
+      .localCheckpoint(true)
     var it = 0
     while (it < iters) {
       val relaxed = e.join(dist, col("src") === col("node"))
@@ -289,10 +294,10 @@ object GraphOps {
         .select(col("node"),
           least(col("dist"), coalesce(col("cand"), lit(Unreachable)))
             .as("dist"))
+        .localCheckpoint(true)
       it += 1
-      if (it % checkpointEvery == 0 && it < iters)
-        dist = dist.localCheckpoint(true)
     }
+    e.unpersist(); nodes.unpersist()
     dist
   }
 
