@@ -52,7 +52,11 @@ object CountMinSketch {
 
   /** Point estimates for `probes` (a frame with `keyCol`): min over
     * depths of the probed cells. The sketch side is tiny (≤ depth×width
-    * rows) and broadcasts.
+    * rows) and broadcasts. The join is LEFT OUTER with empty cells
+    * counting as ZERO — an inner join would silently drop keys whose
+    * cells are all empty and inflate estimates for keys with some empty
+    * cells (a cell the key hashes into that holds no mass bounds its
+    * count at 0; that IS the minimum).
     */
   def probe(
       sketch: DataFrame,
@@ -64,8 +68,8 @@ object CountMinSketch {
       .withColumn("depth", explode(array((0 until depth).map(lit): _*)))
       .withColumn("bucket", bucket(col(keyCol).cast("string"), col("depth"), width))
     exploded
-      .join(broadcast(sketch), Seq("depth", "bucket"))
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left_outer")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 }

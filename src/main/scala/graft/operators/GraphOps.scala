@@ -236,12 +236,17 @@ object GraphOps {
       .select(col("p.u").as("u"), col("p.x").as("v"), col("q.x").as("w"))
     val tri = wedges.join(e,
       wedges("v") === e("a") && wedges("w") === e("b"))
+    // materialize (|triangles| rows) so the edge cache can be released —
+    // the [[connectedComponents]] discipline; without it every call leaks
+    // a MEMORY_AND_DISK frame for the session's lifetime
     val out = tri.select(
       least(col("u"), col("v"), col("w")).as("ta"),
       (col("u") + col("v") + col("w")
         - least(col("u"), col("v"), col("w"))
         - greatest(col("u"), col("v"), col("w"))).as("tb"),
       greatest(col("u"), col("v"), col("w")).as("tc"))
+      .localCheckpoint(true)
+    e.unpersist()
     out
   }
 
@@ -363,6 +368,10 @@ object GraphOps {
       if (it % checkpointEvery == 0 && it < iters)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // materialize the final iterate (|nodes| rows) so the three cached
+    // inputs can be released instead of leaking for the session's lifetime
+    val out = ranks.localCheckpoint(true)
+    e.unpersist(); nodes.unpersist(); withDeg.unpersist()
+    out
   }
 }

@@ -79,11 +79,12 @@ object Pca {
     * entry is positive (deterministic orientation).
     */
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
-    val first = df.select(size(col(vecCol))).limit(1).collect()
-    require(first.nonEmpty, "PCA fit on an empty frame")
+    val nonNull = df.filter(col(vecCol).isNotNull)
+    val first = nonNull.select(size(col(vecCol))).limit(1).collect()
+    require(first.nonEmpty, "PCA fit on an empty frame (or all-null vectors)")
     val d = first(0).getInt(0)
     require(k >= 1 && k <= d, s"k out of range: $k (d=$d)")
-    val vecs = df.select(col(vecCol)).rdd
+    val vecs = nonNull.select(col(vecCol)).rdd
       .map(_.getSeq[Float](0))
     val (n, sums, mom) = vecs
       .mapPartitions { it =>
@@ -151,15 +152,18 @@ object Pca {
       outCol: String = "pca"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val proj = udf { (v: Seq[Float]) =>
-      val m = bc.value
-      val d = m.mean.length
-      require(v.length == d, s"vector dimension ${v.length} != $d")
-      Array.tabulate(m.components.length) { c =>
-        val comp = m.components(c)
-        var s = 0.0
-        var i = 0
-        while (i < d) { s += (v(i) - m.mean(i)) * comp(i); i += 1 }
-        s
+      if (v == null) null // null vector → null projection, like builtins
+      else {
+        val m = bc.value
+        val d = m.mean.length
+        require(v.length == d, s"vector dimension ${v.length} != $d")
+        Array.tabulate(m.components.length) { c =>
+          val comp = m.components(c)
+          var s = 0.0
+          var i = 0
+          while (i < d) { s += (v(i) - m.mean(i)) * comp(i); i += 1 }
+          s
+        }
       }
     }
     df.withColumn(outCol, proj(col(vecCol)))

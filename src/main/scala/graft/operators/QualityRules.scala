@@ -34,22 +34,36 @@ object QualityRules {
     * chars; symbols = '#' + non-overlapping "..." + '…'; lines =
     * `\n` split of the raw text.
     */
+  /** RE2's `\s` class — NOTE: unlike Java's `\s` it does NOT include
+    * vertical tab U+000B; and unlike Java's `String.trim` (which strips
+    * every char ≤ U+0020) SQL `trim` strips ONLY spaces. Both mismatches
+    * flip counts on control-char-bearing text, so the kernel mirrors the
+    * SQL semantics exactly.
+    */
+  private def isSqlSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   private[graft] def statsLocal(
       text: String,
       stopRes: Array[java.util.regex.Pattern]): (Long, Long, Long, Long, Long, Long, Long) = {
     val s = if (text == null) "" else text
-    val trimmed = s.trim
-    val words = trimmed.split("\\s+", -1)
+    // SQL trim: spaces only
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val trimmed = s.substring(lo, hi)
+    val words = trimmed.split("[ \\t\\n\\f\\r]+", -1)
     val nWords = words.length.toLong
     var wordChars = 0L
     var nSym = 0L
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c != ' ' && c != '\t' && c != '\n' && c != 0x0B.toChar && c != '\f' && c != '\r')
-        wordChars += 1
-      if (c == '#' || c == '…') nSym += 1
-      i += 1
+      val cp = s.codePointAt(i)
+      // count CODE POINTS (SQL length()), not UTF-16 units
+      if (!(cp < 0x80 && isSqlSpace(cp.toChar))) wordChars += 1
+      if (cp == '#' || cp == '…') nSym += 1
+      i += Character.charCount(cp)
     }
     // non-overlapping "..." occurrences, leftmost-first like RE2
     var from = 0

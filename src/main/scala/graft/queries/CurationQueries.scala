@@ -119,19 +119,9 @@ object CurationQueries {
     * [[GraphOps.pageRank]]'s integer micro-rank recurrence — bit-exact
     * against the unrolled oracle below.
     */
-  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val s = Tables.supplier(spark, dir)
-    val edges = l
-      .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(s, l("l_suppkey") === s("s_suppkey"))
-      .select(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
-      .distinct()
-    GraphOps.pageRank(edges, "src", "dst", iters = 5).orderBy("node")
-  }
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.pageRank(tradeEdges(spark, dir), "src", "dst", iters = 5)
+      .orderBy("node")
 
   private def prIterSql(prev: String, cur: String): String =
     s"""$cur AS (

@@ -33,6 +33,22 @@ class CurationSpec extends SparkSpecBase {
     assert(nE === 1L)
   }
 
+  test("kernel mirrors SQL trim/whitespace semantics, not Java's") {
+    // SQL trim strips only SPACES: a trailing newline survives the trim
+    // and the regex split then yields a trailing empty token — Java's
+    // String.trim would eat it and undercount by one
+    val (nW, wc, _, _, _, _, _) = stats("foo bar\n")
+    assert(nW === 3L) // ['foo', 'bar', '']
+    assert(wc === 6L)
+    // vertical tab: NOT whitespace in RE2 — it's a word char and a glue
+    val (nW2, wc2, _, _, _, _, _) = stats("a\u000Bb")
+    assert(nW2 === 1L)
+    assert(wc2 === 3L)
+    // non-BMP char counts as ONE word char (code points, not UTF-16 units)
+    val (_, wc3, _, _, _, _, _) = stats("a𝒳b")
+    assert(wc3 === 3L)
+  }
+
   test("empty and null-ish text behave like the SQL formulas") {
     val (nW, wc, _, nL, _, _, nStop) = stats("")
     assert(nW === 1L) // split('') == [''] — same as DuckDB string_split_regex
@@ -169,6 +185,27 @@ class CurationSpec extends SparkSpecBase {
     val perDepth = sk.groupBy("depth").sum("cnt").collect()
       .map(r => r.getLong(1)).toSeq
     assert(perDepth === Seq.fill(4)(147L))
+  }
+
+  test("count-min sketch: absent keys probe to zero, not silence") {
+    import spark.implicits._
+    val sk = CountMinSketch.build(
+      Seq(("a", 5L)).toDF("k", "w"), "k", "w", depth = 4, width = 1024)
+    val est = CountMinSketch.probe(sk, Seq("a", "never-seen").toDF("k"), "k",
+      depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "never-seen" -> 0L))
+  }
+
+  test("BPE handles non-BMP symbols as whole code points") {
+    import spark.implicits._
+    val wc = Seq(("𝒳a", 5L), ("𝒳b", 3L))
+    val got = BpeVocab.train(spark, wc.toDF("w", "cnt"), "w", "cnt", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val want = BpeVocab.trainLocal(wc, merges = 1)
+      .map(t => (t._2, t._3, t._4))
+    assert(got.toSeq === want)
+    assert(got.head._1 === "𝒳") // the surrogate pair stays whole
   }
 
   test("count-min sketch under heavy collision still upper-bounds") {
