@@ -73,11 +73,17 @@ object Bench {
     // The full line above is ~3.5 KB at 130+ queries and the driver's
     // output capture keeps only the LAST 2000 chars of the run — which
     // cut the line's FRONT off and made it unparseable in every prior
-    // round ("parsed": null). Emit a compact summary LAST so something
-    // parseable always sits inside the capture window, and persist the
-    // full per-query map to a file for the judge's audit.
+    // round ("parsed": null). Emit a compact line LAST so a complete
+    // JSON object always sits inside the capture window: the SAME
+    // per-query map, but keyed by the query's numeric id ("q38" for
+    // "q38_dedup_corpus" — ids are unique) at 2-decimal precision,
+    // ~1.6 KB at 134 queries. The full-name line above and
+    // bench_latest.json remain the human/audit record.
+    val qsShort = ok
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
