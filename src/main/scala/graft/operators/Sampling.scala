@@ -111,4 +111,29 @@ object Sampling {
         .when(u < trainFrac + valFrac, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Per-group cap: keep at most `n` rows of each group, selected in
+    * md5(id) order — the "at most N documents per domain/source"
+    * balancing policy of pretraining mixes (the cap complement of the
+    * fractional [[graft.queries.CorpusQueries]] stratified sample).
+    * Deterministic across engines, reruns, and cluster sizes: the
+    * keyed hash decides membership, never partition order.
+    *
+    * Scale shape: one group-key shuffle + a windowed row_number; a
+    * group with billions of rows costs its sort, not executor memory
+    * (no per-group collection). Rows keep their columns; the survivor
+    * flag is `rank_in_group <= n`.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rank_in_group") <= n)
+  }
 }

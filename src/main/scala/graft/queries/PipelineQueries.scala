@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.operators.{BpeVocab, CrossDedup, PhraseSearch, QualityClassifier, Sampling, Tokenize}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-round-6 training-pipeline operators: cross-corpus dedup
+  * (admit a new batch against an existing corpus), model-based quality
+  * scoring, positional phrase retrieval, per-source balancing caps,
+  * and BPE tokenizer application. All but the BPE encode (iterative
+  * merge application — not SQL-expressible) are oracle hash-checked.
+  */
+object PipelineQueries {
+
+  /** The reference/incoming split shared by q135 and its oracle:
+    * reference corpus = doc_id % 3 ≠ 0; incoming batch = doc_id % 3 = 0
+    * plus exact copies of every 11th-keyed reference doc (re-keyed
+    * +1,000,000) so the exact-dup path is actually exercised.
+    */
+  private def refAndIncoming(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(ref.filter(col("doc_id") % 11 === 1)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    (ref, inc)
+  }
+
+  /** q135 — cross-corpus dedup ([[CrossDedup.flagAgainst]]): each
+    * incoming doc flagged for exact content duplication and md5-LSH
+    * band collisions against the reference corpus.
+    */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (ref, inc) = refAndIncoming(spark, dir)
+    CrossDedup.flagAgainst(ref, inc, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val qCrossDedupSql: String =
+    s"""WITH refc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM refc
+       |  WHERE doc_id % 11 = 1),
+       |input AS (
+       |  SELECT doc_id, text FROM refc
+       |  UNION ALL SELECT doc_id, text FROM inc),
+       |${TextQueries.md5SigCtesSql("input")},
+       |bands AS (
+       |  SELECT doc_id, r.i AS band,
+       |    sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
+       |  FROM sigs CROSS JOIN range(0, 4) r(i)),
+       |near AS (
+       |  SELECT bi.doc_id, CAST(COUNT(DISTINCT br.doc_id) AS BIGINT) AS n_near
+       |  FROM bands bi
+       |  JOIN bands br ON bi.band = br.band AND bi.bv = br.bv
+       |  JOIN inc i ON bi.doc_id = i.doc_id
+       |  JOIN refc r ON br.doc_id = r.doc_id
+       |  GROUP BY bi.doc_id),
+       |ex AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM inc i JOIN refc r ON md5(i.text) = md5(r.text))
+       |SELECT i.doc_id,
+       |  (e.doc_id IS NOT NULL) AS is_exact,
+       |  COALESCE(n.n_near, 0) AS n_near,
+       |  (e.doc_id IS NULL AND COALESCE(n.n_near, 0) = 0) AS keep
+       |FROM inc i
+       |LEFT JOIN ex e ON i.doc_id = e.doc_id
+       |LEFT JOIN near n ON i.doc_id = n.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
+  /** q136 — hashing-trick linear quality classifier
+    * ([[QualityClassifier]]): md5-60 feature buckets, deterministic
+    * integer weights, score summed over token occurrences — the
+    * fastText-style learned quality filter as one kernel pass.
+    */
+  def qClfScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), QualityClassifier.score(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_toks"), col("s._2").as("score"))
+      .withColumn("keep", col("score") >= 0L)
+      .orderBy("doc_id")
+
+  val qClfScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(SUM(
+      |      ('0x' || substr(md5('w:' || CAST(
+      |         ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS VARCHAR)),
+      |       1, 8))::BIGINT % 21 - 10) AS BIGINT) AS score
+      |  FROM toks GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_toks, 0) AS n_toks,
+      |  COALESCE(s.score, 0) AS score,
+      |  COALESCE(s.score, 0) >= 0 AS keep
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q137 — positional phrase search ([[PhraseSearch]]): the corpus's
+    * top-5 bigrams (count desc, gram asc — the data-dependent query
+    * set, like q118's expanded vocabulary) located exactly via
+    * adjacency-constrained posting intersection; per-doc occurrence
+    * counts.
+    */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val phrases = docs
+      .select(explode(wordNgramsKernel(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(5)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .localCheckpoint(true) // 5 rows; referenced twice (vocab + join)
+    PhraseSearch.phraseOccurrences(docs, "doc_id", "text", phrases)
+      .orderBy("w1", "w2", "doc_id")
+  }
+
+  val qPhraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(t) AS term,
+      |         generate_subscripts(t, 1) AS pos
+      |  FROM toks),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+      |    i -> array_to_string(t[i:i+1], ' '))) AS g
+      |  FROM toks),
+      |top5 AS (
+      |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+      |  FROM (SELECT g, COUNT(*) AS c FROM bi GROUP BY g
+      |        ORDER BY c DESC, g ASC LIMIT 5))
+      |SELECT p.w1, p.w2, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |FROM top5 p
+      |JOIN pos a ON a.term = p.w1
+      |JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |          AND b.term = p.w2
+      |GROUP BY p.w1, p.w2, a.doc_id
+      |ORDER BY p.w1, p.w2, a.doc_id""".stripMargin
+
+  /** q138 — per-source balancing cap ([[Sampling.capPerGroup]]): at
+    * most 20 docs per source in deterministic md5(doc_id) order; the
+    * per-domain cap policy of pretraining mixes, reported as
+    * per-source kept/total stats.
+    */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    Sampling
+      .capPerGroup(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", n = 20)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+
+  val qSourceCapSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS kept_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** q139 — BPE tokenizer application ([[Tokenize]]): train 8 merges
+    * on the corpus word dictionary (the q127 path), then encode every
+    * document and report word/token counts. No oracle: encoding is an
+    * iterative merge loop (rows-only gate); TokenizeSpec pins
+    * encode == training's final symbol state on the real dictionary,
+    * plus losslessness (concat(tokens) == word).
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val words = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val rules = BpeVocab.train(spark, words, "w", "cnt", merges = 8)
+      .orderBy("step")
+      .collect() // bounded: exactly `merges` rows
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    val enc = Tokenize.encodeCountsUdf(rules)
+    docs
+      .select(col("doc_id"), enc(col("text")).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_words"),
+        col("e._2").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+}

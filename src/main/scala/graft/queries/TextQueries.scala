@@ -1091,7 +1091,7 @@ object TextQueries {
     * and q116 oracles so a fix to the gram or signature rule lands in
     * all of them.
     */
-  private def md5SigCtesSql(from: String): String = {
+  private[queries] def md5SigCtesSql(from: String): String = {
     val mins = (0 until 8).map { s =>
       s"list_min(list_transform(grams, x -> md5('$s:' || x)))"
     }.mkString(",\n      ")
