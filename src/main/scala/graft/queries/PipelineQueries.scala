@@ -175,6 +175,104 @@ object PipelineQueries {
       |    AS kept_chars
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** q140 — token-budget mix allocation: the budget-constrained
+    * companion of q57 (fixed-rate mixing) and q91 (temperature
+    * rebalancing). A global token budget (20% of the corpus) is split
+    * into uniform per-source targets; each source's keep rate is
+    * `min(1, target / source_tokens)` and docs are admitted by the
+    * md5-52-bit uniform draw — IEEE-exact arithmetic in a pinned
+    * evaluation order, so the oracle reproduces every admission
+    * decision bit-for-bit. Scale shape: one stats aggregate (20 rows,
+    * broadcast back) + one map-side admission pass + one final
+    * aggregate; nothing corpus-sized shuffles.
+    */
+  def qBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val src = docs.groupBy("source")
+      .agg(sum("n_toks").as("src_tokens"))
+    val totals = src.agg(sum("src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    docs
+      .join(broadcast(src), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        expr("total_tokens div 5").cast("double")
+          / col("n_sources").cast("double")
+          / col("src_tokens").cast("double")))
+      .withColumn("kept",
+        Sampling.hashUniform(col("doc_id"), "mix") < col("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        first("src_tokens").as("src_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val qBudgetMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
+      |        FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM src),
+      |rated AS (
+      |  SELECT d.doc_id, d.source, d.n_toks, s.src_tokens,
+      |    least(1.0, CAST(t.total_tokens // 5 AS DOUBLE)
+      |      / CAST(t.n_sources AS DOUBLE)
+      |      / CAST(s.src_tokens AS DOUBLE)) AS rate,
+      |    (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+      |       ::BIGINT + 1.0) / 4503599627370496.0 AS u
+      |  FROM d JOIN src s ON d.source = s.source CROSS JOIN tot t)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  ANY_VALUE(src_tokens) AS src_tokens,
+      |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(SUM(CASE WHEN u < rate THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM rated GROUP BY source ORDER BY source""".stripMargin
+
+  /** q141 — fixed-width histograms per event type: 16 equi-width
+    * buckets between the type's min and max. The mergeable fixed-memory
+    * profile (two aggregates + a broadcast bounds join) that replaces
+    * the exact-percentile sort (q67) at 100 TB; bucket arithmetic is
+    * IEEE-exact in a pinned order so counts hash-match.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(15L),
+            floor((col("value") - col("vmin")) * lit(16.0)
+              / (col("vmax") - col("vmin"))))))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val qHistogramSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      |      FROM ev GROUP BY event_type)
+      |SELECT ev.event_type,
+      |  CASE WHEN b.vmax = b.vmin THEN 0
+      |       ELSE least(15, CAST(floor((ev.value - b.vmin) * 16.0
+      |                                 / (b.vmax - b.vmin)) AS BIGINT))
+      |  END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM ev JOIN b USING (event_type)
+      |GROUP BY ev.event_type, bucket
+      |ORDER BY ev.event_type, bucket""".stripMargin
+
   /** q139 — BPE tokenizer application ([[Tokenize]]): train 8 merges
     * on the corpus word dictionary (the q127 path), then encode every
     * document and report word/token counts. No oracle: encoding is an
