@@ -153,6 +153,42 @@ object GraphOps {
     out
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into
+    * an existing labeling without revisiting the old edge list — the
+    * cluster-maintenance step a growing dedup corpus needs (new docs
+    * arrive daily; their LSH candidate pairs must merge into — and
+    * sometimes bridge — existing components).
+    *
+    * Correctness: each base component is replaced by its STAR (an edge
+    * from the component label to every member), which preserves
+    * exactly the base connectivity — so components of
+    * (star ∪ newEdges) equal components of (allOldEdges ∪ newEdges),
+    * and because labels are component MINIMA the global min-label per
+    * merged component is unchanged too. q142's oracle recomputes from
+    * the full merged corpus and hash-matches.
+    *
+    * Scale shape: input is |labeled nodes| star edges + |new batch|
+    * edges — the old corpus's text is never re-hashed and its (much
+    * larger) pair list never re-read; star graphs have diameter 2, so
+    * propagation converges in one or two rounds unless the new edges
+    * themselves chain (bounded by the NEW batch's structure, not the
+    * corpus's).
+    */
+  def incrementalComponents(
+      spark: SparkSession,
+      baseLabels: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: Option[DataFrame] = None): DataFrame = {
+    val star = baseLabels
+      .filter(col("id") =!= col("comp"))
+      .select(col("comp").as(srcCol), col("id").as(dstCol))
+    connectedComponents(spark,
+      star.unionByName(newEdges.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol, nodes)
+  }
+
   /** Dedup-group summary: component id, member count, and the canonical
     * (minimum) member — the "keep one per group" decision table.
     */

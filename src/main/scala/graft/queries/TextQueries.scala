@@ -1053,6 +1053,49 @@ object TextQueries {
        |  CAST(MIN(id) AS BIGINT) AS keep_id
        |FROM comps GROUP BY component""".stripMargin
 
+  /** q142 — incremental component maintenance
+    * ([[graft.operators.GraphOps.incrementalComponents]]): the base
+    * corpus's dedup labeling (its persisted artifact, recomputed
+    * inline here because the bench is stateless — the q116 pattern)
+    * absorbs a new batch (the +1,000,000 copies) via ONLY the new
+    * batch's band collisions — base text is never re-hashed, the base
+    * pair list never re-read. Oracle = full recompute over the merged
+    * corpus (the q38 CTE chain), proving incremental == from-scratch
+    * exactly, including batches that BRIDGE two existing components.
+    */
+  def qIncrComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val newDocs = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // "yesterday's" persisted state: base signatures, band index, labels
+    val baseSigs = md5Sigs(docs)
+    val baseComps = graft.operators.GraphOps.connectedComponents(
+      spark, bandCandidates(baseSigs), "id_a", "id_b",
+      nodes = Some(docs.select(col("doc_id"))))
+    val baseBands = bandedSigs(baseSigs, withSig = false)
+    // today's batch: hash ITSELF only, then probe the band index
+    val newBands = bandedSigs(md5Sigs(newDocs), withSig = false)
+    val newPairs = newBands.as("a")
+      .join(baseBands.unionByName(newBands).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    graft.operators.GraphOps
+      .incrementalComponents(spark, baseComps, newPairs, "id_a", "id_b",
+        nodes = Some(docs.select(col("doc_id"))
+          .unionByName(newDocs.select(col("doc_id")))))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  val qIncrComponentsSql: String =
+    s"""$dedupCtePrefix
+       |SELECT CAST(id AS BIGINT) AS doc_id,
+       |  CAST(component AS BIGINT) AS component
+       |FROM comps ORDER BY doc_id""".stripMargin
+
   /** q87 — quality-weighted dedup survivors: the same end-to-end LSH
     * dedup pipeline as q38, but each component keeps its LONGEST
     * member (n_chars, ties → lowest id) instead of the lowest id — the

@@ -112,4 +112,36 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(r.getLong(2) === 2L) // highest fractional score survives
     assert(r.getDouble(3) === 0.9)
   }
+  private def incremental(
+      base: Seq[(Long, Long)],
+      newEdges: Seq[(Long, Long)],
+      nodes: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    val baseLabels = GraphOps.connectedComponents(spark,
+      base.toDF("src", "dst"), "src", "dst",
+      Some(nodes.filter(n => base.exists(e => e._1 == n || e._2 == n))
+        .toDF("id")))
+    GraphOps.incrementalComponents(spark, baseLabels,
+      newEdges.toDF("src", "dst"), "src", "dst", Some(nodes.toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental components equal full recompute on every batch shape") {
+    // base: {1,2,3} and {10,11}; batch bridges the two components,
+    // attaches a new node to an old one, adds a fresh pair, and leaves
+    // one isolated newcomer
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch = Seq((3L, 10L), (11L, 20L), (30L, 31L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L, 99L)
+    val inc = incremental(base, batch, nodes)
+    val full = components(base ++ batch, nodes)
+    assert(inc === full)
+    assert(inc(20L) === 1L && inc(30L) === 30L && inc(99L) === 99L)
+  }
+
+  test("incremental components with an empty batch preserve the labeling") {
+    val base = Seq((4L, 5L), (5L, 6L))
+    val inc = incremental(base, Seq.empty, Seq(4L, 5L, 6L, 7L))
+    assert(inc === Map(4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
 }
