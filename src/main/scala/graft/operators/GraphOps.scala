@@ -184,9 +184,20 @@ object GraphOps {
     val star = baseLabels
       .filter(col("id") =!= col("comp"))
       .select(col("comp").as(srcCol), col("id").as(dstCol))
+    // default node set = every base-labeled node ∪ new-edge endpoints:
+    // a base SINGLETON (id == comp) contributes no star edge, so
+    // without this it would silently vanish from the maintained
+    // labeling — repeated daily maintenance would progressively drop
+    // every isolated doc. The output always covers at least
+    // baseLabels' nodes.
+    val nodeSet = nodes.getOrElse(
+      baseLabels.select(col("id"))
+        .unionByName(newEdges.select(col(srcCol).as("id")))
+        .unionByName(newEdges.select(col(dstCol).as("id")))
+        .distinct())
     connectedComponents(spark,
       star.unionByName(newEdges.select(col(srcCol), col(dstCol))),
-      srcCol, dstCol, nodes)
+      srcCol, dstCol, Some(nodeSet))
   }
 
   /** Dedup-group summary: component id, member count, and the canonical

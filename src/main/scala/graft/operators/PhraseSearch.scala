@@ -40,8 +40,14 @@ object PhraseSearch {
       .unionByName(phrases.select(col("w2").as("term")))
       .distinct()
     // phrase-vocabulary filter before anything shuffles: postings for
-    // terms no phrase mentions never leave the scan
+    // terms no phrase mentions never leave the scan. Materialize the
+    // filtered postings: firsts and seconds both reference this frame
+    // and the vocab join is map-side (no exchange to reuse), so
+    // without this the corpus tokenize + posexplode runs TWICE — the
+    // md5Sigs/twice-referenced-kernel-frame lesson again. Safe to
+    // checkpoint: vocabulary-filtered, so it is query-sized.
     val hits = postings.join(broadcast(vocab), Seq("term"))
+      .localCheckpoint(true)
     val firsts = hits
       .join(broadcast(phrases), col("term") === col("w1"))
       .select(col("w1"), col("w2"), col(idCol), (col("pos0") + 1).as("adj"))

@@ -88,7 +88,7 @@ object PipelineQueries {
   val qClfScoreSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
+      |  FROM documents WHERE trim(text) <> ''),
       |scored AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
       |    CAST(SUM(
@@ -214,7 +214,9 @@ object PipelineQueries {
   val qBudgetMixSql: String =
     """WITH d AS (
       |  SELECT doc_id, source,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    END AS n_toks
       |  FROM documents),
       |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
       |        FROM d GROUP BY source),
