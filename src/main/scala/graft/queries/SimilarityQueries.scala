@@ -128,13 +128,17 @@ object SimilarityQueries {
   def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity
-      // nprobe 6 + 32-wide residual codebooks: recall@5 0.59 → 0.67
-      // (SimilaritySpec pin; ~0.71 with rerank 16, not worth the doubled shortlist
-      // shuffle); the residual ADC caps the gain vs raw-vector PQ (q73)
-      // because the shortlist competes across differently-centered
-      // lists
+      // nprobe 6 + 64-wide residual codebooks: recall@5 0.66 → 0.70 at
+      // sf0.01 (SimilaritySpec pin) — the same wide-codebook lesson as
+      // q73, and the cost is query-side LUTs only (scan stays m=8
+      // bytes/row). Measured-and-rejected alternatives: nprobe 8
+      // reaches 0.78 but probes half the lists (wrong shape to scale);
+      // m=16 reaches 0.72 but doubles code bytes and ADC adds per row;
+      // ksub 128/256 plateau at 0.72 for 2-4x the LUT build. The
+      // residual ADC caps the gain vs raw-vector PQ (q73) because the
+      // shortlist competes across differently-centered lists
       .ivfPqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-        dim = 64, k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32)
+        dim = 64, k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 64)
       .select("query_id", "rank", "neighbor_id")
   }
 

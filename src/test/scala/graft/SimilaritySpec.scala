@@ -240,13 +240,13 @@ class SimilaritySpec extends SparkSpecBase {
     // same parameters q79 ships with
     val ivfpq = Similarity
       .ivfPqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
-        dim = 64, k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 32)
+        dim = 64, k = 5, nlist = 16, nprobe = 6, m = 8, ksub = 64)
       .select("query_id", "neighbor_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     val recall = (ivfpq & exact).size.toDouble / exact.size
-    assert(recall > 0.55, s"IVF-PQ recall@5 too low: $recall")
+    assert(recall > 0.65, s"IVF-PQ recall@5 too low: $recall")
     info(s"IVF-PQ recall@5 vs exact baseline: $recall")
   }
 
