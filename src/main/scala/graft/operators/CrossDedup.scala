@@ -30,20 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object CrossDedup {
 
-  /** Flag `incoming` against `reference`. Output: one row per incoming
-    * doc — (idCol, is_exact, n_near, keep) with
-    * `keep = !is_exact AND n_near == 0`.
+  /** The reference corpus's two persistable dedup artifacts:
+    * (distinct content hashes as `__h`, band index as
+    * (`__ref_id`, band, bv)). In production these are stored tables —
+    * the hash table grows by admitted batches and the band index is
+    * the one [[NearDedup.applyBandChanges]] maintains under merges.
     */
-  def flagAgainst(
+  def artifacts(
       reference: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = (
+    reference.select(md5(col(textCol)).as("__h")).distinct(),
+    NearDedup.md5BandTable(reference, idCol, textCol)
+      .withColumnRenamed(idCol, "__ref_id"))
+
+  /** [[flagAgainst]] with the reference side already reduced to its
+    * artifacts — the form a stored/maintained index serves
+    * ([[graft.streaming.StreamCrossDedup]] feeds updated artifacts per
+    * micro-batch).
+    */
+  def flagAgainstArtifacts(
+      refHashes: DataFrame,
+      refBands: DataFrame,
       incoming: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val refHashes = reference
-      .select(md5(col(textCol)).as("__h"))
-      .distinct()
-    val refBands = NearDedup.md5BandTable(reference, idCol, textCol)
-      .withColumnRenamed(idCol, "__ref_id")
     val incBands = NearDedup.md5BandTable(incoming, idCol, textCol)
     val near = incBands
       .join(refBands, Seq("band", "bv"))
@@ -64,5 +75,19 @@ object CrossDedup {
         coalesce(col("is_exact"), lit(false)).as("is_exact"),
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .withColumn("keep", !col("is_exact") && col("n_near") === 0L)
+  }
+
+  /** Flag `incoming` against `reference`. Output: one row per incoming
+    * doc — (idCol, is_exact, n_near, keep) with
+    * `keep = !is_exact AND n_near == 0`. Incoming docs are NOT checked
+    * against each other (compose exact dedup upstream for that).
+    */
+  def flagAgainst(
+      reference: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val (refHashes, refBands) = artifacts(reference, idCol, textCol)
+    flagAgainstArtifacts(refHashes, refBands, incoming, idCol, textCol)
   }
 }
