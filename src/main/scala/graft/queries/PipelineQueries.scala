@@ -275,6 +275,60 @@ object PipelineQueries {
       |GROUP BY ev.event_type, bucket
       |ORDER BY ev.event_type, bucket""".stripMargin
 
+  /** q143 — per-source epoch upsampling: the OVERSAMPLING half of mix
+    * allocation (q140 is the cap half). Each source gets
+    * `clamp(ceil(target / source_tokens), 1, 4)` training epochs
+    * toward a uniform per-source token target (3× the mean here so the
+    * clamp is exercised), and every doc is emitted once per epoch —
+    * the "epochs over small high-quality sources" knob of pretraining
+    * mixes. Integer arithmetic only (ceil division as
+    * `(a + b − 1) div b`), so the emitted stream is oracle-exact.
+    * Scale shape: the epoch table is source-cardinality (broadcast);
+    * emission is a map-side `explode(sequence(...))` — no shuffle
+    * beyond the final presentation sort.
+    */
+  def qSourceEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val src = docs.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val totals = src.agg(sum("src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val epochTable = src.crossJoin(broadcast(totals))
+      .withColumn("target", expr("(3 * total_tokens) div n_sources"))
+      .withColumn("epochs", least(lit(4L), greatest(lit(1L),
+        expr("(target + src_tokens - 1) div src_tokens"))))
+      .select("source", "epochs")
+    docs
+      .join(broadcast(epochTable), Seq("source"))
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .select("doc_id", "source", "epoch", "n_toks")
+      .orderBy("doc_id", "epoch")
+  }
+
+  val qSourceEpochsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    END AS n_toks
+      |  FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
+      |        FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM src),
+      |et AS (
+      |  SELECT source,
+      |    least(4, greatest(1,
+      |      (((3 * t.total_tokens) // t.n_sources) + s.src_tokens - 1)
+      |        // s.src_tokens)) AS epochs
+      |  FROM src s CROSS JOIN tot t)
+      |SELECT d.doc_id, d.source,
+      |  CAST(unnest(range(1, e.epochs + 1)) AS BIGINT) AS epoch,
+      |  d.n_toks
+      |FROM d JOIN et e ON d.source = e.source
+      |ORDER BY d.doc_id, epoch""".stripMargin
+
   /** q139 — BPE tokenizer application ([[Tokenize]]): train 8 merges
     * on the corpus word dictionary (the q127 path), then encode every
     * document and report word/token counts. No oracle: encoding is an
