@@ -437,6 +437,66 @@ object CorpusQueries {
     graft.operators.DataManifest
       .manifest(Tables.documents(spark, dir), "source", "doc_id", "text")
 
+  /** q144 — incremental manifest maintenance
+    * ([[graft.operators.DataManifest.applyChanges]]): the q114 data
+    * card kept continuously correct under merges. A merge's change
+    * feed (the q116 update-set convention: every 10th doc modified,
+    * every 17th re-keyed as an insert) folds into the base manifest at
+    * O(changes) — every maintained field is group-invertible (counts/
+    * sums subtract, xor self-inverts, the modular sum subtracts mod
+    * 2⁶¹−1), so the oracle's full recompute over the merged corpus
+    * hash-matches exactly. Extrema are deliberately excluded: a
+    * deleted minimum needs a rescan — the property line between
+    * maintainable and non-maintainable manifest fields.
+    */
+  def qIncrManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DataManifest, MergeOps}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val modified = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" graftnewterm")))
+    val added = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("brand new doc "), col("doc_id").cast("string"))
+          .as("text"),
+        lit("added").as("source"))
+    val base = DataManifest.manifest(docs, "source", "doc_id", "text")
+      .drop("min_id", "max_id")
+    val changes = MergeOps.changeFeed(docs,
+      modified.unionByName(added), MergeOps.MergeSpec(Seq("doc_id")))
+    DataManifest.applyChanges(base, changes, "source", "doc_id", "text")
+      .orderBy("source")
+  }
+
+  val qIncrManifestSql: String =
+    """WITH docs AS (SELECT doc_id, text, source FROM documents),
+      |u AS (
+      |  SELECT doc_id, text || ' graftnewterm' AS text, source FROM docs
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    'brand new doc ' || CAST(doc_id AS VARCHAR) AS text,
+      |    'added' AS source
+      |  FROM docs WHERE doc_id % 17 = 0),
+      |merged AS (
+      |  SELECT COALESCE(u.doc_id, d.doc_id) AS doc_id,
+      |    CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE d.text END
+      |      AS text,
+      |    CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE d.source END
+      |      AS source
+      |  FROM docs d FULL OUTER JOIN u ON d.doc_id = u.doc_id),
+      |h AS (
+      |  SELECT source, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+      |      1, 15))::BIGINT AS h
+      |  FROM merged)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  bit_xor(h) AS content_digest,
+      |  CAST(SUM(h::HUGEINT) % 2305843009213693951 AS BIGINT)
+      |    AS content_sum
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   val qManifestSql: String =
     """WITH h AS (
       |  SELECT source, doc_id, text,

@@ -444,4 +444,71 @@ object Relational2 {
       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, n_a, n_b
       |FROM a JOIN b USING (blk)
       |WHERE name_a < name_b AND levenshtein(name_a, name_b) <= 3""".stripMargin
+
+  /** q145 — referential-integrity gate over the lake: orphan counts
+    * for four foreign-key relationships in ONE pass each (left-anti
+    * join against the dimension; dims broadcast where small, the fact
+    * side never collects). Every 97th order's first lineitem is
+    * re-keyed to a bogus order id so the violated-constraint path is
+    * actually exercised (n_orphans > 0, ok = false); the other three
+    * constraints hold. The Deequ-style cross-TABLE complement of the
+    * single-table q88 gate.
+    */
+  def q145Integrity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("l_orderkey",
+        when(col("l_linenumber") === 1 && col("l_orderkey") % 97 === 0,
+          col("l_orderkey") + 900000000L)
+          .otherwise(col("l_orderkey")))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val p = Tables.part(spark, dir)
+    def check(name: String, fact: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact
+        .join(dim, fact(factKey) === dim(dimKey), "left_anti")
+      fact.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("check_name"), col("n_rows"),
+          col("n_orphans"), (col("n_orphans") === 0L).as("ok"))
+    }
+    check("customer_nation", c, "c_nationkey", n, "n_nationkey")
+      .unionByName(check("lineitem_orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(check("lineitem_part", l, "l_partkey", p, "p_partkey"))
+      .unionByName(check("orders_customer", o, "o_custkey", c, "c_custkey"))
+      .orderBy("check_name")
+  }
+
+  val q145IntegritySql: String =
+    """WITH lbad AS (
+      |  SELECT CASE WHEN l_linenumber = 1 AND l_orderkey % 97 = 0
+      |              THEN l_orderkey + 900000000 ELSE l_orderkey END
+      |           AS l_orderkey,
+      |         l_partkey
+      |  FROM lineitem),
+      |checks AS (
+      |  SELECT 'customer_nation' AS check_name,
+      |    (SELECT COUNT(*) FROM customer) AS n_rows,
+      |    (SELECT COUNT(*) FROM customer
+      |     WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |      AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem_orders',
+      |    (SELECT COUNT(*) FROM lbad),
+      |    (SELECT COUNT(*) FROM lbad
+      |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |  UNION ALL
+      |  SELECT 'lineitem_part',
+      |    (SELECT COUNT(*) FROM lbad),
+      |    (SELECT COUNT(*) FROM lbad
+      |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |  UNION ALL
+      |  SELECT 'orders_customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders
+      |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+      |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS ok
+      |FROM checks ORDER BY check_name""".stripMargin
 }

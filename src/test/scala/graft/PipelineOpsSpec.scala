@@ -112,6 +112,48 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  // --- DataManifest.applyChanges ------------------------------------
+
+  test("incremental manifest equals full recompute, deletes included") {
+    import graft.operators.DataManifest
+    val before = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"),
+      (3L, "gamma", "s2"), (4L, "delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val after = Seq((1L, "alpha", "s1"), // unchanged
+      (3L, "gamma prime", "s2"), // updated
+      (5L, "epsilon", "s2")) // inserted; 2 and 4 deleted
+      .toDF("doc_id", "text", "source")
+    // hand-built change feed in the MergeOps CDF vocabulary
+    val changes = Seq(
+      ("delete", 2L, "beta", "s1"),
+      ("update_preimage", 3L, "gamma", "s2"),
+      ("update_postimage", 3L, "gamma prime", "s2"),
+      ("delete", 4L, "delta", "s2"),
+      ("insert", 5L, "epsilon", "s2"))
+      .toDF("_change_type", "doc_id", "text", "source")
+    val base = DataManifest.manifest(before, "source", "doc_id", "text")
+      .drop("min_id", "max_id")
+    val incr = DataManifest
+      .applyChanges(base, changes, "source", "doc_id", "text")
+      .orderBy("source").collect().map(_.toSeq)
+    val full = DataManifest.manifest(after, "source", "doc_id", "text")
+      .drop("min_id", "max_id")
+      .orderBy("source").collect().map(_.toSeq)
+    assert(incr.toSeq === full.toSeq)
+  }
+
+  test("incremental manifest drops a fully-deleted group") {
+    import graft.operators.DataManifest
+    val before = Seq((1L, "only", "gone")).toDF("doc_id", "text", "source")
+    val changes = Seq(("delete", 1L, "only", "gone"))
+      .toDF("_change_type", "doc_id", "text", "source")
+    val base = DataManifest.manifest(before, "source", "doc_id", "text")
+      .drop("min_id", "max_id")
+    assert(DataManifest
+      .applyChanges(base, changes, "source", "doc_id", "text")
+      .count() === 0L)
+  }
+
   // --- Tokenize -----------------------------------------------------
 
   test("BPE encode reproduces training's final symbol state") {
