@@ -429,6 +429,9 @@ object CurationQueries {
     val counts = toks.groupBy("term").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
       sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+      // vocabulary-sized; totals AND the effect join reference it, so
+      // unmaterialized the corpus token explode would run twice
+      .localCheckpoint(true)
     val totals = counts.agg(
       sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
     counts.crossJoin(broadcast(totals))

@@ -190,8 +190,12 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
+    // source-cardinality rows; materialized so the totals chain (and
+    // the admission join) reuse ONE corpus tokenize pass instead of
+    // re-planning the aggregate lineage per reference
     val src = docs.groupBy("source")
       .agg(sum("n_toks").as("src_tokens"))
+      .localCheckpoint(true)
     val totals = src.agg(sum("src_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
     docs
@@ -291,7 +295,10 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
+    // materialized for the same reason as q140's src frame: totals and
+    // the epoch table must not each re-run the corpus tokenize
     val src = docs.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+      .localCheckpoint(true)
     val totals = src.agg(sum("src_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
     val epochTable = src.crossJoin(broadcast(totals))
