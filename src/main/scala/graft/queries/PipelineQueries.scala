@@ -186,25 +186,54 @@ object PipelineQueries {
     * broadcast back) + one map-side admission pass + one final
     * aggregate; nothing corpus-sized shuffles.
     */
-  def qBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q140/q143 prelude: per-doc token counts, materialized
+    * per-source totals, and the grand totals — one corpus tokenize
+    * pass for every consumer (the source frame is 20 rows,
+    * localCheckpointed so the totals chain and the admission joins
+    * don't each re-plan the aggregate lineage).
+    */
+  private def docsSrcTotals(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
-    // source-cardinality rows; materialized so the totals chain (and
-    // the admission join) reuse ONE corpus tokenize pass instead of
-    // re-planning the aggregate lineage per reference
     val src = docs.groupBy("source")
       .agg(sum("n_toks").as("src_tokens"))
       .localCheckpoint(true)
     val totals = src.agg(sum("src_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
+    (docs, src, totals)
+  }
+
+  /** SQL twin of [[docsSrcTotals]] (the d/src/tot CTEs the q140/q143
+    * oracles share).
+    */
+  private val mixCtesSql: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    END AS n_toks
+      |  FROM documents),
+      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
+      |        FROM d GROUP BY source),
+      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM src)""".stripMargin
+
+  def qBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, src, totals) = docsSrcTotals(spark, dir)
     docs
       .join(broadcast(src), Seq("source"))
       .crossJoin(broadcast(totals))
-      .withColumn("rate", least(lit(1.0),
-        expr("total_tokens div 5").cast("double")
-          / col("n_sources").cast("double")
-          / col("src_tokens").cast("double")))
+      // an all-empty source has nothing to admit; rate 1.0 keeps the
+      // division defined and both engines agree (its kept_tokens is 0
+      // either way)
+      .withColumn("rate",
+        when(col("src_tokens") === 0L, lit(1.0))
+          .otherwise(least(lit(1.0),
+            expr("total_tokens div 5").cast("double")
+              / col("n_sources").cast("double")
+              / col("src_tokens").cast("double"))))
       .withColumn("kept",
         Sampling.hashUniform(col("doc_id"), "mix") < col("rate"))
       .groupBy("source")
@@ -216,21 +245,14 @@ object PipelineQueries {
   }
 
   val qBudgetMixSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, source,
-      |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-      |    END AS n_toks
-      |  FROM documents),
-      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
-      |        FROM d GROUP BY source),
-      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
-      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM src),
+    s"""WITH $mixCtesSql,
       |rated AS (
       |  SELECT d.doc_id, d.source, d.n_toks, s.src_tokens,
-      |    least(1.0, CAST(t.total_tokens // 5 AS DOUBLE)
-      |      / CAST(t.n_sources AS DOUBLE)
-      |      / CAST(s.src_tokens AS DOUBLE)) AS rate,
+      |    CASE WHEN s.src_tokens = 0 THEN 1.0
+      |         ELSE least(1.0, CAST(t.total_tokens // 5 AS DOUBLE)
+      |           / CAST(t.n_sources AS DOUBLE)
+      |           / CAST(s.src_tokens AS DOUBLE))
+      |    END AS rate,
       |    (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
       |       ::BIGINT + 1.0) / 4503599627370496.0 AS u
       |  FROM d JOIN src s ON d.source = s.source CROSS JOIN tot t)
@@ -292,19 +314,15 @@ object PipelineQueries {
     * beyond the final presentation sort.
     */
   def qSourceEpochs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-    // materialized for the same reason as q140's src frame: totals and
-    // the epoch table must not each re-run the corpus tokenize
-    val src = docs.groupBy("source").agg(sum("n_toks").as("src_tokens"))
-      .localCheckpoint(true)
-    val totals = src.agg(sum("src_tokens").as("total_tokens"),
-      count(lit(1)).as("n_sources"))
+    val (docs, src, totals) = docsSrcTotals(spark, dir)
     val epochTable = src.crossJoin(broadcast(totals))
       .withColumn("target", expr("(3 * total_tokens) div n_sources"))
-      .withColumn("epochs", least(lit(4L), greatest(lit(1L),
-        expr("(target + src_tokens - 1) div src_tokens"))))
+      // an all-empty source contributes no tokens at any epoch count;
+      // 1 keeps the ceil division defined identically in both engines
+      .withColumn("epochs",
+        when(col("src_tokens") === 0L, lit(1L))
+          .otherwise(least(lit(4L), greatest(lit(1L),
+            expr("(target + src_tokens - 1) div src_tokens")))))
       .select("source", "epochs")
     docs
       .join(broadcast(epochTable), Seq("source"))
@@ -314,21 +332,14 @@ object PipelineQueries {
   }
 
   val qSourceEpochsSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, source,
-      |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-      |    END AS n_toks
-      |  FROM documents),
-      |src AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
-      |        FROM d GROUP BY source),
-      |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
-      |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM src),
+    s"""WITH $mixCtesSql,
       |et AS (
       |  SELECT source,
-      |    least(4, greatest(1,
-      |      (((3 * t.total_tokens) // t.n_sources) + s.src_tokens - 1)
-      |        // s.src_tokens)) AS epochs
+      |    CASE WHEN s.src_tokens = 0 THEN 1
+      |         ELSE least(4, greatest(1,
+      |           (((3 * t.total_tokens) // t.n_sources) + s.src_tokens - 1)
+      |             // s.src_tokens))
+      |    END AS epochs
       |  FROM src s CROSS JOIN tot t)
       |SELECT d.doc_id, d.source,
       |  CAST(unnest(range(1, e.epochs + 1)) AS BIGINT) AS epoch,

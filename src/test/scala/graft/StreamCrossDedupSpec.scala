@@ -42,7 +42,7 @@ class StreamCrossDedupSpec extends SparkSpecBase {
 
     val seen = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (Boolean, Long, Boolean)]]
     val (n1, h1, b1) = StreamCrossDedup.run(
-      src, reference, "doc_id", "text", ckpt)(f => seen += flagsMap(f))
+      src, reference, "doc_id", "text", ckpt)((f, _, _) => seen += flagsMap(f))
     assert(n1 === 1)
     assert(seen(0)(10L) === ((false, 0L, true))) // fresh → admitted
     assert(seen(0)(11L)._1 === true) // exact vs reference
@@ -53,7 +53,7 @@ class StreamCrossDedupSpec extends SparkSpecBase {
     Seq((20L, textA), (21L, textD), (22L, textE)).toDF("doc_id", "text")
       .write.mode("append").parquet(srcDir)
     val (n2, h2, b2) = StreamCrossDedup.runWithArtifacts(
-      src, h1, b1, "doc_id", "text", ckpt)(f => seen += flagsMap(f))
+      src, h1, b1, "doc_id", "text", ckpt)((f, _, _) => seen += flagsMap(f))
     assert(n2 === 1)
     val w2 = seen(1)
     assert(w2(20L)._1 === true) // exact vs an earlier ADMISSION
@@ -71,7 +71,7 @@ class StreamCrossDedupSpec extends SparkSpecBase {
 
     // restart with no new data: checkpoint prevents re-processing
     val (n3, _, _) = StreamCrossDedup.runWithArtifacts(
-      src, h2, b2, "doc_id", "text", ckpt)(f => seen += flagsMap(f))
+      src, h2, b2, "doc_id", "text", ckpt)((f, _, _) => seen += flagsMap(f))
     assert(n3 === 0)
   }
 
@@ -85,7 +85,7 @@ class StreamCrossDedupSpec extends SparkSpecBase {
     def src = spark.readStream.schema(schema).parquet(srcDir)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (Boolean, Long, Boolean)]]
     val (_, h1, b1) = StreamCrossDedup.run(
-      src, reference, "doc_id", "text", ckpt)(f => seen += flagsMap(f))
+      src, reference, "doc_id", "text", ckpt)((f, _, _) => seen += flagsMap(f))
     // both admitted (intra-batch copies are not flagged against each
     // other — the operator contract)...
     assert(seen(0)(30L)._3 && seen(0)(31L)._3)
@@ -96,7 +96,24 @@ class StreamCrossDedupSpec extends SparkSpecBase {
     Seq((32L, textE)).toDF("doc_id", "text")
       .write.mode("append").parquet(srcDir)
     StreamCrossDedup.runWithArtifacts(
-      src, h1, b1, "doc_id", "text", ckpt)(f => seen += flagsMap(f))
+      src, h1, b1, "doc_id", "text", ckpt)((f, _, _) => seen += flagsMap(f))
     assert(seen(1)(32L)._1 === true && seen(1)(32L)._3 === false)
+  }
+  test("artifact re-application is idempotent (crash-replay safety)") {
+    val reference = Seq((1L, refText)).toDF("doc_id", "text")
+    val (h1, b1) = CrossDedup.artifacts(
+      reference.unionByName(Seq((10L, textA)).toDF("doc_id", "text")),
+      "doc_id", "text")
+    // duplicate every artifact row — the state a crashed-then-replayed
+    // batch update leaves behind
+    val h2 = h1.unionByName(h1)
+    val b2 = b1.unionByName(b1)
+    val probe = Seq((20L, textA), (21L, textD), (22L, textE))
+      .toDF("doc_id", "text")
+    val once = flagsMap(CrossDedup
+      .flagAgainstArtifacts(h1, b1, probe, "doc_id", "text"))
+    val twice = flagsMap(CrossDedup
+      .flagAgainstArtifacts(h2, b2, probe, "doc_id", "text"))
+    assert(once === twice)
   }
 }
