@@ -52,4 +52,43 @@ object Layout {
           s"((($y >> $i) & 1) << ${2 * i + 1})")
       }
       .mkString(" + ")
+
+  /** Compaction planner — the table-maintenance companion of
+    * [[graft.operators.DataManifest]]: given a file manifest (one row
+    * per data file with its partition and byte size), assign each file
+    * to an output bin of ~`targetBytes` using the cumulative-offset
+    * rule — bin = floor(cumulative-bytes-before-this-file / target)
+    * within the partition, files visited in (orderCol) order. This is
+    * the same packing rule Spark's own scan planner applies when it
+    * coalesces small files into `FilePartition`s via
+    * `maxPartitionBytes` over cumulative byte offsets, so the plan is
+    * pure window arithmetic: one hash exchange on the partition
+    * column, one sort, zero joins — O(manifest), never O(data), which
+    * is what makes re-planning a 100 TB table's compaction a
+    * sub-second driver job. A file larger than `targetBytes` advances
+    * the cumulative offset past one or more bin boundaries and so
+    * lands alone (oversized files are their own bins, like Delta
+    * OPTIMIZE skipping already-large files).
+    *
+    * Every quantity is integer (BIGINT sums, integer division), so a
+    * SQL engine reproduces the plan bit-for-bit.
+    */
+  def planCompaction(
+      manifest: DataFrame,
+      partCol: String,
+      sizeCol: String,
+      orderCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    manifest
+      .withColumn("__before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .drop("__before")
+  }
 }

@@ -601,4 +601,38 @@ object CorpusQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
       |    AS scrubbed
       |FROM spliced""".stripMargin
+
+  /** q147 — compaction planner ([[graft.operators.Layout.planCompaction]]):
+    * the documents table read as a file manifest (source = partition,
+    * n_chars = file bytes), packed into ~2000-byte output bins by the
+    * cumulative-offset rule — the same packing Spark's scan planner
+    * applies via maxPartitionBytes. Summarized per (source, bin); all
+    * integer arithmetic, so the plan is oracle-exact. O(manifest)
+    * cost: one exchange on the partition column, one sort, no joins.
+    */
+  def qCompaction(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout
+      .planCompaction(
+        Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "n_chars", "doc_id", targetBytes = 2000L)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum("n_chars").as("bytes"),
+        min("doc_id").as("first_file"),
+        max("doc_id").as("last_file"))
+      .orderBy("source", "bin")
+
+  val qCompactionSql: String =
+    """WITH m AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+      |        ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 2000 AS BIGINT) AS bin
+      |  FROM documents)
+      |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+      |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+      |FROM m GROUP BY source, bin ORDER BY source, bin""".stripMargin
 }

@@ -246,4 +246,45 @@ object TemporalQueries {
       |    / CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS DOUBLE)
       |    AS credit
       |FROM pairs""".stripMargin
+
+  /** q146 — type-2 SCD history ([[graft.operators.Scd2]]): each user's
+    * per-event-type value tier (floor(value/10), the categorical
+    * attribute a dimension would track) compressed into validity
+    * intervals [valid_from, valid_to) with version numbers and a
+    * current flag. One hash exchange on the key; both window passes
+    * reuse it.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") / lit(10.0)).as("tier"))
+    graft.operators.Scd2
+      .build(e, Seq("user_id", "event_type"), "ts", "event_id", "tier")
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  val qScd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    date_trunc('microseconds', ts) AS ts,
+      |    CAST(floor(value / 10) AS BIGINT) AS tier
+      |  FROM events),
+      |o AS (
+      |  SELECT *,
+      |    LAG(tier) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS pv,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM e),
+      |c AS (
+      |  SELECT user_id, event_type, tier, ts AS valid_from, event_id
+      |  FROM o WHERE rn = 1 OR tier IS DISTINCT FROM pv)
+      |SELECT user_id, event_type, tier, valid_from,
+      |  LEAD(valid_from) OVER w AS valid_to,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  (LEAD(valid_from) OVER w IS NULL) AS is_current
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id, event_type
+      |             ORDER BY valid_from, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
 }

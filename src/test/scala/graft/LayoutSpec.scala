@@ -65,4 +65,39 @@ class LayoutSpec extends SparkSpecBase {
         s"y range too wide: $r")
     }
   }
+
+  test("planCompaction packs files to the target, oversized stand alone") {
+    // partition p1: 5 small files of 300B at target 1000 → bins by
+    // cumulative offset: 0,0,0,1,1 (floor(before/1000))
+    // partition p2: small, HUGE (5000B), small → the huge file advances
+    // the offset so the tail file lands in its own later bin
+    val manifest = Seq(
+      ("p1", "f1", 300L), ("p1", "f2", 300L), ("p1", "f3", 300L),
+      ("p1", "f4", 300L), ("p1", "f5", 300L),
+      ("p2", "g1", 200L), ("p2", "g2", 5000L), ("p2", "g3", 200L)
+    ).toDF("part", "file", "bytes")
+    val plan = Layout.planCompaction(manifest, "part", "bytes", "file", 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("bin"))
+      .toMap
+    assert(plan(("p1", "f1")) === 0L)
+    assert(plan(("p1", "f2")) === 0L)
+    assert(plan(("p1", "f3")) === 0L)
+    assert(plan(("p1", "f4")) === 0L) // before = 900 < 1000
+    assert(plan(("p1", "f5")) === 1L) // before = 1200
+    assert(plan(("p2", "g1")) === 0L)
+    assert(plan(("p2", "g2")) === 0L) // before = 200
+    assert(plan(("p2", "g3")) === 5L) // before = 5200 → isolated bin
+    // no output bin made only of small files exceeds target + one
+    // file (the planner never splits files; a bin absorbing an
+    // oversized file legitimately overshoots, like Spark's scan
+    // coalescing when one file exceeds maxPartitionBytes)
+    val sums = Layout.planCompaction(manifest, "part", "bytes", "file", 1000L)
+      .groupBy("part", "bin")
+      .agg(sum("bytes").as("b"), max("bytes").as("mx"))
+      .collect()
+    sums.filter(_.getAs[Long]("mx") <= 1000L).foreach { r =>
+      assert(r.getAs[Long]("b") <= 1000L + 300L)
+    }
+  }
 }

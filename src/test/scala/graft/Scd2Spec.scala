@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Scd2
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("compresses runs, numbers versions, closes intervals half-open") {
+    // user A: gold → gold → silver → silver → gold  (3 versions)
+    // user B: single value (1 version, current)
+    // user C: null → null → bronze (null run is ONE version)
+    val changes = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1L, Some("gold")),
+      ("A", ts("2024-01-02 00:00:00"), 2L, Some("gold")),
+      ("A", ts("2024-01-03 00:00:00"), 3L, Some("silver")),
+      ("A", ts("2024-01-04 00:00:00"), 4L, Some("silver")),
+      ("A", ts("2024-01-05 00:00:00"), 5L, Some("gold")),
+      ("B", ts("2024-02-01 00:00:00"), 6L, Some("basic")),
+      ("C", ts("2024-03-01 00:00:00"), 7L, None),
+      ("C", ts("2024-03-02 00:00:00"), 8L, None),
+      ("C", ts("2024-03-03 00:00:00"), 9L, Some("bronze"))
+    ).toDF("k", "at", "seq", "tier")
+
+    val hist = Scd2.build(changes, Seq("k"), "at", "seq", "tier")
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5)))
+
+    assert(hist.toSeq === Seq(
+      ("A", "gold", ts("2024-01-01 00:00:00"),
+        Some(ts("2024-01-03 00:00:00")), 1L, false),
+      ("A", "silver", ts("2024-01-03 00:00:00"),
+        Some(ts("2024-01-05 00:00:00")), 2L, false),
+      ("A", "gold", ts("2024-01-05 00:00:00"), None, 3L, true),
+      ("B", "basic", ts("2024-02-01 00:00:00"), None, 1L, true),
+      ("C", null, ts("2024-03-01 00:00:00"),
+        Some(ts("2024-03-03 00:00:00")), 1L, false),
+      ("C", "bronze", ts("2024-03-03 00:00:00"), None, 2L, true)
+    ))
+  }
+
+  test("intervals tile each key's timeline: no gaps, no overlaps") {
+    // randomized-ish stream over 3 keys; invariant checked structurally
+    val changes = (1 to 300).map { i =>
+      ("k" + (i % 3), ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, (i * 7919 % 5).toString)
+    }.toDF("k", "at", "seq", "v")
+    val hist = Scd2.build(changes, Seq("k"), "at", "seq", "v")
+    // exactly one current row per key
+    val currents = hist.filter(col("is_current")).groupBy("k").count()
+      .collect().map(_.getLong(1))
+    assert(currents.forall(_ === 1L) && currents.length === 3)
+    // each version's valid_to equals the next version's valid_from
+    val rows = hist.orderBy("k", "version").collect()
+      .map(r => (r.getString(0), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(3 + 1)))
+      .groupBy(_._1)
+    rows.values.foreach { vs =>
+      vs.sortBy(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2))
+        case _ =>
+      }
+    }
+    // plan shape: ONE exchange for the whole history build
+    val exchanges = hist.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, "SCD2 must reuse one hash exchange")
+  }
+}
