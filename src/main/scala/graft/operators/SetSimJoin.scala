@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering — the All-Pairs
+  * / PPJoin discipline (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+  * find every pair of records whose token-set Jaccard similarity
+  * reaches `tau`, EXACTLY, without the all-pairs product and without
+  * the false negatives a MinHash-LSH screen
+  * ([[graft.operators.NearDedup]]) accepts by design. This is the
+  * verification-grade companion: LSH for recall-tolerant screening at
+  * extreme scale, prefix filtering when the contract is "every pair ≥
+  * τ, no misses".
+  *
+  * The pruning logic, all token-local:
+  *   - order the vocabulary rarest-first (ascending document
+  *     frequency, ties by token) — ANY total order preserves
+  *     correctness, rarest-first minimizes candidates;
+  *   - a record of n tokens only needs its first `n − ⌈τ·n⌉ + 1`
+  *     tokens in that order indexed (its "prefix"): two sets with
+  *     J ≥ τ overlap in ≥ ⌈τ·n⌉ tokens on each side, so disjoint
+  *     prefixes would force all overlap into suffixes shorter than
+  *     the overlap — contradiction. Hot tokens (stop words) sort LAST
+  *     and almost never enter a prefix, which is what keeps the
+  *     candidate join linear-ish while an oracle-style token self-join
+  *     would square on the hottest token;
+  *   - J ≥ τ also forces τ·max(n_a,n_b) ≤ min(n_a,n_b), pruning
+  *     size-mismatched candidates inside the join condition.
+  *
+  * Scale shape: document-frequency aggregate (map-side combinable) →
+  * one token-keyed shuffle to order each record's tokens → prefix
+  * explode self-join (rare tokens only) → distinct id pairs → two
+  * id-keyed verification joins computing exact intersections. No
+  * driver state, no global rank window (the (df, token) struct IS the
+  * sort key, so no dense-rank bottleneck), and the quadratic term is
+  * Σ prefix-token-frequency², bounded by the rarest-first order.
+  */
+object SetSimJoin {
+
+  /** All pairs (`id_a` < `id_b`) with Jaccard(`tokensCol`) ≥ `tau`.
+    * Output: id_a, id_b, n_a, n_b, inter, jaccard. Token arrays are
+    * deduplicated internally; empty-set records never pair.
+    */
+  def jaccardSelfJoin(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
+    val toks = docs
+      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val occ = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first per-record order; checkpointed because the frame
+    // feeds the prefix explode AND both verification joins (3 plan
+    // references), and the projection is primitive (codegen-safe to
+    // materialize). The 1e-9 guard keeps ceil() from rounding τ·n up
+    // a ulp past an exact integer (τ=0.5, n=52 → 26, not 27) — a too-
+    // long prefix only costs candidates, never correctness, but the
+    // guard keeps the plan at its intended size.
+    val sorted = occ.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("skeys"))
+      .select(col("id"),
+        expr("transform(skeys, k -> k.tok)").as("stoks"))
+      .withColumn("n", size(col("stoks")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int"))
+      .localCheckpoint(true)
+    val prefixes = sorted.select(col("id"), col("n"),
+      explode(expr("slice(stoks, 1, plen)")).as("tok"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // size filter: τ·max ≤ min (ε-guarded — pruning must never
+          // fire on an exact boundary)
+          col("a.n").cast("double") >= lit(tau) * col("b.n") - lit(1e-9) &&
+          col("b.n").cast("double") >= lit(tau) * col("a.n") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("stoks").as("toks_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("stoks").as("toks_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+  }
+}

@@ -1271,4 +1271,64 @@ object TextQueries {
        |SELECT doc_id, CAST(r.i AS BIGINT) AS band,
        |  sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
        |FROM sigs CROSS JOIN range(0, 4) r(i)""".stripMargin
+
+  /** q148 — exact set-similarity self-join
+    * ([[graft.operators.SetSimJoin.jaccardSelfJoin]]): every pair of
+    * docs∪copies whose distinct word-3-gram sets reach Jaccard ≥ 0.5 —
+    * the no-false-negative companion of the q25/q36 MinHash screen,
+    * pruned by rarest-first prefix filtering instead of banding. The
+    * oracle mirrors the prefix-filter plan (the filters only shed
+    * candidates; both engines verify exact intersections, so the
+    * FINAL pair set is filter-independent).
+    */
+  def qSetSimJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin
+      .jaccardSelfJoin(
+        corpusWithCopies(spark, dir).select(col("doc_id"),
+          array_distinct(wordNgramsKernel(col("text"), 3)).as("grams")),
+        "doc_id", "grams", tau = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val qSetSimJoinSql: String =
+    """WITH input AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM input),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 1) + 1),
+      |    i -> array_to_string(t[i:i+2], ' '))) AS grams
+      |  FROM toks),
+      |occ AS (SELECT doc_id, unnest(grams) AS tok FROM g),
+      |dfr AS (SELECT tok, count(*) AS df FROM occ GROUP BY tok),
+      |srt AS (
+      |  SELECT o.doc_id, list(o.tok ORDER BY d.df, o.tok) AS stoks
+      |  FROM occ o JOIN dfr d USING (tok) GROUP BY o.doc_id),
+      |sized AS (
+      |  SELECT doc_id, stoks, len(stoks) AS n,
+      |    CAST(len(stoks) - ceil(0.5 * len(stoks) - 1e-9) + 1 AS INT)
+      |      AS plen
+      |  FROM srt),
+      |pref AS (SELECT doc_id, n, unnest(stoks[1:plen]) AS tok FROM sized),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |   AND a.n >= 0.5 * b.n - 1e-9 AND b.n >= 0.5 * a.n - 1e-9)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+      |  CAST(len(list_intersect(x.stoks, y.stoks)) AS BIGINT) AS inter,
+      |  CAST(len(list_intersect(x.stoks, y.stoks)) AS DOUBLE)
+      |    / CAST(x.n + y.n - len(list_intersect(x.stoks, y.stoks))
+      |           AS DOUBLE) AS jaccard
+      |FROM cand c
+      |JOIN sized x ON x.doc_id = c.id_a
+      |JOIN sized y ON y.doc_id = c.id_b
+      |WHERE CAST(len(list_intersect(x.stoks, y.stoks)) AS DOUBLE)
+      |    / CAST(x.n + y.n - len(list_intersect(x.stoks, y.stoks))
+      |           AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 }
