@@ -273,4 +273,54 @@ object TemporalJoins {
       .select(probe.columns.map(col) :+
         col("__m.__cid").as(s"touch_$idCol") :+
         col("__m.__cu").as("touch_micros"): _*)
+
+  /** UNKEYED interval overlap join: every (left, right) pair whose
+    * half-open micro-epoch intervals `[start, end)` overlap — the
+    * general range join (incident windows × activity windows, ad
+    * flights × sessions) where no equi-key exists to hash on, which is
+    * exactly the case Spark's planner degrades to a broadcast
+    * nested-loop or cartesian product.
+    *
+    * Shape: each interval explodes into the time buckets it covers
+    * (`start div W .. (end-1) div W`), the join runs as an EQUI-join
+    * on the bucket id, and each overlapping pair is emitted exactly
+    * once WITHOUT a distinct shuffle: the join condition additionally
+    * pins the bucket to `greatest(starts) div W` — the first bucket
+    * both intervals cover — so duplicate bucket collisions fail the
+    * condition instead of needing dedup. Cost is Σ per-bucket
+    * |left|·|right|, i.e. timeline density squared per bucket width,
+    * never |left|·|right| overall.
+    *
+    * Pick `bucketMicros` ≥ the typical interval length: the explode
+    * factor is len/W + 1 per row. All arithmetic is integer `div` on
+    * non-negative epochs (pre-1970 intervals would need floor-div).
+    * Empty intervals (end ≤ start) are dropped — `sequence()` would
+    * otherwise step BACKWARD and fabricate buckets.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketMicros: Long
+  ): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros=$bucketMicros must be positive")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bk", explode(expr(
+        s"sequence($s div ${bucketMicros}L, ($e - 1) div ${bucketMicros}L)")))
+    val lb = buckets(left, leftStart, leftEnd).as("l")
+    val rb = buckets(right, rightStart, rightEnd).as("r")
+    lb.join(rb,
+        col("l.__bk") === col("r.__bk") &&
+          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+          col("l.__bk") ===
+            expr(s"greatest($leftStart, $rightStart) div ${bucketMicros}L"))
+      .withColumn("overlap_micros",
+        least(col(leftEnd), col(rightEnd)) -
+          greatest(col(leftStart), col(rightStart)))
+      .drop("__bk")
+  }
 }

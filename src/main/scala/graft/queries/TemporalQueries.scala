@@ -287,4 +287,46 @@ object TemporalQueries {
       |WINDOW w AS (PARTITION BY user_id, event_type
       |             ORDER BY valid_from, event_id)
       |ORDER BY user_id, event_type, version""".stripMargin
+
+  /** q149 — unkeyed interval overlap join
+    * ([[TemporalJoins.intervalOverlapJoin]]): every error's 10-minute
+    * incident window paired with every purchase's 5-minute activity
+    * window it overlaps, ACROSS all users (no equi-key) — the shape
+    * Spark would otherwise plan as a nested-loop product. Bucketed at
+    * the 10-minute incident width; pairs dedup inside the join
+    * condition (first shared bucket), zero distinct shuffles. All
+    * integer micro-epoch arithmetic → oracle-exact.
+    */
+  def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("err_s"))
+      .withColumn("err_e", col("err_s") + lit(600000000L))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pur_s"))
+      .withColumn("pur_e", col("pur_s") + lit(300000000L))
+    TemporalJoins
+      .intervalOverlapJoin(errors, purchases,
+        "err_s", "err_e", "pur_s", "pur_e", bucketMicros = 600000000L)
+      .select(col("error_id"), col("purchase_id"), col("overlap_micros"))
+      .orderBy("error_id", "purchase_id")
+  }
+
+  val qIntervalOverlapSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    epoch_us(date_trunc('microseconds', ts)) AS u
+      |  FROM events),
+      |er AS (
+      |  SELECT event_id AS error_id, u AS s, u + 600000000 AS e
+      |  FROM e WHERE event_type = 'error'),
+      |pu AS (
+      |  SELECT event_id AS purchase_id, u AS s, u + 300000000 AS e
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT er.error_id, pu.purchase_id,
+      |  least(er.e, pu.e) - greatest(er.s, pu.s) AS overlap_micros
+      |FROM er JOIN pu ON er.s < pu.e AND pu.s < er.e
+      |ORDER BY error_id, purchase_id""".stripMargin
 }

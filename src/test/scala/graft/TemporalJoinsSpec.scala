@@ -221,4 +221,43 @@ class TemporalJoinsSpec extends SparkSpecBase {
       ("2024-01-08", 0L, 1L)  // u3's own cohort
     ))
   }
+
+  test("intervalOverlapJoin matches brute force, each pair exactly once") {
+    // deterministic LCG intervals spanning many buckets and boundary
+    // cases (touching endpoints, containment, long intervals)
+    var seed = 99L
+    def next(m: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33) % m
+    }
+    val li = (1L to 80L).map { i =>
+      val s = next(10000); (i, s, s + 1 + next(900))
+    }
+    val ri = (1L to 80L).map { i =>
+      val s = next(10000); (i, s, s + 1 + next(400))
+    }
+    val expected = (for {
+      (a, ls, le) <- li; (b, rs, re) <- ri
+      if ls < re && rs < le
+    } yield (a, b, math.min(le, re) - math.max(ls, rs))).toSet
+    val got = graft.operators.TemporalJoins.intervalOverlapJoin(
+        li.toDF("lid", "ls", "le"), ri.toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", bucketMicros = 250L)
+      .select("lid", "rid", "overlap_micros")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === got.toSet.size, "pair emitted more than once")
+    assert(got.toSet === expected)
+  }
+
+  test("intervalOverlapJoin: touching half-open intervals do NOT pair") {
+    val l = Seq((1L, 0L, 100L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 100L, 200L), (2L, 99L, 200L), (3L, 200L, 200L))
+      .toDF("rid", "rs", "re")
+    val got = graft.operators.TemporalJoins
+      .intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 50L)
+      .select("rid").as[Long].collect().toSet
+    // [0,100) meets [100,200) only at the excluded endpoint; empty
+    // right interval [200,200) is dropped entirely
+    assert(got === Set(2L))
+  }
 }
