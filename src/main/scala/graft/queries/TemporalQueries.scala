@@ -329,4 +329,47 @@ object TemporalQueries {
       |  least(er.e, pu.e) - greatest(er.s, pu.s) AS overlap_micros
       |FROM er JOIN pu ON er.s < pu.e AND pu.s < er.e
       |ORDER BY error_id, purchase_id""".stripMargin
+
+  /** q150 — the streaming SCD2 operator
+    * ([[graft.streaming.StreamScd2.closedIntervals]]) executed in
+    * batch mode (Spark runs `flatMapGroupsWithState` over a batch
+    * frame with each key's rows in one group call): every CLOSED
+    * validity interval of q146's history, state-machine-built instead
+    * of window-built. Oracle = the q146 SQL minus the open current
+    * rows — so the state transition logic itself is hash-checked, and
+    * StreamingSpec separately proves micro-batched execution emits the
+    * identical set.
+    */
+  def qStreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(spark, dir)
+      .select(concat_ws("|", col("user_id"), col("event_type")).as("key"),
+        col("ts"), col("event_id"),
+        floor(col("value") / lit(10.0)).as("tier"))
+    graft.streaming.StreamScd2
+      .closedIntervals(changes, "key", "ts", "event_id", "tier")
+      .toDF()
+      .orderBy("key", "version")
+  }
+
+  val qStreamScd2Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+      |    event_id, date_trunc('microseconds', ts) AS ts,
+      |    CAST(floor(value / 10) AS BIGINT) AS tier
+      |  FROM events),
+      |o AS (
+      |  SELECT *,
+      |    LAG(tier) OVER (PARTITION BY key ORDER BY ts, event_id) AS pv,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, event_id) AS rn
+      |  FROM e),
+      |c AS (
+      |  SELECT key, tier, ts AS valid_from, event_id
+      |  FROM o WHERE rn = 1 OR tier IS DISTINCT FROM pv)
+      |SELECT key, CAST(tier AS VARCHAR) AS value, valid_from,
+      |  LEAD(valid_from) OVER w AS valid_to,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |FROM c
+      |WINDOW w AS (PARTITION BY key ORDER BY valid_from, event_id)
+      |QUALIFY LEAD(valid_from) OVER w IS NOT NULL
+      |ORDER BY key, version""".stripMargin
 }

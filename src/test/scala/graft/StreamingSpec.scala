@@ -382,4 +382,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(stateful.nonEmpty)
     assert(stateful === viaWindow)
   }
+
+  test("streaming SCD2 closed intervals equal the batch history") {
+    import graft.streaming.StreamScd2
+    val changes = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(concat_ws("|", col("user_id"), col("event_type")).as("key"),
+        col("ts"), col("event_id"),
+        floor(col("value") / lit(10.0)).as("tier"))
+    // batch truth: the q146 operator's CLOSED rows (is_current = false)
+    val batch = graft.operators.Scd2
+      .build(changes, Seq("key"), "ts", "event_id", "tier")
+      .filter(!col("is_current"))
+      .select(col("key"), col("tier").cast("string"),
+        col("valid_from"), col("valid_to"), col("version"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4))).toSet
+
+    // sorted replay, three waves → per-key time non-decreasing across
+    // micro-batches (the operator's parity contract)
+    val dir = Files.createTempDirectory("stream-scd2").toString
+    val mm = changes.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def cut(ms: Long) = timestamp_millis(lit(ms))
+    Seq(
+      changes.filter(col("ts") <= cut(t1)),
+      changes.filter(col("ts") > cut(t1) && col("ts") <= cut(t2)),
+      changes.filter(col("ts") > cut(t2))
+    ).zipWithIndex.foreach { case (wave, i) =>
+      wave.coalesce(1).write.mode("overwrite").parquet(f"$dir/wave-$i%03d")
+    }
+    val stream = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/wave-*")
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      StreamScd2.closedIntervals(stream, "key", "ts", "event_id", "tier")
+        .toDF(),
+      "scd2_stream_test")
+    val got = streamed.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("value"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        r.getAs[java.sql.Timestamp]("valid_to"),
+        r.getAs[Long]("version"))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+  }
 }
