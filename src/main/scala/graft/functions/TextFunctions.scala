@@ -281,6 +281,36 @@ object TextFunctions {
       }
     }
 
+  /** DISTINCT word n-grams as full 64-bit md5 hashes in one kernel
+    * pass (split → gram → digest → dedupe), never materializing gram
+    * strings — the token-set form
+    * [[graft.operators.SetSimJoin.jaccardSelfJoin]] consumes on its
+    * array&lt;long&gt; fast path. Distinct from [[md5Grams60Udf]] in
+    * two ways: hashes are deduplicated (set semantics, not positional)
+    * and all 8 digest bytes are used (set-similarity counts exact
+    * intersections, so collision head-room matters more than DuckDB
+    * reproducibility — there is no SQL twin of this kernel, oracles
+    * re-derive sets from the text). NULL text → NULL.
+    */
+  val md5GramSet64Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String, n: Int) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      if (text == null) null
+      else {
+        val gs = posGrams(text, n)
+        val seen = new java.util.HashSet[Long](gs.length * 2)
+        val out = Array.newBuilder[Long]
+        gs.foreach { g =>
+          val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var hv = 0L
+          var bi = 0
+          while (bi < 8) { hv = (hv << 8) | (d(bi) & 0xffL); bi += 1 }
+          if (seen.add(hv)) out += hv
+        }
+        out.result()
+      }
+    }
+
   /** Distinct word n-grams, first-occurrence order, same shingle
     * convention as [[wordNgrams]] — the JVM form for kernel operators
     * (e.g. [[graft.operators.Decontaminate]]).

@@ -48,10 +48,30 @@ object SetSimJoin {
       tokensCol: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
+    // tokens ride as 64-bit longs from here on: the candidate join
+    // keys on 8 bytes instead of a gram string and the verification
+    // joins shuffle long arrays instead of ~30-byte strings. An
+    // array<long> tokens column (e.g. TextFunctions.md5GramSet64Udf —
+    // one kernel pass, gram strings never materialized) passes through
+    // as-is; array<string> is hashed here. A 64-bit collision could
+    // overstate one intersection — at 10^6 pairs × 10^2 tokens a
+    // ~10^-11 event; hashing before the df count can only merge
+    // colliding tokens' frequencies, which perturbs the (still total)
+    // vocabulary order, never correctness.
+    val hashed = docs.schema(tokensCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => col(tokensCol)
+      case _ => expr(s"transform($tokensCol, t -> xxhash64(t))")
+    }
     val toks = docs
-      .select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("toks"))
+      .select(col(idCol).as("id"), array_distinct(hashed).as("toks"))
       .filter(size(col("toks")) > 0)
+    // checkpointed: occ feeds BOTH the document-frequency aggregate and
+    // the ordering join, and its upstream (tokenizer kernel + explode)
+    // is the single most expensive pass — without materialization the
+    // plan tokenizes the corpus twice
     val occ = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .localCheckpoint(true)
     val dfreq = occ.groupBy("tok").agg(count(lit(1)).as("df"))
     // rarest-first per-record order; checkpointed because the frame
     // feeds the prefix explode AND both verification joins (3 plan
@@ -70,15 +90,25 @@ object SetSimJoin {
       .withColumn("plen",
         (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int"))
       .localCheckpoint(true)
-    val prefixes = sorted.select(col("id"), col("n"),
-      explode(expr("slice(stoks, 1, plen)")).as("tok"))
+    val prefixes = sorted.select(Seq(col("id"), col("n")) :+
+      posexplode(expr("slice(stoks, 1, plen)")).as(Seq("pos", "tok")): _*)
+    // PPJoin positional bound: at a pair's FIRST shared token (global
+    // order), every shared token sits at or after it in both lists, so
+    // overlap ≤ min(n − pos) there; requiring that bound ≥ the overlap
+    // threshold α = ⌈τ/(1+τ)·(n_a+n_b)⌉ prunes the candidate at its
+    // first shared token without ever pruning a true pair (later
+    // shared tokens may fail the bound — harmless, the pair already
+    // survived once; ε keeps α safe-small on exact boundaries).
+    val alpha =
+      ceil(lit(tau / (1 + tau)) * (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           // size filter: τ·max ≤ min (ε-guarded — pruning must never
           // fire on an exact boundary)
           col("a.n").cast("double") >= lit(tau) * col("b.n") - lit(1e-9) &&
-          col("b.n").cast("double") >= lit(tau) * col("a.n") - lit(1e-9))
+          col("b.n").cast("double") >= lit(tau) * col("a.n") - lit(1e-9) &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand

@@ -854,13 +854,21 @@ object TextQueries {
     * with its fast FNV kernel. Only band-equal signatures meet in the
     * join (cost ∝ Σ bucket², never O(n²)).
     */
-  /** The docs∪copies corpus q36/q38 near-dup over. */
-  private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    docs.unionByName(docs
-      .filter(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
-  }
+  /** The docs∪copies corpus q36/q38 near-dup over. Built as a single
+    * scan — each row explodes into itself plus (doc_id % 7 = 0) its
+    * +1e6 copy; the equivalent unionByName form reads the parquet
+    * (including the wide text column) TWICE, one scan per branch,
+    * which taxed every consumer of this corpus (~0.5s each at sf0.1).
+    */
+  private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % 7 === 0,
+          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L))))
+          .as("__off"),
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
 
   /** md5-minhash signatures (doc_id, sig array<string>), materialized
     * once: q36/q38 reference this frame on both band-join sides and
@@ -1285,7 +1293,9 @@ object TextQueries {
     graft.operators.SetSimJoin
       .jaccardSelfJoin(
         corpusWithCopies(spark, dir).select(col("doc_id"),
-          array_distinct(wordNgramsKernel(col("text"), 3)).as("grams")),
+          // array<long> fast path: distinct gram hashes in ONE kernel
+          // pass, gram strings never materialized or shuffled
+          md5GramSet64Udf(col("text"), lit(3)).as("grams")),
         "doc_id", "grams", tau = 0.5)
       .orderBy("id_a", "id_b")
 
