@@ -366,6 +366,161 @@ object Multimodal {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Deterministic WAV synthesizer (16-bit PCM mono 8 kHz, 0.25 s),
+    * written by the JDK's own WAV encoder: tone frequency = 200 +
+    * (id mod 8)·100 Hz, amplitude = 0.2 + ((id div 8) mod 5)·0.15.
+    * Ingest-side test/bench helper: ids in the same frequency class
+    * produce the SAME tone at five different amplitudes, which is
+    * exactly the equivalence [[spectralFingerprint]] must collapse
+    * (amplitude-invariant) while separating classes — and it makes
+    * audio dedup ORACLE-CHECKABLE, since the expected grouping is pure
+    * integer arithmetic on the id.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val rate = 8000
+    val n = rate / 4
+    val freq = 200.0 + (math.floorMod(id, 8)) * 100.0
+    val amp = (0.2 + math.floorMod(id / 8, 5) * 0.15) * 32767.0
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = math.round(amp *
+        math.sin(2.0 * math.Pi * freq * i / rate)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL PCM decode: mono float samples in [-1, 1] via
+    * `javax.sound.sampled` (16-bit signed and 8-bit WAV/AIFF/AU);
+    * None when no JDK codec parses the payload.
+    */
+  private def tryAudioSamples(
+      bytes: Array[Byte]): Option[(Array[Float], Float)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val rate = f.getSampleRate
+        val data = ais.readAllBytes()
+        val ch = f.getChannels
+        f.getSampleSizeInBits match {
+          case 16 =>
+            val n = data.length / 2 / ch
+            val out = new Array[Float](n)
+            val be = f.isBigEndian
+            var i = 0
+            while (i < n) {
+              // average channels to mono
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                val o = (i * ch + c) * 2
+                val v =
+                  if (be) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                  else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+                acc += v / 32768f
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some((out, rate))
+          case 8 =>
+            val n = data.length / ch
+            val signed = f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                val b = data(i * ch + c)
+                acc += (if (signed) b / 128f else ((b & 0xff) - 128) / 128f)
+                c += 1
+              }
+              out(i) = acc / ch
+              i += 1
+            }
+            Some((out, rate))
+          case _ => None
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** 64-bit spectral audio fingerprint: Goertzel tone energies at 64
+    * probe frequencies (50 + 60·i Hz, i &lt; 64 — inside the 4 kHz
+    * Nyquist band of common 8 kHz speech audio), bit i set iff
+    * E(fᵢ) > mean(E). Uniform gain scales every energy AND the mean
+    * together, so the fingerprint is amplitude-invariant — re-encoded
+    * or volume-normalized copies collide, which is the property audio
+    * near-dup mining needs (the audio twin of [[perceptualHash]]).
+    * Payloads no codec parses fall back to the first 8 md5 bytes, so
+    * the operator stays total and deterministic; exact-duplicate
+    * payloads still collide there.
+    */
+  private[graft] def spectralBits(samples: Array[Float], rate: Float): Long = {
+    val energies = new Array[Double](64)
+    var b = 0
+    while (b < 64) {
+      val f = 50.0 + 60.0 * b
+      val w = 2.0 * math.Pi * f / rate
+      val coeff = 2.0 * math.cos(w)
+      var s1 = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s0 = samples(i) + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
+        i += 1
+      }
+      energies(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      b += 1
+    }
+    var sum = 0.0
+    var i = 0
+    while (i < 64) { sum += energies(i); i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (energies(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  def spectralFingerprint(decoded: Dataset[DecodedRow]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val fp = (if (r.kind == "audio") tryAudioSamples(r.bytes) else None)
+          .map { case (samples, rate) => spectralBits(samples, rate) }
+          .getOrElse {
+            val d = md.digest(r.bytes)
+            var hv = 0L
+            var i = 0
+            while (i < 8) { hv = (hv << 8) | (d(i) & 0xffL); i += 1 }
+            hv
+          }
+        (r.media_id, fp)
+      }
+    }.toDF("media_id", "fingerprint")
+  }
+
   /** Build a media table from any (id, text) corpus — test/bench helper
     * that treats UTF-8 text bytes as the opaque payload.
     */

@@ -145,4 +145,35 @@ object NoteQueries {
     Multimodal.phashPairs(hashes, maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
+
+  /** q152 — audio dedup through REAL codecs end-to-end: per doc a WAV
+    * is synthesized ([[Multimodal.synthWav]] — JDK encoder; tone class
+    * = doc_id mod 8, amplitude class = (doc_id div 8) mod 5), decoded
+    * back by `javax.sound.sampled`, spectrally fingerprinted (Goertzel
+    * probe energies, [[Multimodal.spectralFingerprint]]), and grouped
+    * by exact fingerprint. The fingerprint is amplitude-invariant, so
+    * the five amplitude variants of each tone class MUST collapse into
+    * one group — making the grouping a pure function of doc_id and the
+    * whole decode→DSP→dedup pipeline ORACLE-CHECKABLE: 8 groups keyed
+    * by doc_id mod 8, fingerprint values never compared cross-engine.
+    * Per-row kernel work + one aggregate; embarrassingly parallel.
+    */
+  def qAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synthUdf = udf((id: Long) => Multimodal.synthWav(id))
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        synthUdf(col("doc_id")).as("bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.spectralFingerprint(Multimodal.decode(media))
+      .groupBy("fingerprint")
+      .agg(min("media_id").as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .select("keep_id", "n_members")
+      .orderBy("keep_id")
+  }
+
+  val qAudioDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_members
+      |FROM documents GROUP BY doc_id % 8 ORDER BY keep_id""".stripMargin
 }

@@ -372,4 +372,78 @@ object TemporalQueries {
       |WINDOW w AS (PARTITION BY key ORDER BY valid_from, event_id)
       |QUALIFY LEAD(valid_from) OVER w IS NOT NULL
       |ORDER BY key, version""".stripMargin
+
+  /** q151 — point-in-time feature snapshot (the feature-store join):
+    * each purchase assembled with its user's features AS OF the
+    * purchase instant — latest click, latest view, and the 10-minute
+    * click count — with no leakage from the future. Three feature
+    * joins, ALL bucketed band joins ([[TemporalJoins.asOfJoinBucketed]]
+    * ×2 chained + [[TemporalJoins.slidingCountJoin]]), so every stage
+    * parallelizes per (user, time-bucket) and nothing windows over a
+    * whole key's history. Integer micro-epoch gaps; oracle = DuckDB
+    * native ASOF joins + the naive window-count join.
+    */
+  def qFeatureSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("value"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val hour = 3600L * 1000000
+    val withClick = TemporalJoins
+      .asOfJoinBucketed(purchases, clicks.drop("value"), "user_id",
+        "ts", "ts", bucketMicros = hour)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"),
+        col("asof.click_id").as("last_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+          .as("micros_since_click"))
+    val withView = TemporalJoins
+      .asOfJoinBucketed(withClick, views, "user_id", "ts", "ts",
+        bucketMicros = hour)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"), col("last_click_id"),
+        col("micros_since_click"),
+        col("asof.view_id").as("last_view_id"))
+    TemporalJoins
+      .slidingCountJoin(withView,
+        clicks.select(col("user_id"), col("ts"),
+          col("value").cast("decimal(28,6)").as("value")),
+        "user_id", "ts", "value", windowMicros = 10L * 60 * 1000000)
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        col("last_click_id"), col("micros_since_click"),
+        col("last_view_id"), col("n_in_window").as("n_clicks_10m"))
+      .orderBy("event_id")
+  }
+
+  val qFeatureSnapshotSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |base AS (
+      |  SELECT p.event_id, p.user_id, p.ts,
+      |    p.value AS purchase_value, c.event_id AS last_click_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |base2 AS (
+      |  SELECT b.*, v.event_id AS last_view_id
+      |  FROM base b ASOF LEFT JOIN v
+      |    ON b.user_id = v.user_id AND b.ts >= v.ts)
+      |SELECT b.event_id, b.user_id, b.purchase_value, b.last_click_id,
+      |  b.micros_since_click, b.last_view_id,
+      |  (SELECT count(*) FROM c
+      |   WHERE c.user_id = b.user_id
+      |     AND c.ts >= b.ts - INTERVAL 10 MINUTE AND c.ts < b.ts)
+      |    AS n_clicks_10m
+      |FROM base2 b
+      |ORDER BY event_id""".stripMargin
 }

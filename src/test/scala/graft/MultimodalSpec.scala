@@ -178,4 +178,32 @@ class MultimodalSpec extends SparkSpecBase {
     // uniform cells: every cell >= mean, all 64 bits set
     assert(Multimodal.aHashBits(Array.fill(64)(0.5f)) === -1L)
   }
+
+  test("spectral audio fingerprint: amplitude-invariant, tone-separating") {
+    import spark.implicits._
+    // synthWav ids: same tone class (id mod 8), different amplitude
+    // class (id div 8 mod 5) → MUST collide; different tone → differ
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.synthWav(1L)), // 300 Hz a0
+      Multimodal.MediaRow(9L, "audio", Multimodal.synthWav(9L)), // 300 Hz a1
+      Multimodal.MediaRow(33L, "audio", Multimodal.synthWav(33L)), // 300 Hz a4
+      Multimodal.MediaRow(2L, "audio", Multimodal.synthWav(2L)), // 400 Hz
+      Multimodal.MediaRow(7L, "audio", Multimodal.synthWav(7L)) // 900 Hz
+    ).toDS()
+    val fp = Multimodal.spectralFingerprint(Multimodal.decode(media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(9L), "amplitude variant must collide")
+    assert(fp(1L) === fp(33L), "amplitude variant must collide")
+    assert(fp(1L) !== fp(2L), "different tones must separate")
+    assert(fp(2L) !== fp(7L), "different tones must separate")
+    // real decode round-trip: the fingerprint came from PCM samples,
+    // not the byte fallback — the fallback of two different-amplitude
+    // payloads could never collide (different bytes, different md5)
+    val fallback = Multimodal
+      .spectralFingerprint(Multimodal.decode(Seq(
+        Multimodal.MediaRow(1L, "video", Multimodal.synthWav(1L)),
+        Multimodal.MediaRow(9L, "video", Multimodal.synthWav(9L))).toDS()))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fallback(1L) !== fallback(9L))
+  }
 }
