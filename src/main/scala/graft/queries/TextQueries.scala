@@ -599,10 +599,15 @@ object TextQueries {
     * projections.
     */
   def qCorpusPrepare(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val corpus = docs.unionByName(docs
-      .filter(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    // single scan (explode copies) — see corpusWithCopies
+    val corpus = Tables.documents(spark, dir)
+      .select(explode(when(col("doc_id") % 5 === 0,
+          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L))))
+          .as("__off"),
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
     val keep = corpus
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
