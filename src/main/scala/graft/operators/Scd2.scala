@@ -59,4 +59,56 @@ object Scd2 {
       .select(keys ++ Seq(col(valueCol), col("valid_from"),
         col("valid_to"), col("version"), col("is_current")): _*)
   }
+
+  /** Incremental SCD2 maintenance: absorb an APPEND-ONLY batch of
+    * changes into an existing history (the [[build]] output shape)
+    * without rebuilding untouched keys — the nightly-merge form of the
+    * operator. Proven equal to a from-scratch [[build]] over the
+    * concatenated stream (Scd2Spec + the q153 oracle).
+    *
+    * Per touched key, the open current row is re-expressed as a seed
+    * pseudo-change (its value at its valid_from, tie = Long.MinValue
+    * so it sorts before any real change at the same instant) and
+    * [[build]] runs over seed ∪ batch only; rebuilt version numbers
+    * shift by the key's prior version count. Keys the batch never
+    * mentions — including ALL closed rows, whose intervals append-only
+    * data can't alter — pass through untouched, so the incremental
+    * cost is O(batch + touched keys' current rows), never O(history).
+    * A first-ever change for a key simply has no seed (version offset
+    * 0).
+    *
+    * Contract: batch rows must not precede their key's current
+    * `valid_from` (append-only; late rows older than the open interval
+    * would need the batch twin, a full rebuild). `tieCol` must be a
+    * numeric column (the seed sentinel is Long.MinValue).
+    */
+  def applyChanges(
+      history: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val touched = changes.select(keys: _*).distinct()
+    val open = history.filter(col("is_current"))
+    val openTouched = open.join(touched, keyCols, "left_semi")
+    val seeds = openTouched.select(
+      keys ++ Seq(col("valid_from").as(orderCol),
+        lit(Long.MinValue).as(tieCol), col(valueCol)): _*)
+    val voff = openTouched.select(
+      keys :+ (col("version") - 1).as("__voff"): _*)
+    val rebuilt = build(
+      seeds.unionByName(
+        changes.select(keys ++ Seq(col(orderCol), col(tieCol).cast("long"),
+          col(valueCol)): _*)),
+      keyCols, orderCol, tieCol, valueCol)
+      .join(voff, keyCols, "left")
+      .withColumn("version",
+        col("version") + coalesce(col("__voff"), lit(0L)))
+      .drop("__voff")
+    history.filter(!col("is_current"))
+      .unionByName(open.join(touched, keyCols, "left_anti"))
+      .unionByName(rebuilt)
+  }
 }

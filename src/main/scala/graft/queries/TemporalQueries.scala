@@ -420,6 +420,32 @@ object TemporalQueries {
       .orderBy("event_id")
   }
 
+  /** q153 — incremental SCD2 maintenance
+    * ([[graft.operators.Scd2.applyChanges]]): the q146 history built
+    * from events before Jan 20, then the remaining days absorbed as an
+    * append-only batch — closed rows and untouched keys pass through,
+    * only touched keys' open rows re-enter a window (over seed ∪
+    * batch, never over history). Oracle = the full-rebuild q146 SQL,
+    * proving incremental == from-scratch exactly (current flags,
+    * version numbers, boundary instants included).
+    */
+  def qScd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") / lit(10.0)).as("tier"))
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val hist = graft.operators.Scd2
+      .build(e.filter(col("ts") < cutoff),
+        Seq("user_id", "event_type"), "ts", "event_id", "tier")
+    graft.operators.Scd2
+      .applyChanges(hist, e.filter(col("ts") >= cutoff),
+        Seq("user_id", "event_type"), "ts", "event_id", "tier")
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  // identical full-rebuild truth as q146 (incremental must equal it)
+  val qScd2ApplySql: String = qScd2Sql
+
   val qFeatureSnapshotSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, value,

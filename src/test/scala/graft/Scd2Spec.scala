@@ -71,4 +71,29 @@ class Scd2Spec extends SparkSpecBase {
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, "SCD2 must reuse one hash exchange")
   }
+
+  test("applyChanges equals a from-scratch rebuild") {
+    // 4 keys: k0/k1 change in both halves, k2 only in the base
+    // (untouched pass-through), k3 only in the batch (no seed).
+    // Includes a batch change equal-valued to the open version (must
+    // extend, not re-version) and one at the exact cutoff instant.
+    val all = (1 to 200).map { i =>
+      ("k" + (i % 4), ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, ((i * 31) % 3).toString)
+    }.filterNot { case (k, _, seq, _) => k == "k2" && seq > 100 }
+      .filterNot { case (k, _, seq, _) => k == "k3" && seq <= 100 }
+    val df = all.toDF("k", "at", "seq", "v")
+    val full = Scd2.build(df, Seq("k"), "at", "seq", "v")
+    val base = all.filter(_._3 <= 100).toDF("k", "at", "seq", "v")
+    val batch = all.filter(_._3 > 100).toDF("k", "at", "seq", "v")
+    val incr = Scd2.applyChanges(
+      Scd2.build(base, Seq("k"), "at", "seq", "v"),
+      batch, Seq("k"), "at", "seq", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4),
+        r.getBoolean(5))).toSet
+    assert(canon(incr) === canon(full))
+    assert(canon(incr).nonEmpty)
+  }
 }
