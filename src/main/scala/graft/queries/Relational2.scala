@@ -511,4 +511,76 @@ object Relational2 {
       |SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
       |  CAST(n_orphans AS BIGINT) AS n_orphans, n_orphans = 0 AS ok
       |FROM checks ORDER BY check_name""".stripMargin
+
+  /** q154 — entity resolution end-to-end: the q97 blocked fuzzy pairs
+    * (last-token block, levenshtein ≤ 3 on the distinct-name
+    * vocabulary) closed into clusters by distributed
+    * connected-components ([[graft.operators.GraphOps]]), each cluster
+    * summarized with its golden record — the canonical name by
+    * (row count desc, name desc). Names enter CC as md5-60 ids (the
+    * engine-neutral hash family), so cluster labels = min reachable id
+    * reproduce in SQL; the oracle closes the same pair list with a
+    * recursive CTE. The standard record-linkage pipeline: block →
+    * score → cluster → survivorship, all vocabulary-bounded.
+    */
+  def q154EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    def nid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val pairs = graft.operators.FuzzyJoin.blockedNamePairs(
+      Tables.part(spark, dir), "p_name",
+      name => regexp_extract(name, "(\\S+)$", 1), maxDist = 3)
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("id", nid(col("name")))
+    val comps = graft.operators.GraphOps.connectedComponents(
+      spark,
+      pairs.select(nid(col("name_a")).as("id_a"),
+        nid(col("name_b")).as("id_b")),
+      "id_a", "id_b", nodes = Some(names.select(col("id"))))
+    comps.join(names, "id")
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_names"),
+        sum("n_rows").as("total_rows"),
+        max(struct(col("n_rows"), col("name"))).getField("name")
+          .as("canonical"))
+      .orderBy("cluster")
+  }
+
+  val q154EntityClustersSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, COUNT(*) AS n_rows FROM part GROUP BY 1),
+      |ids AS (
+      |  SELECT name, n_rows,
+      |    ('0x' || substr(md5(name), 1, 15))::BIGINT AS id
+      |  FROM names),
+      |blk AS (
+      |  SELECT name, regexp_extract(name, '(\S+)$', 1) AS b FROM names),
+      |pr AS (
+      |  SELECT ia.id AS id_a, ib.id AS id_b
+      |  FROM blk a JOIN blk b ON a.b = b.b AND a.name < b.name
+      |  JOIN ids ia ON ia.name = a.name
+      |  JOIN ids ib ON ib.name = b.name
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pr
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM pr),
+      |reach AS (
+      |  SELECT id, id AS comp FROM ids
+      |  UNION
+      |  SELECT e.dst AS id, r.comp
+      |  FROM reach r JOIN edges e ON e.src = r.id
+      |  WHERE r.comp < e.dst),
+      |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |joined AS (
+      |  SELECT c.comp AS cluster, i.name, i.n_rows
+      |  FROM comps c JOIN ids i USING (id)),
+      |ranked AS (
+      |  SELECT cluster, name, n_rows, ROW_NUMBER() OVER (
+      |    PARTITION BY cluster ORDER BY n_rows DESC, name DESC) AS rn
+      |  FROM joined)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_names,
+      |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+      |  MAX(CASE WHEN rn = 1 THEN name END) AS canonical
+      |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin
 }
