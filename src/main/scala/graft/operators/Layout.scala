@@ -65,10 +65,11 @@ object Layout {
     * pure window arithmetic: one hash exchange on the partition
     * column, one sort, zero joins — O(manifest), never O(data), which
     * is what makes re-planning a 100 TB table's compaction a
-    * sub-second driver job. A file larger than `targetBytes` advances
-    * the cumulative offset past one or more bin boundaries and so
-    * lands alone (oversized files are their own bins, like Delta
-    * OPTIMIZE skipping already-large files).
+    * sub-second driver job. A file larger than `targetBytes` joins
+    * whatever bin its cumulative offset falls in (possibly alongside
+    * small predecessors — exactly like Spark's scan coalescing when a
+    * file exceeds `maxPartitionBytes`) and advances the offset past
+    * one or more boundaries, so the FOLLOWING files open a fresh bin.
     *
     * Every quantity is integer (BIGINT sums, integer division), so a
     * SQL engine reproduces the plan bit-for-bit.

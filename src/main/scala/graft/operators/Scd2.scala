@@ -49,12 +49,13 @@ object Scd2 {
       // null-safe: a genuine null value is a version too, but a
       // null→null run is still one version
       .filter(col("__first") || !(col(valueCol) <=> col("__prev")))
-    val byStart = Window.partitionBy(keys: _*)
-      .orderBy(col(orderCol), col(tieCol))
+    // the compression filter preserves (orderCol, tieCol) order, so
+    // the SAME window spec drives the interval pass — one exchange,
+    // one sort, reused
     compressed
       .withColumn("valid_from", col(orderCol))
-      .withColumn("valid_to", lead(col(orderCol), 1).over(byStart))
-      .withColumn("version", row_number().over(byStart).cast("long"))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(ordered))
+      .withColumn("version", row_number().over(ordered).cast("long"))
       .withColumn("is_current", col("valid_to").isNull)
       .select(keys ++ Seq(col(valueCol), col("valid_from"),
         col("valid_to"), col("version"), col("is_current")): _*)
@@ -77,10 +78,17 @@ object Scd2 {
     * A first-ever change for a key simply has no seed (version offset
     * 0).
     *
-    * Contract: batch rows must not precede their key's current
-    * `valid_from` (append-only; late rows older than the open interval
-    * would need the batch twin, a full rebuild). `tieCol` must be a
-    * numeric column (the seed sentinel is Long.MinValue).
+    * Contract — STRICTLY append-only: every batch row must be
+    * at-or-after its key's LAST OBSERVED event (ts, tie) from the
+    * stream the history was built over — not merely after the open
+    * row's `valid_from`. Run compression discards same-value events,
+    * so the history does not even retain the last event's timestamp; a
+    * batch row landing between the open row's start and a
+    * compressed-away later event silently diverges from a full
+    * rebuild. The guarantee must come from the ingest (time-partitioned
+    * arrival, as in q153's cutoff split); when late data is possible,
+    * rebuild with [[build]]. `tieCol` must be a numeric column (the
+    * seed sentinel is Long.MinValue).
     */
   def applyChanges(
       history: DataFrame,
@@ -90,8 +98,12 @@ object Scd2 {
       tieCol: String,
       valueCol: String): DataFrame = {
     val keys = keyCols.map(col)
-    val touched = changes.select(keys: _*).distinct()
-    val open = history.filter(col("is_current"))
+    // both small frames (one row per touched/open key) are referenced
+    // by several branches below; materialize so `history` — often an
+    // expensive pipeline in stateless benches — is evaluated twice
+    // (open + closed filters), not once per downstream reference
+    val touched = changes.select(keys: _*).distinct().localCheckpoint(true)
+    val open = history.filter(col("is_current")).localCheckpoint(true)
     val openTouched = open.join(touched, keyCols, "left_semi")
     val seeds = openTouched.select(
       keys ++ Seq(col("valid_from").as(orderCol),

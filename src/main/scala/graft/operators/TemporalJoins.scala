@@ -313,14 +313,17 @@ object TemporalJoins {
         s"sequence($s div ${bucketMicros}L, ($e - 1) div ${bucketMicros}L)")))
     val lb = buckets(left, leftStart, leftEnd).as("l")
     val rb = buckets(right, rightStart, rightEnd).as("r")
+    // all ts references alias-qualified: the two frames may legally use
+    // the SAME column names for their bounds (unqualified refs would be
+    // ambiguous the moment leftStart == rightStart)
+    val (ls, le) = (col(s"l.$leftStart"), col(s"l.$leftEnd"))
+    val (rs, re) = (col(s"r.$rightStart"), col(s"r.$rightEnd"))
     lb.join(rb,
         col("l.__bk") === col("r.__bk") &&
-          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
+          ls < re && rs < le &&
           col("l.__bk") ===
-            expr(s"greatest($leftStart, $rightStart) div ${bucketMicros}L"))
-      .withColumn("overlap_micros",
-        least(col(leftEnd), col(rightEnd)) -
-          greatest(col(leftStart), col(rightStart)))
+            expr(s"greatest(l.$leftStart, r.$rightStart) div ${bucketMicros}L"))
+      .withColumn("overlap_micros", least(le, re) - greatest(ls, rs))
       .drop("__bk")
   }
 }

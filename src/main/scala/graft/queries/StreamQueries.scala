@@ -171,14 +171,9 @@ object StreamQueries {
     * engine-internal, like q25).
     */
   def qStatefulNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // single scan (explode copies), not a two-branch union that would
-    // read the text column once per branch
-    val corpus = Tables.documents(spark, dir)
-      .select(explode(when(col("doc_id") % 7 === 0,
-          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L))))
-          .as("__off"),
-        col("doc_id"), col("text"))
-      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"))
+    val corpus = Tables
+      .withIdCopies(Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", 7, 1000000L)
       .withColumn("ts",
         timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
     graft.streaming.StreamNearDup

@@ -3,6 +3,7 @@ package graft.queries
 import graft.operators.TemporalJoins
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal-join queries over the `events` table: as-of enrichment and
@@ -385,14 +386,28 @@ object TemporalQueries {
     */
   def qFeatureSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // feature sides deduped to one row per (user, instant), keeping the
+    // max event id: the as-of equal-ts winner and DuckDB's ASOF
+    // tie-break are each deterministic-but-arbitrary, so a duplicate
+    // (user_id, ts) in the data would otherwise hash-flake; the same
+    // QUALIFY rule pins the oracle
+    def latestPerInstant(df: DataFrame, idCol: String) = {
+      val w = Window.partitionBy("user_id", "ts").orderBy(col(idCol).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("value").as("purchase_value"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
-        col("value"))
-    val views = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val clicks = latestPerInstant(
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value")),
+      "click_id")
+    val views = latestPerInstant(
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts")),
+      "view_id")
     val hour = 3600L * 1000000
     val withClick = TemporalJoins
       .asOfJoinBucketed(purchases, clicks.drop("value"), "user_id",
@@ -434,9 +449,13 @@ object TemporalQueries {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
         floor(col("value") / lit(10.0)).as("tier"))
     val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    // "yesterday's persisted table", materialized once (the stateless-
+    // bench q142 pattern): applyChanges filters it twice (open/closed)
+    // and each filter would otherwise re-run the whole window build
     val hist = graft.operators.Scd2
       .build(e.filter(col("ts") < cutoff),
         Seq("user_id", "event_type"), "ts", "event_id", "tier")
+      .localCheckpoint(true)
     graft.operators.Scd2
       .applyChanges(hist, e.filter(col("ts") >= cutoff),
         Seq("user_id", "event_type"), "ts", "event_id", "tier")
@@ -452,8 +471,12 @@ object TemporalQueries {
       |    date_trunc('microseconds', ts) AS ts
       |  FROM events),
       |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-      |c AS (SELECT * FROM e WHERE event_type = 'click'),
-      |v AS (SELECT * FROM e WHERE event_type = 'view'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'
+      |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) = 1),
+      |v AS (SELECT * FROM e WHERE event_type = 'view'
+      |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |        ORDER BY event_id DESC) = 1),
       |base AS (
       |  SELECT p.event_id, p.user_id, p.ts,
       |    p.value AS purchase_value, c.event_id AS last_click_id,

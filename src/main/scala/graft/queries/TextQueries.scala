@@ -599,15 +599,8 @@ object TextQueries {
     * projections.
     */
   def qCorpusPrepare(spark: SparkSession, dir: String): DataFrame = {
-    // single scan (explode copies) — see corpusWithCopies
-    val corpus = Tables.documents(spark, dir)
-      .select(explode(when(col("doc_id") % 5 === 0,
-          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L))))
-          .as("__off"),
-        col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
-      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars"))
+    val corpus =
+      Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 5, 1000000L)
     val keep = corpus
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -859,21 +852,12 @@ object TextQueries {
     * with its fast FNV kernel. Only band-equal signatures meet in the
     * join (cost ∝ Σ bucket², never O(n²)).
     */
-  /** The docs∪copies corpus q36/q38 near-dup over. Built as a single
-    * scan — each row explodes into itself plus (doc_id % 7 = 0) its
-    * +1e6 copy; the equivalent unionByName form reads the parquet
-    * (including the wide text column) TWICE, one scan per branch,
-    * which taxed every consumer of this corpus (~0.5s each at sf0.1).
+  /** The docs∪copies corpus q36/q38 near-dup over — single-scan
+    * ([[Tables.withIdCopies]]; a union form read the text column once
+    * per branch, ~0.5s tax per consumer at sf0.1).
     */
   private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(when(col("doc_id") % 7 === 0,
-          array(lit(0L), lit(1000000L))).otherwise(array(lit(0L))))
-          .as("__off"),
-        col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
-      .select((col("doc_id") + col("__off")).as("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars"))
+    Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 7, 1000000L)
 
   /** md5-minhash signatures (doc_id, sig array<string>), materialized
     * once: q36/q38 reference this frame on both band-join sides and

@@ -36,8 +36,8 @@ object StreamScd2 {
       tie: Long,
       value: String
   )
-  /** `value` may be null (a null attribute is a version too); `defined`
-    * distinguishes "no state yet" never being encoded. */
+  /** `value` may be null (a null attribute is a version too);
+    * "no state yet" is `state.getOption == None`, never an encoded St. */
   final case class St(value: String, fromMicros: Long, version: Int)
   final case class Closed(
       key: String,

@@ -47,4 +47,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
+
+  /** Append an id-shifted copy of every `mod`-th row in a SINGLE scan:
+    * each row explodes into itself plus (id % mod == 0) a copy at
+    * id + offset. The equivalent two-branch union reads the parquet —
+    * wide text column included — once per branch. Shared by the
+    * near-dup bench corpora (exact duplicates with known ids).
+    */
+  def withIdCopies(
+      df: DataFrame,
+      idCol: String,
+      mod: Int,
+      offset: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rest = df.columns.filterNot(_ == idCol).map(col)
+    df.select(explode(when(col(idCol) % mod === 0,
+          array(lit(0L), lit(offset))).otherwise(array(lit(0L))))
+        .as("__off") +: df.columns.map(col): _*)
+      .select((col(idCol) + col("__off")).as(idCol) +: rest: _*)
+  }
 }

@@ -249,6 +249,16 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got.toSet === expected)
   }
 
+  test("intervalOverlapJoin works when both sides share column names") {
+    val l = Seq((1L, 0L, 100L), (2L, 500L, 600L)).toDF("lid", "s", "e")
+    val r = Seq((10L, 50L, 80L), (20L, 900L, 950L)).toDF("rid", "s", "e")
+    val got = graft.operators.TemporalJoins
+      .intervalOverlapJoin(l, r, "s", "e", "s", "e", 100L)
+      .select("lid", "rid", "overlap_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L, 30L)))
+  }
+
   test("intervalOverlapJoin: touching half-open intervals do NOT pair") {
     val l = Seq((1L, 0L, 100L)).toDF("lid", "ls", "le")
     val r = Seq((1L, 100L, 200L), (2L, 99L, 200L), (3L, 200L, 200L))
