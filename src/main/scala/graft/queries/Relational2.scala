@@ -583,4 +583,80 @@ object Relational2 {
       |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
       |  MAX(CASE WHEN rn = 1 THEN name END) AS canonical
       |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** q155 — robust outlier detection (median/MAD, the
+    * moment-free complement of q76's z-scores): per event type, the
+    * exact median, the median absolute deviation, and the count of
+    * values beyond 3·1.4826·MAD (the normal-consistent robust
+    * z-threshold). Medians use the q67 VALUE-HISTOGRAM discipline —
+    * aggregate counts per (type, value), pick the order statistic
+    * from cumulative counts — so nothing windows over raw rows and
+    * the shuffle is ≤ |types|·|distinct values| at any scale; the
+    * per-type medians/MADs broadcast back. Lower-rank convention (no
+    * interpolation) keeps every quantity an exact input value, so the
+    * oracle reproduces it bit-for-bit.
+    */
+  def q155RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    def medianOf(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val counts = df.groupBy(col("event_type"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("v")
+      val wAll = Window.partitionBy("event_type")
+      val k = ceil(col("n") * 0.5)
+      counts
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy("event_type")
+        .agg(max(when(col("cum") - col("c") < k && k <= col("cum"),
+          col("v"))).as(outCol))
+    }
+    val med = medianOf(e, "value", "median_value")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("median_value")))
+    val mad = medianOf(dev.select(col("event_type"), col("dev")),
+      "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("median_value")).as("median_value"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q155RobustOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |r1 AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med
+      |  FROM r1 GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS dev
+      |  FROM e JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT event_type, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM d),
+      |mad AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN dev END) AS mad
+      |  FROM r2 GROUP BY event_type)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MAX(d.med) AS median_value, MAX(mm.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > 3.0 * 1.4826 * mm.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad mm USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 }
