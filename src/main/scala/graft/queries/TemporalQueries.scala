@@ -465,6 +465,70 @@ object TemporalQueries {
   // identical full-rebuild truth as q146 (incremental must equal it)
   val qScd2ApplySql: String = qScd2Sql
 
+  /** q156 — point-in-time SCD2 lookup, the query side of the
+    * q146/q150/q153 history lifecycle: each purchase reads the user's
+    * CLICK-tier dimension version valid at the purchase instant.
+    * Because SCD2 intervals tile each key's timeline, "the version
+    * with valid_from ≤ t < valid_to" IS "the latest valid_from ≤ t",
+    * so the lookup runs as the hot-key-safe bucketed as-of join
+    * ([[TemporalJoins.asOfJoinBucketed]]) against version-open rows —
+    * no interval predicate, no range explosion. The oracle joins the
+    * same history CTE with the explicit half-open interval condition,
+    * proving the equivalence. ((user, ts) is unique in the click
+    * stream, so intervals are never zero-length and the match is
+    * deterministic.)
+    */
+  def qScd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hist = graft.operators.Scd2
+      .build(e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") / lit(10.0)).as("tier")),
+        Seq("user_id"), "ts", "event_id", "tier")
+      .select(col("user_id"), col("tier"), col("valid_from"),
+        col("version"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    TemporalJoins
+      .asOfJoinBucketed(purchases, hist.withColumnRenamed("valid_from", "ts"),
+        "user_id", "ts", "ts", bucketMicros = 24L * 3600 * 1000000)
+      .select(col("event_id"), col("user_id"),
+        col("asof.tier").as("tier_at_purchase"),
+        col("asof.version").as("tier_version"))
+      .orderBy("event_id")
+  }
+
+  val qScd2LookupSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
+      |    CAST(floor(value / 10) AS BIGINT) AS tier
+      |  FROM events WHERE event_type = 'click'),
+      |o AS (
+      |  SELECT *,
+      |    LAG(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS pv,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM c),
+      |ch AS (
+      |  SELECT user_id, tier, ts AS valid_from, event_id
+      |  FROM o WHERE rn = 1 OR tier IS DISTINCT FROM pv),
+      |hist AS (
+      |  SELECT user_id, tier, valid_from,
+      |    LEAD(valid_from) OVER w AS valid_to,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)),
+      |p AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  h.tier AS tier_at_purchase, h.version AS tier_version
+      |FROM p LEFT JOIN hist h
+      |  ON h.user_id = p.user_id AND p.ts >= h.valid_from
+      | AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+      |ORDER BY event_id""".stripMargin
+
   val qFeatureSnapshotSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, value,
