@@ -529,6 +529,22 @@ object TemporalQueries {
       | AND (h.valid_to IS NULL OR p.ts < h.valid_to)
       |ORDER BY event_id""".stripMargin
 
+  /** q157 — the streaming feature operator
+    * ([[graft.streaming.StreamFeatures.featureSnapshots]]) executed in
+    * batch mode: every purchase with the user's state-maintained
+    * features at that instant. Oracle = the q151 SQL — the state
+    * machine must agree with the three-way batch join row-for-row,
+    * and StreamingSpec separately proves micro-batched replay emits
+    * the identical set.
+    */
+  def qStreamFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamFeatures
+      .featureSnapshots(Tables.events(spark, dir)
+          .select("user_id", "event_id", "event_type", "ts", "value"),
+        "user_id", "event_id", "event_type", "ts", "value")
+      .toDF()
+      .orderBy("event_id")
+
   val qFeatureSnapshotSql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, value,
@@ -559,4 +575,8 @@ object TemporalQueries {
       |    AS n_clicks_10m
       |FROM base2 b
       |ORDER BY event_id""".stripMargin
+
+  // declared AFTER qFeatureSnapshotSql (object vals initialize in
+  // order; a forward reference would read null)
+  val qStreamFeaturesSql: String = qFeatureSnapshotSql
 }

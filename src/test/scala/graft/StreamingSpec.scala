@@ -383,6 +383,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(stateful === viaWindow)
   }
 
+  test("streaming feature snapshots equal the batch q151 join") {
+    import graft.streaming.StreamFeatures
+    val batch = graft.queries.TemporalQueries
+      .qFeatureSnapshot(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6))).toSet
+
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "event_type", "ts", "value")
+    val dir = Files.createTempDirectory("stream-feat").toString
+    val mm = events.agg(min(col("ts")), max(col("ts"))).head()
+    val (lo, hi) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    def cut(ms: Long) = timestamp_millis(lit(ms))
+    Seq(
+      events.filter(col("ts") <= cut(t1)),
+      events.filter(col("ts") > cut(t1) && col("ts") <= cut(t2)),
+      events.filter(col("ts") > cut(t2))
+    ).zipWithIndex.foreach { case (wave, i) =>
+      wave.coalesce(1).write.mode("overwrite").parquet(f"$dir/wave-$i%03d")
+    }
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/wave-*")
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      StreamFeatures.featureSnapshots(stream, "user_id", "event_id",
+        "event_type", "ts", "value").toDF(),
+      "feat_stream_test")
+    val got = streamed.collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("purchase_value"),
+        Option(r.get(r.fieldIndex("last_click_id")))
+          .map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("micros_since_click")))
+          .map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("last_view_id")))
+          .map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_clicks_10m"))).toSet
+    assert(got.nonEmpty)
+    assert(got === batch)
+  }
+
   test("streaming SCD2 closed intervals equal the batch history") {
     import graft.streaming.StreamScd2
     val changes = Tables.events(spark, "/root/testdata/sf0.001")
