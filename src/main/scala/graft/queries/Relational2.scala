@@ -659,4 +659,65 @@ object Relational2 {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM d JOIN mad mm USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** q158 — grouped trend regression: per event type, the exact OLS
+    * slope/intercept of value against time. The sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) aggregate as DECIMALs — exact integer-
+    * scaled arithmetic, so partial-aggregation order can't perturb
+    * them — over x = seconds since 2024-01-01 (bounding Σx² so
+    * n·Σx² fits DECIMAL(38)); only the final closed-form division
+    * runs in doubles, as the identical IEEE expression on both
+    * engines. The moment discipline of q76 applied to regression:
+    * grouped model fitting as ONE map-side-combinable aggregate —
+    * no per-key iteration, no driver state, any number of groups.
+    */
+  def q158GroupedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val epoch0 = 1704067200L // 2024-01-01T00:00:00Z
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        // integer seconds since 2024-01-01: pure long `div`, then one
+        // cast — no fractional intermediate
+        (expr("unix_micros(ts) div 1000000") - lit(epoch0))
+          .cast("decimal(18,0)").as("x"),
+        col("value").cast("decimal(28,6)").as("y"))
+    val agg = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    agg
+      .withColumn("slope", num / den)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / nD)
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+      .orderBy("event_type")
+  }
+
+  val q158GroupedTrendSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(date_trunc('microseconds', ts)) // 1000000
+      |      - 1704067200 AS DECIMAL(18,0)) AS x,
+      |    CAST(value AS DECIMAL(28,6)) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM a ORDER BY event_type""".stripMargin
 }
