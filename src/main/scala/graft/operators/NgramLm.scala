@@ -59,4 +59,55 @@ object NgramLm {
         col("c_bigram").cast("double") / col("c_w1").cast("double"))
       .select("w1", "w2", "c_bigram", "c_w1", "p_cond")
   }
+
+  /** Per-document bigram perplexity under a [[bigramCounts]] LM — the
+    * CCNet-style quality filter: documents whose token transitions the
+    * corpus LM finds improbable (boilerplate, lorem-garbage, wrong
+    * language) score high and get culled; repetitive text scores near
+    * 1. Add-α smoothing over a V-word vocabulary:
+    * p(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), so unseen bigrams and
+    * unseen contexts degrade gracefully to ~1/V instead of zeroing the
+    * product. ppl = exp(−Σ ln p / n).
+    *
+    * Scale shape: doc bigrams explode from the same kernel pass as the
+    * LM build, LEFT-join the (w1, w2) count table and the per-w1
+    * denominator (both map-side-combinable aggregates of the corpus,
+    * joined by key — the LM never collects to the driver, so it may be
+    * arbitrarily large), then ONE regroup by document sums the
+    * log-probabilities. Transcendental ln/exp → no SQL oracle
+    * (engine libm rounding differs); NgramLmSpec pins exact values
+    * against the same-JVM reference formula.
+    */
+  def perplexity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      grams: (Column, Int) => Column,
+      lm: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be positive for smoothing")
+    val pairs = docs
+      .select(col(idCol).as("__id"),
+        explode(grams(col(textCol), 2)).as("bg"))
+      .filter(col("bg").contains(" "))
+      .select(col("__id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val denom = lm.groupBy("w1").agg(max(col("c_w1")).as("c_ctx"))
+    // vocabulary size for the smoothing mass: distinct CONTINUATION
+    // words in the LM (a single scalar, broadcast by crossJoin)
+    val vocab = lm.select(countDistinct(col("w2")).as("v"))
+    pairs
+      .join(lm.select(col("w1"), col("w2"), col("c_bigram")),
+        Seq("w1", "w2"), "left")
+      .join(denom, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        (coalesce(col("c_bigram"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("c_ctx"), lit(0L)).cast("double") +
+            lit(alpha) * col("v").cast("double")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-sum(log(col("__p"))) / count(lit(1))).as("ppl"))
+  }
 }

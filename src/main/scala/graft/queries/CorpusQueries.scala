@@ -635,4 +635,23 @@ object CorpusQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
       |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
       |FROM m GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  /** q159 — per-document perplexity under the q109 bigram LM
+    * ([[graft.operators.NgramLm.perplexity]]): the CCNet-style quality
+    * filter — the corpus's own transition model scores every document,
+    * and improbable-transition docs (boilerplate, wrong-language,
+    * garbage) surface with high ppl. Add-0.5 smoothing; the LM stays
+    * distributed (two keyed joins, one regroup — never collected).
+    * Transcendental ln/exp → rows-only gate; NgramLmSpec pins exact
+    * same-JVM values and the repetitive-beats-random ordering.
+    */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lm = graft.operators.NgramLm.bigramCounts(
+      docs, "text", (c, n) => wordNgramsKernel(c, n), minCount = 3L)
+    graft.operators.NgramLm
+      .perplexity(docs, "doc_id", "text",
+        (c, n) => wordNgramsKernel(c, n), lm)
+      .orderBy("doc_id")
+  }
 }

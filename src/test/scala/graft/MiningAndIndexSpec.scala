@@ -65,6 +65,51 @@ class MiningAndIndexSpec extends SparkSpecBase {
     ))
   }
 
+  test("perplexity matches the reference formula and orders by fluency") {
+    // LM corpus: "a b" dominates; doc 10 repeats the likely bigram,
+    // doc 11 is the rare transition, doc 12 has unseen tokens
+    val corpus = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a c")
+    ).toDF("doc_id", "text")
+    val lm = NgramLm.bigramCounts(corpus, "text",
+      (c, n) => TextFunctions.wordNgramsKernel(c, n), minCount = 1L)
+    val score = Seq(
+      (10L, "a b a b"),
+      (11L, "a c a c"),
+      (12L, "x y x y")
+    ).toDF("doc_id", "text")
+    val got = NgramLm.perplexity(score, "doc_id", "text",
+        (c, n) => TextFunctions.wordNgramsKernel(c, n), lm)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference formula, same JVM: p = (c+0.5)/(c_ctx+0.5*V), V = 3
+    // distinct continuations (b, a, c); corpus counts: (a,b)=5 (b,a)=4
+    // (a,c)=1; c_a=6, c_b=4, c_c=1 (from "c a"? no: corpus bigrams of
+    // doc2: (a,b)(b,a)(a,c) → c starts nothing → unseen context)
+    val V = 3.0
+    def p(c: Long, ctx: Long) = (c + 0.5) / (ctx + 0.5 * V)
+    def ppl(ps: Seq[Double]) =
+      math.exp(-ps.map(math.log).sum / ps.length)
+    // partial-aggregation order can shift the log sum by an ulp;
+    // compare to 1e-12 relative
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-12 * b
+    assert(got(10L)._1 === 3L)
+    assert(close(got(10L)._2, ppl(Seq(p(5, 6), p(4, 4), p(5, 6)))))
+    // doc 11: (a,c)=1 of 6, (c,a) unseen context → 0.5/(0+1.5)
+    assert(close(got(11L)._2,
+      ppl(Seq(p(1, 6), 0.5 / (0 + 0.5 * V), p(1, 6)))))
+    // doc 12: all unseen
+    assert(close(got(12L)._2, ppl(Seq.fill(3)(0.5 / (0.5 * V)))))
+    // fluent text beats both degenerate docs; note all-unseen floors
+    // at exactly V (uniform 1/V per step) while a rare-but-seen
+    // transition chain can score WORSE than uniform — smoothing is
+    // generous to total novelty by design
+    assert(got(10L)._2 < got(11L)._2)
+    assert(got(10L)._2 < got(12L)._2)
+    assert(close(got(12L)._2, V))
+  }
+
   // ---- Mining -----------------------------------------------------------
 
   test("hardNegatives anti-joins relevance and re-ranks survivors") {
