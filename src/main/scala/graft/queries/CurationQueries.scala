@@ -621,4 +621,66 @@ object CurationQueries {
       |  ANY_VALUE(m.mad) AS mad
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** q160 — classifier calibration against the rule battery: the q136
+    * hashing-trick scores bucketed into width-5 bins, each bin
+    * reporting how often the q119 Gopher rules agree ("keep" rate) —
+    * the reliability table that tells a pipeline operator whether a
+    * learned filter's score actually orders quality before they trust
+    * a threshold. Every quantity is integer (counts) or an exact
+    * integer-ratio double; floor(score/5.0) is exact at bin
+    * boundaries (multiples of 5 divide exactly in binary), so the
+    * whole table is oracle-reproducible.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scores = docs
+      .select(col("doc_id"),
+        graft.operators.QualityClassifier.score(col("text")).as("s"))
+      .select(col("doc_id"), col("s._2").as("score"))
+    val labels = QualityRules
+      .withQualityRules(docs.select(col("doc_id"), col("text")), "text",
+        minWords = 30L, maxWords = 100000L, stopwords = CorpusStop)
+      .select(col("doc_id"), col("keep"))
+    scores.join(labels, "doc_id")
+      .withColumn("bin", floor(col("score") / lit(5.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_rule_keep"))
+      .withColumn("rule_rate",
+        col("n_rule_keep").cast("double") / col("n").cast("double"))
+      .orderBy("bin")
+  }
+
+  // assembled from the two proven oracles: q119's rule battery as a
+  // CTE (ORDER BY stripped) + q136's scoring CTEs
+  val qCalibrationSql: String = {
+    val rules = qGopherRulesSql.replace(
+      "FROM documents ORDER BY doc_id", "FROM documents")
+    s"""WITH rules AS ($rules),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+       |    AS term
+       |  FROM documents WHERE trim(text) <> ''),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(
+       |      ('0x' || substr(md5('w:' || CAST(
+       |         ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS VARCHAR)),
+       |       1, 8))::BIGINT % 21 - 10) AS BIGINT) AS score
+       |  FROM toks GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, COALESCE(s.score, 0) AS score
+       |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+       |j AS (
+       |  SELECT sc.score, r.keep FROM sc
+       |  JOIN rules r ON sc.doc_id = r.doc_id)
+       |SELECT CAST(floor(score / 5.0) AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rule_keep,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS rule_rate
+       |FROM j GROUP BY 1 ORDER BY bin""".stripMargin
+  }
 }
