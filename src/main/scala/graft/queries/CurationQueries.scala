@@ -683,4 +683,36 @@ object CurationQueries {
        |    / CAST(COUNT(*) AS DOUBLE) AS rule_rate
        |FROM j GROUP BY 1 ORDER BY bin""".stripMargin
   }
+
+  /** q161 — unigram-LM vocabulary induction
+    * ([[graft.operators.UnigramLm.train]]): the SentencePiece-style EM
+    * trainer over the corpus word dictionary — substring seed, Viterbi
+    * E-step (distributed kernel pass, vocab broadcast), count M-step,
+    * quartile pruning with unconditional single-char coverage.
+    * Rows-only gate like the q127 BPE trainer (iterative EM with
+    * transcendental log-probs); UnigramLmSpec pins the distributed
+    * trainer against an independent single-machine reference.
+    */
+  def qUnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm
+      .train(Tables.documents(spark, dir).select(col("text")), "text",
+        maxPieceLen = 5, seedMinCount = 5L, targetSize = 60,
+        emRounds = 3)
+      .orderBy("rank")
+
+  /** q162 — unigram encode (the inference twin, like q139 for BPE):
+    * every document segmented under the q161 vocabulary. Rows-only;
+    * the spec pins losslessness and determinism.
+    */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = graft.operators.UnigramLm
+      .train(docs.select(col("text")), "text", maxPieceLen = 5,
+        seedMinCount = 5L, targetSize = 60, emRounds = 3)
+    graft.operators.UnigramLm
+      .encode(docs, "doc_id", "text", vocab, maxPieceLen = 5)
+      .select(col("doc_id"), col("n_pieces"),
+        concat_ws(" ", col("pieces")).as("segmented"))
+      .orderBy("doc_id")
+  }
 }
