@@ -154,4 +154,36 @@ object DeidQueries {
         .as("fake_ref")
     )
   }
+
+  /** q163 — k-anonymity / l-diversity audit: the measurable gate on
+    * the de-identification story (F1-F14 scrub, then PROVE the
+    * release is safe). Quasi-identifiers (nation, market segment,
+    * phone country code) partition customers into equivalence
+    * classes; each class reports its size k, the diversity l of the
+    * sensitive attribute (account-balance thousands bucket), and the
+    * k≥5 ∧ l≥2 verdict. ONE aggregate over the release — map-side
+    * combinable, any number of classes; re-identification risk =
+    * 1/k per class, auditable before any data leaves.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("bal_bucket")).as("l"))
+      .withColumn("ok", col("k") >= 5L && col("l") >= 2L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val qKAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS k,
+      |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+      |    AS BIGINT) AS l,
+      |  (COUNT(*) >= 5 AND
+      |   COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 2)
+      |    AS ok
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }
