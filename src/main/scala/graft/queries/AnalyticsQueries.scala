@@ -226,4 +226,74 @@ object AnalyticsQueries {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
       |FROM daily
       |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q164 — CUSUM change-point detection per event type: daily mean
+    * values, cumulative sum of deviations from the type's overall
+    * mean, and the day where |CUSUM| peaks — the standard
+    * drift-localization statistic (WHERE did the level shift, which
+    * the q? drift detectors' did-it-shift answer doesn't give).
+    * Deviations and their cumulative sums stay DECIMAL-exact (the
+    * partial-agg discipline); only the reported statistics cast to
+    * double. The corpus-sized work is ONE daily aggregate; the CUSUM
+    * window runs over the bounded (type × day) frame, partitioned by
+    * type.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(28, 6))).as("sv"),
+        count(lit(1)).as("n"))
+    val overall = daily.groupBy("event_type")
+      .agg(sum(col("sv")).as("tot"), sum(col("n")).as("tn"))
+    // exact per-day deviation from the overall mean, kept rational:
+    // dev_day = sv - n * tot / tn  →  scale by tn to stay integer-
+    // exact: sdev = sv * tn - n * tot (DECIMAL), cusum = Σ sdev;
+    // reported cusum is the scaled value / tn, one double division
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(overall, "event_type")
+      // counts cast to DECIMAL(10,0): a (28,6)x(10,0) product keeps
+      // scale 6 under the 38-precision cap on BOTH engines, so the
+      // arithmetic stays exact (a (28,6)x(28,6) product would overflow
+      // the cap and round differently per engine)
+      .withColumn("sdev",
+        col("sv") * col("tn").cast(DecimalType(10, 0)) -
+          col("n").cast(DecimalType(10, 0)) * col("tot"))
+      .withColumn("cusum_scaled", sum(col("sdev")).over(wCum))
+    val wAbs = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+    scored
+      .withColumn("rk", row_number().over(wAbs))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        (col("cusum_scaled").cast("double") /
+          col("tn").cast("double")).as("peak_cusum"))
+      .orderBy("event_type")
+  }
+
+  val qCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(28,6))) AS sv, COUNT(*) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY event_type, CAST(ts AS DATE)),
+      |overall AS (
+      |  SELECT event_type, SUM(sv) AS tot, SUM(n) AS tn
+      |  FROM daily GROUP BY event_type),
+      |scored AS (
+      |  SELECT d.event_type, d.day,
+      |    SUM(d.sv * CAST(o.tn AS DECIMAL(10,0))
+      |        - CAST(d.n AS DECIMAL(10,0)) * o.tot)
+      |      OVER (PARTITION BY d.event_type ORDER BY d.day
+      |            ROWS UNBOUNDED PRECEDING) AS cusum_scaled,
+      |    o.tn
+      |  FROM daily d JOIN overall o USING (event_type)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY abs(cusum_scaled) DESC, day) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS change_day,
+      |  CAST(cusum_scaled AS DOUBLE) / CAST(tn AS DOUBLE) AS peak_cusum
+      |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
 }
