@@ -296,4 +296,68 @@ object AnalyticsQueries {
       |SELECT event_type, day AS change_day,
       |  CAST(cusum_scaled AS DOUBLE) / CAST(tn AS DOUBLE) AS peak_cusum
       |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** q167 — two-proportion A/B test over the event stream: users are
+    * assigned by `user_id % 2`, a user converts when they ever fire a
+    * high-value `purchase` event (value > 100 — every user in the
+    * synthetic stream has SOME purchase, which would make both rates
+    * exactly 1 and the pooled variance 0), and the pooled
+    * two-proportion z-score compares
+    * the arms. Everything up to the final z is integer (per-user max,
+    * arm counts); the z itself is a fixed-shape double expression, so
+    * both engines evaluate the identical IEEE operation sequence.
+    * Scale shape: one user-keyed aggregate with map-side partials, one
+    * two-row arm aggregate, one single-row pivot — no joins at all.
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 100.0,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", col("user_id") % 2)
+    val arms = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = arms.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("c"))).as("c0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("c"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      p0.as("p0"), p1.as("p1"),
+      ((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))).as("z"))
+  }
+
+  val qAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 100
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+      |    SUM(conv) AS c
+      |  FROM u GROUP BY user_id % 2),
+      |w AS (
+      |  SELECT
+      |    CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+      |    CAST(MAX(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c0,
+      |    CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+      |    CAST(MAX(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c1
+      |  FROM v)
+      |SELECT n0, c0, n1, c1,
+      |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |  / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |      * (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |         + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS z
+      |FROM w""".stripMargin
 }

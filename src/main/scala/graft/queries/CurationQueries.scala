@@ -715,4 +715,76 @@ object CurationQueries {
         concat_ws(" ", col("pieces")).as("segmented"))
       .orderBy("doc_id")
   }
+
+  /** q165 — CCNet-style boilerplate removal
+    * ([[graft.operators.Boilerplate.flagBoilerplate]]): pages are built
+    * per source with an injected nav header and footer paragraph (the
+    * q120 synthesis pattern); a paragraph is boilerplate when it appears
+    * in ≥ half of its source's pages — so the header/footer are stripped
+    * from EVERY page while unique body paragraphs survive. Distinct from
+    * q120's global first-occurrence dedup: the df-threshold rule drops
+    * all occurrences, which is what kills template text in web corpora.
+    */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val pages = docs
+      .groupBy(col("source"), expr("doc_id div 100").as("grp"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")),
+        "\n\n").as("body"))
+      .select(col("source"), col("grp"),
+        concat_ws("\n\n",
+          concat(col("source"), lit(" nav home about contact")),
+          col("body"),
+          concat(col("source"), lit(" footer copyright terms"))).as("text"))
+      .withColumn("page_id", concat_ws("#", col("source"), col("grp")))
+    graft.operators.Boilerplate
+      .flagBoilerplate(pages, "page_id", "source", "text",
+        minNum = 1L, minDen = 2L)
+      .groupBy(col("id").as("page_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("boiler"), 0L).otherwise(col("plen"))).as("kept_chars"))
+      .orderBy("page_id")
+  }
+
+  val qBoilerplateSql: String =
+    """WITH bodies AS (
+      |  SELECT source, doc_id // 100 AS grp,
+      |         string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS body
+      |  FROM documents GROUP BY source, doc_id // 100),
+      |pages AS (
+      |  SELECT source, source || '#' || CAST(grp AS VARCHAR) AS page_id,
+      |         source || ' nav home about contact' || chr(10)||chr(10) ||
+      |         body || chr(10)||chr(10) ||
+      |         source || ' footer copyright terms' AS text
+      |  FROM bodies),
+      |paras AS (
+      |  SELECT source, page_id, trim(para) AS para
+      |  FROM (SELECT source, page_id,
+      |          unnest(string_split_regex(text, '\n\n')) AS para
+      |        FROM pages)
+      |  WHERE len(trim(para)) > 0),
+      |pdf AS (
+      |  SELECT source, md5(para) AS h,
+      |         count(DISTINCT page_id) AS para_docs
+      |  FROM paras GROUP BY source, md5(para)),
+      |srcn AS (
+      |  SELECT source, count(DISTINCT page_id) AS src_docs
+      |  FROM pages GROUP BY source),
+      |flag AS (
+      |  SELECT p.page_id, len(p.para) AS plen,
+      |         (2 * d.para_docs >= 1 * s.src_docs) AS boiler
+      |  FROM paras p
+      |  JOIN pdf d ON d.source = p.source AND d.h = md5(p.para)
+      |  JOIN srcn s ON s.source = p.source)
+      |SELECT page_id,
+      |  CAST(count(*) AS BIGINT) AS n_paras,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(sum(CASE WHEN boiler THEN 0 ELSE plen END) AS BIGINT)
+      |    AS kept_chars
+      |FROM flag GROUP BY page_id ORDER BY page_id""".stripMargin
 }

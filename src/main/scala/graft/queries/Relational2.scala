@@ -720,4 +720,32 @@ object Relational2 {
       |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
       |    / CAST(n AS DOUBLE) AS intercept
       |FROM a ORDER BY event_type""".stripMargin
+
+  /** q166 — sorted-neighborhood blocking
+    * ([[graft.operators.Blocking.sortedNeighborPairs]]): every customer
+    * paired with its 2 successors in (c_name, c_custkey) order, scored
+    * with exact edit distance — the merge/purge candidate generator that
+    * complements q154's equi-key blocking. The oracle reproduces the
+    * neighborhood with a ROW_NUMBER self-join.
+    */
+  def q166SortedNeighbors(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocking
+      .sortedNeighborPairs(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        "c_name", "c_custkey", window = 3)
+      .select(col("l_id"), col("l_key").as("l_name"),
+        col("r_id"), col("r_key").as("r_name"),
+        levenshtein(col("l_key"), col("r_key")).cast("long").as("dist"))
+      .orderBy("l_id", "r_id")
+
+  val q166SortedNeighborsSql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name,
+      |         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+      |  FROM customer)
+      |SELECT a.c_custkey AS l_id, a.c_name AS l_name,
+      |       b.c_custkey AS r_id, b.c_name AS r_name,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2
+      |ORDER BY l_id, r_id""".stripMargin
 }
