@@ -43,6 +43,9 @@ object Blocking {
     val ranked = spark.createDataFrame(
       base.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
+      // both join sides scan this frame; unmaterialized, the range sort
+      // would run once per scan on top of zipWithIndex's size-count job
+      .localCheckpoint(true)
     val offsets = spark.range(1, window.toLong).select(col("id").as("off"))
     val probes = ranked.crossJoin(broadcast(offsets))
       .select(col("k").as("l_key"), col("id").as("l_id"),

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * EVERY occurrence once the per-source share crosses the threshold, the
   * behaviour web-corpus pipelines (CCNet §3.1) use for template text.
   *
-  * Scale shape: one shuffle to aggregate per-(source, paragraph-hash)
-  * document frequencies with map-side partials; the flagged set is by
-  * construction a small fraction of distinct paragraphs, so it broadcasts
-  * back onto the exploded paragraph stream — the corpus itself is never
-  * re-shuffled. The threshold compares with integer cross-multiplication
+  * Scale shape: the canonical two-pass df algorithm — pass one aggregates
+  * per-(source, paragraph-hash) document frequencies with map-side
+  * partials; the flagged set is by construction a small fraction of
+  * distinct paragraphs, so pass two broadcasts it back onto the exploded
+  * paragraph stream — the corpus itself is never re-shuffled (plan audit:
+  * two text scans plus one column-pruned scan for the per-source doc
+  * counts, which Catalyst strips down to the id/source columns). The
+  * threshold compares with integer cross-multiplication
   * (`minDen * df >= minNum * srcDocs`), so engines never disagree on a
   * float ratio at the boundary.
   */
