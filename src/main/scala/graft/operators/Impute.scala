@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-value repair for feature pipelines: fill nulls with the
+  * per-group exact discrete median of the observed values. The median
+  * follows the repo's value-histogram discipline (aggregate counts per
+  * (group, value), pick the order statistic from cumulative counts) —
+  * the shuffle is bounded by |groups|·|distinct values|, never raw
+  * rows, and the lower-rank convention keeps the fill an exact input
+  * value, so an engine-independent oracle can reproduce it
+  * bit-for-bit. The per-group median frame broadcasts back onto the
+  * stream — imputation itself is shuffle-free.
+  */
+object Impute {
+
+  /** `df` with nulls in `valCol` replaced by the group's median and a
+    * boolean `imputed` flag appended. Groups whose values are ALL null
+    * keep their nulls (flagged imputed, nothing to fill with).
+    */
+  def medianImpute(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+    val wAll = Window.partitionBy(groupCol)
+    val k = ceil(col("n") * 0.5)
+    val med = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(groupCol)
+      .agg(max(when(col("cum") - col("c") < k && k <= col("cum"), col("v")))
+        .as("_med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn("imputed", col(valCol).isNull)
+      .withColumn(valCol, coalesce(col(valCol), col("_med")))
+      .drop("_med")
+  }
+}

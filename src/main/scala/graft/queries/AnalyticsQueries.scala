@@ -360,4 +360,54 @@ object AnalyticsQueries {
       |      * (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
       |         + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS z
       |FROM w""".stripMargin
+
+  /** q169 — per-group median imputation
+    * ([[graft.operators.Impute.medianImpute]]): a deterministic 10%
+    * of event values is knocked out (`event_id % 10`, simulated
+    * sensor dropout — the synthetic stream has no organic nulls) and
+    * refilled with the event type's exact discrete median of the
+    * surviving values. The summary proves the repair: per type, the
+    * imputed count, the fill value, and the decimal-exact post-repair
+    * sum.
+    */
+  def qImpute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 10 === 0, lit(null)).otherwise(col("value"))
+          .as("value"))
+    graft.operators.Impute.medianImpute(e, "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("imputed"), 1L).otherwise(0L)).as("n_imputed"),
+        max(when(col("imputed"), col("value"))).as("imputed_median"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_after"))
+      .orderBy("event_type")
+  }
+
+  val qImputeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |r1 AS (
+      |  SELECT event_type, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e WHERE v IS NOT NULL),
+      |med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.5) THEN v END) AS med
+      |  FROM r1 GROUP BY event_type),
+      |f AS (
+      |  SELECT e.event_type, COALESCE(e.v, m.med) AS v2,
+      |    e.v IS NULL AS imputed, m.med
+      |  FROM e JOIN med m USING (event_type))
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_imputed,
+      |  MAX(CASE WHEN imputed THEN v2 END) AS imputed_median,
+      |  CAST(SUM(CAST(v2 AS DECIMAL(28,6))) AS DOUBLE) AS sum_after
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -748,4 +748,38 @@ object Relational2 {
       |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
       |FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2
       |ORDER BY l_id, r_id""".stripMargin
+
+  /** q168 — skyline ([[graft.operators.Skyline.skyline]]): customers on
+    * the Pareto frontier of (account balance, lifetime spend) — no
+    * other customer is at least as good on both and strictly better on
+    * one. Spend is a decimal sum cast to double at the edge, so the
+    * dominance comparisons see identical values on both engines; the
+    * oracle is the textbook NOT EXISTS dominance query (quadratic —
+    * exactly what the two-phase operator avoids).
+    */
+  def q168Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    val c = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("spend"))
+    graft.operators.Skyline.skyline(c, Seq("c_acctbal", "spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q168SkylineSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS spend
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_name, c_acctbal)
+      |SELECT c_custkey, c_name, c_acctbal, spend FROM c a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM c b
+      |  WHERE b.c_acctbal >= a.c_acctbal AND b.spend >= a.spend
+      |    AND (b.c_acctbal > a.c_acctbal OR b.spend > a.spend))
+      |ORDER BY c_custkey""".stripMargin
 }
