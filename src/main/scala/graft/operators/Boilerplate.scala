@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: the canonical two-pass df algorithm — pass one aggregates
   * per-(source, paragraph-hash) document frequencies with map-side
   * partials; the flagged set is by construction a small fraction of
-  * distinct paragraphs, so pass two broadcasts it back onto the exploded
-  * paragraph stream — the corpus itself is never re-shuffled (plan audit:
+  * distinct paragraphs, so pass two joins it back onto the exploded
+  * paragraph stream — AQE broadcasts it at realistic sizes, and the
+  * corpus itself is never re-shuffled (plan audit:
   * two text scans plus one column-pruned scan for the per-source doc
   * counts, which Catalyst strips down to the id/source columns). The
   * threshold compares with integer cross-multiplication
@@ -55,8 +56,13 @@ object Boilerplate {
     val flagged = df
       .join(broadcast(srcDocs), "source")
       .filter(lit(minDen) * col("para_docs") >= lit(minNum) * col("src_docs"))
+    // no broadcast hint on the flagged set: in a normal corpus it is
+    // broadcast-sized and AQE will broadcast it, but a degenerate input
+    // (every paragraph shared) makes it as large as the paragraph
+    // vocabulary — forcing the hint there would be a driver OOM, the
+    // cosinePairsAbove lesson
     paras
-      .join(broadcast(flagged), Seq("source", "h"), "left")
+      .join(flagged, Seq("source", "h"), "left")
       .withColumn("boiler", col("para_docs").isNotNull)
   }
 }

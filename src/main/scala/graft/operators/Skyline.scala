@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.DoubleType
   * tiny (the skyline of n uniform points in d dims is O(log^(d-1) n)
   * expected), so the final single-task pass touches a few rows per
   * partition, not the corpus, and the result is a set — identical
-  * under any partitioning.
+  * under any partitioning. Worst case (fully anti-correlated
+  * dimensions) the skyline IS the input and the final task scans the
+  * output size — no algorithm does better, since that is the answer.
   */
 object Skyline {
 
