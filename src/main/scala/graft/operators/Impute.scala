@@ -38,4 +38,46 @@ object Impute {
       .withColumn(valCol, coalesce(col(valCol), col("_med")))
       .drop("_med")
   }
+
+  /** Winsorization twin: clip `valCol` to the group's exact discrete
+    * [pLow, pHigh] percentiles (lower-rank order statistics at
+    * `ceil(n·p)` — always actual input values, so engines agree
+    * bit-for-bit). Appends `<valCol>_w` (the clipped value),
+    * `clip_low`/`clip_high` flags, and the `p_low`/`p_high` bounds.
+    * Null values pass through un-clipped and un-flagged. Same scale
+    * shape as the median: the only shuffle is the per-(group, value)
+    * count histogram; bounds broadcast back.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      pLow: Double,
+      pHigh: Double): DataFrame = {
+    require(0 < pLow && pLow < pHigh && pHigh < 1,
+      "need 0 < pLow < pHigh < 1")
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+    val wAll = Window.partitionBy(groupCol)
+    val kLo = ceil(col("n") * pLow)
+    val kHi = ceil(col("n") * pHigh)
+    def pick(k: org.apache.spark.sql.Column) =
+      max(when(col("cum") - col("c") < k && k <= col("cum"), col("v")))
+    val bounds = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(groupCol)
+      .agg(pick(kLo).as("p_low"), pick(kHi).as("p_high"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("clip_low", coalesce(col(valCol) < col("p_low"), lit(false)))
+      .withColumn("clip_high", coalesce(col(valCol) > col("p_high"), lit(false)))
+      // Spark's greatest/least IGNORE nulls — unguarded, a null value
+      // would come out clipped to p_low instead of staying null
+      .withColumn(s"${valCol}_w",
+        when(col(valCol).isNull, col(valCol))
+          .otherwise(least(greatest(col(valCol), col("p_low")),
+            col("p_high"))))
+  }
 }

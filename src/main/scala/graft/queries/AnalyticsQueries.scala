@@ -410,4 +410,52 @@ object AnalyticsQueries {
       |  MAX(CASE WHEN imputed THEN v2 END) AS imputed_median,
       |  CAST(SUM(CAST(v2 AS DECIMAL(28,6))) AS DOUBLE) AS sum_after
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q170 — per-group winsorization ([[graft.operators.Impute.winsorize]]):
+    * event values clipped to the type's exact discrete [p05, p95]
+    * (lower-rank order statistics, always actual input values), with
+    * clip counts, the bounds, and the decimal-exact post-clip sum —
+    * the robust-scaling companion to q169's imputation and q155's
+    * outlier flags.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    graft.operators.Impute.winsorize(e, "event_type", "value", 0.05, 0.95)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("clip_low"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("clip_high"), 1L).otherwise(0L)).as("n_clip_high"),
+        max(col("p_low")).as("p_low"),
+        max(col("p_high")).as("p_high"),
+        sum(col("value_w").cast(DecimalType(28, 6))).cast("double")
+          .as("sum_after"))
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.05) THEN v END) AS lo,
+      |    MAX(CASE WHEN rn = CEIL(n * 0.95) THEN v END) AS hi
+      |  FROM r GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN e.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_low,
+      |  CAST(SUM(CASE WHEN e.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_high,
+      |  MAX(b.lo) AS p_low, MAX(b.hi) AS p_high,
+      |  CAST(SUM(CAST(LEAST(GREATEST(e.v, b.lo), b.hi) AS DECIMAL(28,6)))
+      |    AS DOUBLE) AS sum_after
+      |FROM e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 }

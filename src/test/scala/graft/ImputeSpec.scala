@@ -31,6 +31,28 @@ class ImputeSpec extends SparkSpecBase {
     assert(out.filter($"g" === "c" && $"v".isNull).count() === 2)
   }
 
+  test("winsorize clips to exact lower-rank percentiles, nulls pass") {
+    // 1..10 in one group: p10 -> rank ceil(1)=1 -> 1.0 is lo;
+    // p80 -> rank ceil(8)=8 -> 8.0 is hi
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+
+      ("g", Option.empty[Double])).toDF("g", "v")
+    val out = Impute.winsorize(df, "g", "v", 0.10, 0.80).cache()
+    assert(out.select("p_low", "p_high").distinct()
+      .as[(Double, Double)].collect().toSeq === Seq((1.0, 8.0)))
+    // 9 and 10 clip high, nothing clips low (lo is the minimum)
+    assert(out.filter($"clip_high").select("v").as[Double]
+      .collect().toSet === Set(9.0, 10.0))
+    assert(out.filter($"clip_low").count() === 0)
+    assert(out.filter($"clip_high").select("v_w").as[Double]
+      .collect().toSet === Set(8.0))
+    // the null row stays null, unflagged (greatest/least null guard)
+    assert(out.filter($"v".isNull)
+      .select($"v_w".isNull, $"clip_low", $"clip_high")
+      .as[(Boolean, Boolean, Boolean)].collect().toSeq ===
+      Seq((true, false, false)))
+    out.unpersist()
+  }
+
   test("tied values count multiplicity in the order statistic") {
     // {1,1,1,9}: rank ceil(2)=2 -> 1.0 (value-histogram cum counts)
     val df = Seq(("g", Some(1.0)), ("g", Some(1.0)), ("g", Some(1.0)),
