@@ -82,11 +82,34 @@ object Bench {
     // the queries a regression diff would care about.
     val failedShort = failed
       .map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    // Headline ETL path, tracked per round beside the query suite: the
+    // query bench cannot see a regression in scrub-projection analysis
+    // cost or bucketed-merge constants (VERDICT r6 #6). Fixed fixture
+    // scale (100k patients / 200k observations, the r3 baseline shape:
+    // 37.4s cold / 21.4s incremental) unless the full suite isn't
+    // being run (dev subsets skip it) or SPARK_GRAFT_ETL_BENCH=0.
+    val etlJson: String =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_ETL_BENCH").contains("0"))
+        ""
+      else {
+        try {
+          val t = EtlBench.runOnce(spark,
+            sys.env.getOrElse("SPARK_GRAFT_ETL_PATIENTS", "100000").toInt,
+            sys.env.getOrElse("SPARK_GRAFT_ETL_OBS", "200000").toInt)
+          System.err.println(f"[bench] etl cold=${t.coldS}%.1fs " +
+            f"incr=${t.incrS}%.1fs tiny=${t.tinyS}%.1fs rows=${t.rows}")
+          f""","etl":{"rows":${t.rows},"cold_s":${t.coldS}%.1f,"incr_s":${t.incrS}%.1f,"tiny_s":${t.tinyS}%.1f}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] etl bench failed: ${e.getMessage}")
+            ",\"etl\":\"failed\""
+        }
+      }
     def compactLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val m = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"q_omitted":$omitted,"failed":$failedShort,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson,"sf":"$sfDir"}"""
     }
     // capture window 2000 chars minus sbt's trailing "[success] ..."
     // line (~80) and slack for a stray WARN — budget 1800
@@ -99,7 +122,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson$etlJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // read-only CWD is fine
     spark.stop()
   }

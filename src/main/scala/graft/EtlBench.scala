@@ -12,12 +12,31 @@ import graft.etl.EtlPipeline
   * `runMain graft.EtlBench [nPatients] [nObservations]`
   */
 object EtlBench {
+
+  /** One ETL measurement at a fixed fixture scale — reusable from
+    * [[Bench]] so the headline ETL path is tracked per round beside
+    * the query timings (a query bench cannot see a regression in
+    * scrub-projection analysis cost or bucketed-merge constants).
+    */
+  final case class EtlTimings(rows: Long, coldS: Double, incrS: Double,
+      tinyS: Double)
+
   def main(args: Array[String]): Unit = {
     val nPat = if (args.length > 0) args(0).toInt else 100000
     val nObs = if (args.length > 1) args(1).toInt else 200000
     val spark = GraftSession.get("graft-etl-bench")
     spark.sparkContext.setLogLevel("WARN")
+    val t = runOnce(spark, nPat, nObs)
+    println(f"[etl-bench] cold load: ${t.rows} rows in ${t.coldS}%.1fs " +
+      f"(${t.rows / t.coldS}%.0f rows/s)")
+    println(f"[etl-bench] incremental (${nObs / 100} updates into " +
+      f"$nObs-row table): ${t.incrS}%.1fs")
+    println(f"[etl-bench] tiny batch (5 updates): ${t.tinyS}%.1fs")
+    spark.stop()
+  }
 
+  def runOnce(spark: org.apache.spark.sql.SparkSession, nPat: Int,
+      nObs: Int): EtlTimings = {
     val in = Files.createTempDirectory("etlbench-in").toString
     val out = Files.createTempDirectory("etlbench-out").toString
     val phi = Files.createTempDirectory("etlbench-phi").toString
@@ -51,8 +70,6 @@ object EtlBench {
       groupName = "bench", exportTime = "2024-01-01T00:00:00Z")
     val coldS = (System.nanoTime() - t0) / 1e9
     val rows = results.map(_.rows).sum
-    println(f"[etl-bench] cold load: $rows rows in $coldS%.1fs " +
-      f"(${rows / coldS}%.0f rows/s)")
 
     // incremental: re-export 1% of observations as updates
     val in2 = Files.createTempDirectory("etlbench-in2").toString
@@ -64,8 +81,6 @@ object EtlBench {
       tasks = tasks.filter(_.resourceType == "Observation"),
       groupName = "bench2", exportTime = "2024-01-02T00:00:00Z")
     val incS = (System.nanoTime() - t1) / 1e9
-    println(f"[etl-bench] incremental (${upd.length} updates into " +
-      f"$nObs-row table): $incS%.1fs")
 
     // tiny batch: hash-bucket fast path (touches few of the 16 buckets;
     // at production bucket counts nearly all batches look like this)
@@ -78,7 +93,6 @@ object EtlBench {
       tasks = tasks.filter(_.resourceType == "Observation"),
       groupName = "bench3", exportTime = "2024-01-03T00:00:00Z")
     val tinyS = (System.nanoTime() - t2) / 1e9
-    println(f"[etl-bench] tiny batch (5 updates): $tinyS%.1fs")
-    spark.stop()
+    EtlTimings(rows, coldS, incS, tinyS)
   }
 }

@@ -47,15 +47,19 @@ object FhirJoins {
     )
     val p = practitioners.select(col("id").as("__pid"),
       col("name").as("__pname"))
+    // sort_array: collect_list order is partition-arrival order, so the
+    // raw distinct arrays are nondeterministic under distributed replay;
+    // the sorted form is the canonical output (and what lets an external
+    // oracle reproduce the operator bit-for-bit)
     joined
       .join(broadcast(p), col("__practId") === col("__pid"), "left_outer")
       .groupBy(col("__noteId").as(noteId))
       .agg(
-        array_distinct(flatten(collect_list(col("__codes"))))
+        sort_array(array_distinct(flatten(collect_list(col("__codes")))))
           .as("author_roles"),
-        array_distinct(flatten(collect_list(col("__specialties"))))
+        sort_array(array_distinct(flatten(collect_list(col("__specialties")))))
           .as("author_specialties"),
-        array_distinct(collect_list(col("__pname")))
+        sort_array(array_distinct(collect_list(col("__pname"))))
           .as("author_names")
       )
   }

@@ -400,6 +400,41 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic PNG synthesizer (64×64, grayscale-in-RGB), written
+    * by the JDK's own PNG encoder — the [[synthWav]] trick for images:
+    * pattern class = id mod 8 brightens one 8-pixel-wide column of the
+    * 8×8 aHash grid; brightness class = (id div 8) mod 4 adds a flat
+    * +10·class offset to EVERY pixel. [[aHashBits]] thresholds each
+    * grid cell against the grid's own mean, so the flat offset moves
+    * cells and mean together: the four brightness variants of a
+    * pattern class encode to different PNG bytes but identical
+    * phashes, while distinct pattern classes differ in 16 of 64 bits.
+    * The expected dedup grouping is therefore pure integer arithmetic
+    * on the id — what makes image dedup oracle-checkable end-to-end
+    * through the real encode/decode codecs.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val cls = math.floorMod(id, 8).toInt
+    val off = math.floorMod(id / 8, 4).toInt * 10
+    val bright = 200 + off
+    val dark = 40 + off
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = if (x / 8 == cls) bright else dark
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** REAL PCM decode: mono float samples in [-1, 1] via
     * `javax.sound.sampled` (16-bit signed and 8-bit WAV/AIFF/AU);
     * None when no JDK codec parses the payload.

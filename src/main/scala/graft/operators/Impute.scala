@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * the shuffle is bounded by |groups|·|distinct values|, never raw
   * rows, and the lower-rank convention keeps the fill an exact input
   * value, so an engine-independent oracle can reproduce it
-  * bit-for-bit. The per-group median frame broadcasts back onto the
-  * stream — imputation itself is shuffle-free.
+  * bit-for-bit. The per-group median frame joins back onto the stream
+  * (AQE broadcasts it when |groups| is small — not forced, so a
+  * high-cardinality group column cannot OOM the driver).
   */
 object Impute {
 
@@ -33,7 +34,13 @@ object Impute {
       .groupBy(groupCol)
       .agg(max(when(col("cum") - col("c") < k && k <= col("cum"), col("v")))
         .as("_med"))
-    df.join(broadcast(med), Seq(groupCol), "left")
+    // no broadcast() hint: the median frame is one row per GROUP, which
+    // is data-dependent cardinality — a forced driver broadcast is the
+    // exact OOM shape the repo removed from Boilerplate (commit
+    // ffc01bc). AQE broadcasts it at runtime whenever it is actually
+    // small; a high-cardinality groupCol degrades to a sort-merge join
+    // instead of degrading to a dead driver.
+    df.join(med, Seq(groupCol), "left")
       .withColumn("imputed", col(valCol).isNull)
       .withColumn(valCol, coalesce(col(valCol), col("_med")))
       .drop("_med")
@@ -46,7 +53,7 @@ object Impute {
     * `clip_low`/`clip_high` flags, and the `p_low`/`p_high` bounds.
     * Null values pass through un-clipped and un-flagged. Same scale
     * shape as the median: the only shuffle is the per-(group, value)
-    * count histogram; bounds broadcast back.
+    * count histogram; bounds join back (AQE-broadcast when small).
     */
   def winsorize(
       df: DataFrame,
@@ -70,7 +77,8 @@ object Impute {
       .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(groupCol)
       .agg(pick(kLo).as("p_low"), pick(kHi).as("p_high"))
-    df.join(broadcast(bounds), Seq(groupCol), "left")
+    // same no-hint rationale as medianImpute: |groups| is data-dependent
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn("clip_low", coalesce(col(valCol) < col("p_low"), lit(false)))
       .withColumn("clip_high", coalesce(col(valCol) > col("p_high"), lit(false)))
       // Spark's greatest/least IGNORE nulls — unguarded, a null value

@@ -81,15 +81,23 @@ object Layout {
       orderCol: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    // `bin` is this operator's declared output — refuse to silently
+    // overwrite an input column of that name; and the working column
+    // is uniquified so it cannot shadow a real manifest column either
+    require(!manifest.columns.contains("bin"),
+      "planCompaction appends a `bin` column; the manifest already has one")
+    val before =
+      Iterator.iterate("__before")(_ + "_")
+        .dropWhile(manifest.columns.toSet).next()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol))
       .orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
     manifest
-      .withColumn("__before",
+      .withColumn(before,
         coalesce(sum(col(sizeCol)).over(w), lit(0L)))
-      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
-      .drop("__before")
+      .withColumn("bin", expr(s"`$before` div ${targetBytes}L"))
+      .drop(before)
   }
 }

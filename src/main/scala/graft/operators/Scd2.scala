@@ -87,8 +87,11 @@ object Scd2 {
     * compressed-away later event silently diverges from a full
     * rebuild. The guarantee must come from the ingest (time-partitioned
     * arrival, as in q153's cutoff split); when late data is possible,
-    * rebuild with [[build]]. `tieCol` must be a numeric column (the
-    * seed sentinel is Long.MinValue).
+    * rebuild with [[build]]. `tieCol` must be an integral column
+    * (enforced) — the seed sentinel is Long.MinValue, and batch ties
+    * must stay above it. `validate = true` turns the detectable part
+    * of the contract into a loud failure: batch rows strictly before
+    * their key's open row, and batch ties equal to the sentinel.
     */
   def applyChanges(
       history: DataFrame,
@@ -96,8 +99,45 @@ object Scd2 {
       keyCols: Seq[String],
       orderCol: String,
       tieCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      validate: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
+    // the seed row encodes its tie as the Long.MinValue sentinel; a
+    // non-integral tie column would silently null-cast below and
+    // diverge from build() instead of failing here
+    val tieType = changes.schema(tieCol).dataType
+    require(
+      Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(tieType),
+      s"tieCol '$tieCol' must be an integral type, got $tieType " +
+        "(the open-row seed reserves the Long.MinValue sentinel)")
+    if (validate) {
+      // Debug gate for the append-only contract: fails loudly on (a) a
+      // batch row strictly before its key's OPEN row start — provably
+      // out of order — and (b) a batch tie equal to the reserved seed
+      // sentinel, which would misorder against the seed at the same
+      // instant. A late row landing between valid_from and a
+      // compressed-away later event is undetectable from the history
+      // alone (run compression discarded that timestamp) — that part
+      // of the contract must still come from the ingest. Bounded cost:
+      // one semi-join-sized pass, at most 3 example rows collected.
+      val viol = changes
+        .select(keys ++ Seq(col(orderCol).as("__ts"),
+          col(tieCol).cast("long").as("__tie")): _*)
+        .join(history.filter(col("is_current"))
+            .select(keys :+ col("valid_from"): _*),
+          keyCols, "left")
+        .filter(col("__ts") < col("valid_from") ||
+          col("__tie") === Long.MinValue)
+        .limit(3).collect()
+      require(viol.isEmpty,
+        "applyChanges(validate=true): append-only contract violated — " +
+          "batch rows before their key's open row (or tie == " +
+          s"Long.MinValue sentinel): ${viol.mkString("; ")}")
+    }
     // both small frames (one row per touched/open key) are referenced
     // by several branches below; materialize so `history` — often an
     // expensive pipeline in stateless benches — is evaluated twice

@@ -307,10 +307,19 @@ object TemporalJoins {
       bucketMicros: Long
   ): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros=$bucketMicros must be positive")
+    // identifier safety: column names are always backtick-quoted (with
+    // embedded backticks doubled) before entering expr() SQL — a name
+    // like "end ts" or "a-b" must parse, not break sequence()/greatest()
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    // the working bucket column must not shadow a real input column:
+    // pick the first __bk/__bk_/__bk__/... absent from BOTH schemas
+    val taken = (left.columns ++ right.columns).toSet
+    val bk = Iterator.iterate("__bk")(_ + "_").dropWhile(taken).next()
     def buckets(df: DataFrame, s: String, e: String) = df
       .filter(col(e) > col(s))
-      .withColumn("__bk", explode(expr(
-        s"sequence($s div ${bucketMicros}L, ($e - 1) div ${bucketMicros}L)")))
+      .withColumn(bk, explode(expr(
+        s"sequence(${q(s)} div ${bucketMicros}L, " +
+          s"(${q(e)} - 1) div ${bucketMicros}L)")))
     val lb = buckets(left, leftStart, leftEnd).as("l")
     val rb = buckets(right, rightStart, rightEnd).as("r")
     // all ts references alias-qualified: the two frames may legally use
@@ -319,11 +328,12 @@ object TemporalJoins {
     val (ls, le) = (col(s"l.$leftStart"), col(s"l.$leftEnd"))
     val (rs, re) = (col(s"r.$rightStart"), col(s"r.$rightEnd"))
     lb.join(rb,
-        col("l.__bk") === col("r.__bk") &&
+        col(s"l.$bk") === col(s"r.$bk") &&
           ls < re && rs < le &&
-          col("l.__bk") ===
-            expr(s"greatest(l.$leftStart, r.$rightStart) div ${bucketMicros}L"))
+          col(s"l.$bk") ===
+            expr(s"greatest(l.${q(leftStart)}, r.${q(rightStart)}) " +
+              s"div ${bucketMicros}L"))
       .withColumn("overlap_micros", least(le, re) - greatest(ls, rs))
-      .drop("__bk")
+      .drop(bk)
   }
 }

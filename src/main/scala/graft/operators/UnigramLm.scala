@@ -104,9 +104,17 @@ object UnigramLm {
       .filter { case (p, c) => c >= seedMinCount || p.length == 1 }
       .toMap
     def logProbs(v: Map[String, Long]): java.util.HashMap[String, java.lang.Double] = {
-      val total = v.values.sum.toDouble
+      // floor zero counts at 1: a single-char piece kept for coverage
+      // but unused in the last segmentation would otherwise carry
+      // log(0) = -Inf, and Viterbi coverage through it could still
+      // fail — silently dropping the affected WORDS from the E-step.
+      // The floor keeps coverage pieces at finite (tiny) probability;
+      // pieces with real counts are untouched.
+      val total = math.max(1L, v.values.sum).toDouble
       val m = new java.util.HashMap[String, java.lang.Double](v.size * 2)
-      v.foreach { case (p, c) => m.put(p, math.log(c / total)) }
+      v.foreach { case (p, c) =>
+        m.put(p, math.log(math.max(1L, c) / total))
+      }
       m
     }
     var counts: Map[String, Long] = vocab
@@ -141,9 +149,12 @@ object UnigramLm {
       .sortBy { case (p, c) => (-c, p) }
       .zipWithIndex
       .map { case ((p, c), i) => (p, c, i + 1L) }
+    // same floor in the published artifact: encode()'s Viterbi must be
+    // able to route through zero-count coverage chars with a finite
+    // (worst-rank) log-prob instead of -Inf
     val total = math.max(1L, fin.map(_._2).sum).toDouble
     spark.createDataFrame(fin.map { case (p, c, r) =>
-      (p, c, if (c > 0) math.log(c / total) else Double.NegativeInfinity, r)
+      (p, c, math.log(math.max(1L, c) / total), r)
     }).toDF("piece", "count", "logp", "rank")
   }
 

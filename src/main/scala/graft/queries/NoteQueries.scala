@@ -122,29 +122,122 @@ object NoteQueries {
       |  CAST(32 AS BIGINT) AS emb_dim
       |FROM documents""".stripMargin
 
-  /** q130 — image near-dup mining by 64-bit perceptual hash
-    * ([[Multimodal.perceptualHash]] aHash + 4×16-bit banded pair join):
-    * the corpus plus exact copies (every 13th payload) and lightly
-    * perturbed copies (every 9th, two bytes appended) flows decode →
-    * aHash → banded candidate join → exact hamming ≤ 3. Rows-only gate
-    * (hash values ride the decode kernels); MultimodalSpec pins the
-    * real-codec behavior: identical PNGs collide at hamming 0, a
-    * +1-brightness re-render stays within threshold, and structurally
-    * different images are rejected.
+  /** q130 — image dedup through REAL codecs end-to-end, the q152
+    * audio trick applied to images: per doc a PNG is synthesized
+    * ([[Multimodal.synthPng]] — JDK encoder; pattern class = doc_id
+    * mod 8, flat brightness offset = (doc_id div 8) mod 4), decoded
+    * back by ImageIO, aHashed ([[Multimodal.perceptualHash]]), and
+    * grouped by exact hash. aHash thresholds every grid cell against
+    * the grid's own mean, so a flat brightness shift moves cells and
+    * mean together — the four brightness variants of each pattern
+    * class encode to DIFFERENT PNG bytes but MUST collapse into one
+    * phash group, while distinct patterns differ in 16 hash bits.
+    * The expected grouping is therefore pure integer arithmetic on
+    * doc_id and the whole encode→decode→aHash→dedup pipeline is
+    * ORACLE-CHECKABLE without comparing hash values cross-engine
+    * (converted from rows-only in r7). The banded ≤3-hamming pair
+    * join stays pinned in MultimodalSpec. Per-row kernel work + one
+    * aggregate; embarrassingly parallel.
     */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val exact = docs.filter(col("doc_id") % 13 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(6000000L))
-    val near = docs.filter(col("doc_id") % 9 === 0)
-      .withColumn("text", concat(col("text"), lit(" x")))
-      .withColumn("doc_id", col("doc_id") + lit(3000000L))
-    val media = Multimodal.mediaFromDocuments(
-      spark, docs.unionByName(exact).unionByName(near))
-    val hashes = Multimodal.perceptualHash(Multimodal.decode(media))
-    Multimodal.phashPairs(hashes, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+    import spark.implicits._
+    val synthUdf = udf((id: Long) => Multimodal.synthPng(id))
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        synthUdf(col("doc_id")).as("bytes"))
+      .as[Multimodal.MediaRow]
+    Multimodal.perceptualHash(Multimodal.decode(media))
+      .groupBy("phash")
+      .agg(min("media_id").as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .select("keep_id", "n_members")
+      .orderBy("keep_id")
   }
+
+  val qImagePhashSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_members
+      |FROM documents GROUP BY doc_id % 8 ORDER BY keep_id""".stripMargin
+
+  /** q173 — practitioner enrichment (SURVEY §2.5 J5,
+    * [[graft.fhir.FhirJoins.enrichAuthors]]) as a driver-gated query:
+    * notes carry either reference form ("PractitionerRole/…",
+    * "Practitioner/…", or a dangling ref), the role/practitioner dims
+    * are derived from `nation` by integer arithmetic both engines
+    * reproduce, and the two broadcast joins + sorted-distinct
+    * aggregation resolve codes/specialties/names per note (reference
+    * analog: the O(notes×roles) enrichment loop,
+    * fhir/fhir_utils.py:206-293). Arrays are emitted CSV-joined so
+    * the gate's column sorter handles them; a Practitioner ref shared
+    * by several roles (n_nationkey ≡ k mod 10) exercises the
+    * multi-match aggregation, the dangling ref the left-outer empties.
+    */
+  def qAuthorEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val notes = Tables.documents(spark, dir).select(
+      col("doc_id").as("note_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("PractitionerRole/r"),
+          (col("doc_id") % 25).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("Practitioner/p"),
+            (col("doc_id") % 10).cast("string")))
+        .otherwise(lit("Practitioner/none")).as("author_ref"))
+    val nation = Tables.nation(spark, dir)
+    val roles = nation.select(
+      concat(lit("r"), col("n_nationkey").cast("string")).as("id"),
+      concat(lit("Practitioner/p"),
+        (col("n_nationkey") % 10).cast("string")).as("practitionerRef"),
+      array(concat(lit("C"), col("n_nationkey").cast("string")))
+        .as("codes"),
+      array(concat(lit("S"), (col("n_nationkey") % 5).cast("string")))
+        .as("specialties"))
+    val practitioners = nation
+      .select((col("n_nationkey") % 10).as("k")).distinct()
+      .select(concat(lit("p"), col("k").cast("string")).as("id"),
+        concat(lit("P"), col("k").cast("string")).as("name"))
+    graft.fhir.FhirJoins
+      .enrichAuthors(notes, "note_id", "author_ref", roles, practitioners)
+      .select(col("note_id"),
+        array_join(col("author_roles"), ",").as("roles_csv"),
+        array_join(col("author_specialties"), ",").as("specialties_csv"),
+        array_join(col("author_names"), ",").as("names_csv"))
+  }
+
+  val qAuthorEnrichSql: String =
+    """WITH notes AS (
+      |  SELECT doc_id AS note_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'PractitionerRole/r' || CAST(doc_id % 25 AS VARCHAR)
+      |      WHEN 1 THEN 'Practitioner/p' || CAST(doc_id % 10 AS VARCHAR)
+      |      ELSE 'Practitioner/none' END AS author_ref
+      |  FROM documents),
+      |roles AS (
+      |  SELECT 'r' || CAST(n_nationkey AS VARCHAR) AS role_id,
+      |    'p' || CAST(n_nationkey % 10 AS VARCHAR) AS pract_id,
+      |    'C' || CAST(n_nationkey AS VARCHAR) AS code,
+      |    'S' || CAST(n_nationkey % 5 AS VARCHAR) AS specialty
+      |  FROM nation),
+      |practs AS (
+      |  SELECT DISTINCT 'p' || CAST(n_nationkey % 10 AS VARCHAR) AS pract_id,
+      |    'P' || CAST(n_nationkey % 10 AS VARCHAR) AS name
+      |  FROM nation),
+      |j AS (
+      |  SELECT n.note_id, r.code, r.specialty, p.name
+      |  FROM notes n
+      |  LEFT JOIN roles r ON
+      |    (split_part(n.author_ref, '/', 1) = 'PractitionerRole'
+      |       AND split_part(n.author_ref, '/', 2) = r.role_id)
+      |    OR (split_part(n.author_ref, '/', 1) = 'Practitioner'
+      |       AND split_part(n.author_ref, '/', 2) = r.pract_id)
+      |  LEFT JOIN practs p ON r.pract_id = p.pract_id)
+      |SELECT note_id,
+      |  coalesce(array_to_string(
+      |    list(DISTINCT code ORDER BY code), ','), '') AS roles_csv,
+      |  coalesce(array_to_string(
+      |    list(DISTINCT specialty ORDER BY specialty), ','), '')
+      |    AS specialties_csv,
+      |  coalesce(array_to_string(
+      |    list(DISTINCT name ORDER BY name), ','), '') AS names_csv
+      |FROM j GROUP BY note_id""".stripMargin
 
   /** q152 — audio dedup through REAL codecs end-to-end: per doc a WAV
     * is synthesized ([[Multimodal.synthWav]] — JDK encoder; tone class

@@ -240,18 +240,79 @@ object SimilarityQueries {
       |  CAST(list_max(list_concat(qs, [0])) AS BIGINT) AS qmax
       |FROM q""".stripMargin
 
-  /** q131 — PCA compaction of the embedding column
-    * ([[graft.operators.Pca]]): fit 8 components in one moment-
-    * accumulation pass, project every vector. Rows-only gate (eigen
-    * decomposition is engine-internal numerics); PcaSpec pins
-    * orthonormality, descending variances, projected-variance ==
-    * eigenvalue, and near-zero reconstruction error at k=d.
+  /** q131 — PCA of the embedding column ([[graft.operators.Pca]]):
+    * fit d components in one moment-accumulation pass, project every
+    * vector, and emit each row's projected squared L2 norm (rounded).
+    * The eigenvectors themselves are engine-internal numerics, but at
+    * k=d they form an orthonormal basis, so per row
+    * ‖P(v)‖² == ‖v − mean‖² EXACTLY (norm preservation) — a quantity
+    * the oracle recomputes from the raw parquet in pure SQL. Every
+    * defect in the pipeline (moment accumulation, Jacobi eigenbasis
+    * losing orthonormality, mean-centering, projection kernel) breaks
+    * the equality, so the gate went from rows-only to hash-exact
+    * without comparing eigen numerics cross-engine. Rounding to 6
+    * decimals absorbs the ~1e-12 summation-order slack between
+    * engines; PcaSpec still pins orthonormality, descending variances,
+    * projected-variance == eigenvalue, and k=d reconstruction.
     */
   def qPcaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round, udf}
     val emb = graft.tables.Tables.embeddings(spark, dir)
-    val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+    val model = graft.operators.Pca.fit(emb, "embedding", k = 64)
+    val norm2 = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    }
     graft.operators.Pca.transform(emb, "embedding", model)
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        org.apache.spark.sql.functions.col("pca"))
+      .select(col("vec_id"), round(norm2(col("pca")), 6).as("cnorm2"))
+  }
+
+  val qPcaEmbedSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |u AS (SELECT vec_id, i, e[i] AS x FROM v, range(1, 65) t(i)),
+      |m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i)
+      |SELECT u.vec_id,
+      |  round(sum((u.x - m.mu) * (u.x - m.mu)), 6) AS cnorm2
+      |FROM u JOIN m USING (i) GROUP BY u.vec_id""".stripMargin
+
+  /** q171 — IVF index EXACTNESS gate: [[Similarity.ivfTopK]] probing
+    * ALL nlist lists must equal brute force exactly — every corpus row
+    * is assigned to exactly one list, every list is scanned with the
+    * exact cosine kernel, and the cross-list merge + (cosine desc,
+    * neighbor asc) tie-break must reproduce q30's ranking. The trained
+    * centroids stay engine-internal, but at nprobe == nlist the RESULT
+    * is centroid-independent, so the whole index machinery (training
+    * plumbing, list assignment, probe routing, per-list heaps, final
+    * ranking) is driver-verified against the exact-top-k oracle. The
+    * approximate-recall operating point stays q39 + SimilaritySpec.
+    */
+  def qIvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    Similarity
+      .ivfTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 16)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** q172 — LSH multi-probe EXACTNESS gate: at planes=2 the probe set
+    * (own bucket + both single-plane flips + the pair flip) covers all
+    * 4 buckets, so [[Similarity.annTopK]] must equal brute force — the
+    * hyperplane hashing, XOR probe-mask expansion, per-bucket query
+    * index, and candidate merge are all on the hook, with no bucket
+    * left unprobed to hide a routing bug behind "approximate". Same
+    * oracle as q30/q171; the recall-<1 operating point stays q31 +
+    * SimilaritySpec.
+    */
+  def qLshExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    Similarity
+      .annTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, planes = 2)
+      .select("query_id", "rank", "neighbor_id")
   }
 }

@@ -206,4 +206,41 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fallback(1L) !== fallback(9L))
   }
+
+  test("synthPng: brightness variants collide per pattern class, classes separate") {
+    import spark.implicits._
+    // 8 pattern classes × 4 brightness offsets; the PNGs are genuinely
+    // different payloads (real re-encodes), yet aHash must collapse the
+    // brightness axis and keep the pattern axis — the q130 oracle
+    // contract (grouping == id mod 8) through real JDK codecs
+    val ids = (0L until 32L)
+    val pngs = ids.map(Multimodal.synthPng)
+    assert(pngs.map(_.toSeq).distinct.size === 32,
+      "each (pattern, brightness) pair must be a distinct payload")
+    // all really decode as PNGs (no fallback kernel in this path)
+    pngs.foreach { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth === 64 && img.getHeight === 64)
+    }
+    val media = ids.map(i =>
+      Multimodal.MediaRow(i, "image", Multimodal.synthPng(i))).toDS()
+    val h = Multimodal.perceptualHash(Multimodal.decode(media))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { i =>
+      assert(h(i) === h(i % 8),
+        s"brightness variant $i must collide with class base ${i % 8}")
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (a <- 0L until 8L; b <- 0L until a) {
+      assert(hamming(h(a), h(b)) === 16,
+        s"classes $a/$b: one bright column each → 16 differing bits")
+    }
+    // and the banded pair join only pairs within a class
+    val pairs = Multimodal.phashPairs(
+        Multimodal.perceptualHash(Multimodal.decode(media)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 8 * (4 * 3 / 2))
+    assert(pairs.forall { case (a, b) => a % 8 === b % 8 })
+  }
 }

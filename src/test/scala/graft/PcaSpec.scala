@@ -3,14 +3,32 @@ package graft
 import graft.operators.Pca
 import org.apache.spark.sql.functions._
 
-/** PCA operator invariants (q131's rows-only gate lives here): the
-  * properties any correct eigendecomposition must satisfy, checked on the
-  * real embeddings table and on a hand-built low-rank synthetic.
+/** PCA operator invariants: the properties any correct
+  * eigendecomposition must satisfy, checked on the real embeddings
+  * table and on a hand-built low-rank synthetic. (q131's driver gate is
+  * hash-exact since r7 via the k=d norm-preservation identity; these
+  * stay as the component-level pins.)
   */
 class PcaSpec extends SparkSpecBase {
 
   private lazy val emb =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("k=d projection preserves centered norms (the q131 oracle identity)") {
+    val m = Pca.fit(emb, "embedding", k = 64)
+    val rows = Pca.transform(emb, "embedding", m)
+      .select("embedding", "pca")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](0)
+      val p = r.getAs[scala.collection.Seq[Double]](1)
+      val centered = v.zip(m.mean).map { case (x, mu) => x - mu }
+      val n2 = centered.map(x => x * x).sum
+      val pn2 = p.map(x => x * x).sum
+      assert(math.abs(n2 - pn2) < 1e-9, s"norm drift: $n2 vs $pn2")
+    }
+  }
 
   test("components are orthonormal with descending non-negative variances") {
     val m = Pca.fit(emb, "embedding", k = 8)

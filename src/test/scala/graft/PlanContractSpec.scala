@@ -1,0 +1,84 @@
+package graft
+
+/** Plan CONTRACTS — the 100 TB argument as executable assertions, not
+  * prose. Every registered query is executed at sf0.001 (AQE finalizes
+  * its physical plan only after execution) and the FINAL plan is
+  * checked for the shapes that decide whether the query survives a
+  * 100× scale-up:
+  *
+  *   - no `CartesianProductExec` anywhere: every intentional cross
+  *     join in the repo is a broadcast of a scalar/tiny frame (which
+  *     plans as BroadcastNestedLoopJoin, not CartesianProduct), so any
+  *     CartesianProduct appearing in a future refactor is a regression
+  *     that would O(n²)-explode on a cluster — this spec makes it a
+  *     test failure instead of a bench surprise;
+  *   - headline dim joins actually broadcast;
+  *   - headline fact scans actually push their filters into parquet.
+  *
+  * Keeping these as specs means a plan regression fails `sbt test`
+  * the moment it is introduced, rather than surviving until someone
+  * reads a bench diff.
+  */
+class PlanContractSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute the query (so AQE commits to its final plan), return the
+    * final physical plan string.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no CartesianProduct survives anywhere in the registered suite") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try finalPlan(name)
+        catch {
+          case e: Throwable =>
+            fail(s"query $name failed to execute at sf0.001: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in final plans of: ${offenders.mkString(", ")}")
+  }
+
+  test("headline dim joins broadcast the small side") {
+    // nation/region/customer dims must reach the fact join as
+    // broadcast hash joins (static hint or AQE conversion — either is
+    // fine, the contract is the final plan)
+    for (q <- Seq("q2_join_agg", "q9_shipping_priority")) {
+      val p = finalPlan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected a broadcast hash join in:\n$p")
+    }
+  }
+
+  test("fact-table filters reach the parquet scan") {
+    // the scan node must carry PushedFilters with real predicates —
+    // a scan reading everything for a filtered aggregate is the
+    // first thing that stops working at 100 TB
+    val p = finalPlan("q6_filter_agg")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(p)
+    assert(pushed.exists(_.length > "PushedFilters: []".length),
+      s"q6_filter_agg: no non-empty PushedFilters in:\n$p")
+  }
+
+  test("as-of and interval joins never degrade to nested-loop scans") {
+    // the bucketed equi-join re-expression is the whole point of
+    // these operators; a planner fallback to BroadcastNestedLoopJoin
+    // or CartesianProduct would be the range-explosion they exist to
+    // avoid
+    for (q <- Seq("q65_asof_join", "q149_interval_overlap")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop join in final plan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: cartesian product in final plan:\n$p")
+    }
+  }
+}

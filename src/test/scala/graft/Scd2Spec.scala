@@ -96,4 +96,47 @@ class Scd2Spec extends SparkSpecBase {
     assert(canon(incr) === canon(full))
     assert(canon(incr).nonEmpty)
   }
+
+  test("applyChanges enforces the tie contract and validate mode fails loudly") {
+    val base = Seq(("k", ts("2024-01-02 00:00:00"), 5L, "a"))
+      .toDF("k", "at", "seq", "v")
+    val hist = Scd2.build(base, Seq("k"), "at", "seq", "v")
+
+    // non-integral tie column: fails fast (it would silently null-cast
+    // and misorder against the Long.MinValue seed sentinel otherwise)
+    val strTie = Seq(("k", ts("2024-01-03 00:00:00"), "x", "b"))
+      .toDF("k", "at", "seq", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(hist, strTie, Seq("k"), "at", "seq", "v")
+    }
+    assert(e1.getMessage.contains("integral"))
+
+    // validate=true: a batch row strictly before the key's open row is
+    // a provable append-only violation — loud, not silently divergent
+    val late = Seq(("k", ts("2024-01-01 00:00:00"), 6L, "b"))
+      .toDF("k", "at", "seq", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Scd2.applyChanges(hist, late, Seq("k"), "at", "seq", "v",
+        validate = true)
+    }
+    assert(e2.getMessage.contains("append-only"))
+
+    // validate=true: a batch tie equal to the reserved sentinel would
+    // sort before the seed at the same instant — rejected
+    val sentinel = Seq(("k", ts("2024-01-03 00:00:00"), Long.MinValue, "b"))
+      .toDF("k", "at", "seq", "v")
+    intercept[IllegalArgumentException] {
+      Scd2.applyChanges(hist, sentinel, Seq("k"), "at", "seq", "v",
+        validate = true)
+    }
+
+    // a conforming batch passes with validation on, same result as off
+    val good = Seq(("k", ts("2024-01-03 00:00:00"), 7L, "b"))
+      .toDF("k", "at", "seq", "v")
+    val on = Scd2.applyChanges(hist, good, Seq("k"), "at", "seq", "v",
+      validate = true)
+    val off = Scd2.applyChanges(hist, good, Seq("k"), "at", "seq", "v")
+    assert(on.collect().toSet === off.collect().toSet)
+    assert(on.count() === 2)
+  }
 }

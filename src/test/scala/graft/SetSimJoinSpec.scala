@@ -65,4 +65,35 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(SetSimJoin.jaccardSelfJoin(dup, "id", "toks", 1.0)
       .count() === 6) // 4 choose 2
   }
+
+  test("degenerate vocabulary: worst case is correct and exactly bounded") {
+    // A vocabulary prefix filtering CANNOT prune: every set is the same
+    // single token, so every prefix is that token and ALL n·(n-1)/2
+    // pairs reach exact verification — the operator's documented worst
+    // case (PERF.md's q148 note). The contract under it: the result is
+    // still exact (every pair at jaccard 1), the candidate stage emits
+    // each pair exactly once (no duplicate survives to the output), and
+    // the work is C(n,2) verifications — quadratic in the EQUIVALENCE
+    // CLASS, which is the floor for any exact similarity join.
+    val n = 60L
+    val one = (1L to n).map(i => (i, Seq("only"))).toDF("id", "toks")
+    val out = SetSimJoin.jaccardSelfJoin(one, "id", "toks", 0.9)
+      .select("id_a", "id_b", "jaccard").collect()
+    assert(out.length === (n * (n - 1) / 2).toInt)
+    assert(out.forall(_.getDouble(2) === 1.0))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length ===
+      out.length)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+
+    // two-token vocabulary with a sub-threshold cross class: candidates
+    // within each class all verify, cross-class pairs (J = 0) must die
+    // in verification even though the shared-vocabulary regime offers
+    // no prefix pruning between same-class members
+    val two = ((1L to 20L).map(i => (i, Seq("p"))) ++
+      (21L to 40L).map(i => (i, Seq("q")))).toDF("id", "toks")
+    val pairs = SetSimJoin.jaccardSelfJoin(two, "id", "toks", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length === 2 * (20 * 19 / 2))
+    assert(pairs.forall { case (a, b) => (a <= 20) === (b <= 20) })
+  }
 }

@@ -172,6 +172,32 @@ class SimilaritySpec extends SparkSpecBase {
     info(s"ANN recall@5 vs exact baseline: $recall")
   }
 
+  test("exhaustive probing equals brute force exactly (q171/q172 contract)") {
+    // nprobe == nlist (IVF) and planes=2 full multi-probe (LSH) leave
+    // no bucket unscanned, so both index paths must reproduce the exact
+    // ranking INCLUDING tie-breaks — list assignment, probe routing,
+    // heap merge and final ranking are all on the hook, independent of
+    // what the trained centroids/hyperplanes look like
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivfAll = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 16)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfAll === exact)
+    val lshAll = Similarity
+      .annTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, planes = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lshAll === exact)
+  }
+
   test("IVF top-k recall against the exact baseline") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity

@@ -100,4 +100,36 @@ class UnigramLmSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted
     assert(again === vocab.collect().map(_.toString).sorted)
   }
+
+  test("zero-count coverage chars keep finite probability (no word loss)") {
+    // Adversarial pruning: round 1 segments every word as ONE piece, so
+    // every single char ends round 1 with count 0; aggressive pruning
+    // (pruneFrac 0.9, targetSize 6) then drops the "qz" piece while the
+    // q/z chars survive only as coverage entries. Without the log-prob
+    // floor those carried log(0) = -Inf and round 2's Viterbi silently
+    // DROPPED the word "qz" from the E-step — its chars stayed at count
+    // 0 forever. With the floor, round 2 must segment "qz" as [q, z].
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa aaaa aaaa bbbb bbbb bbbb bbbb bbbb"),
+      (2L, "aaaa aaaa aaaa aaaa aaaa bbbb bbbb bbbb bbbb bbbb"),
+      (3L, "cccc cccc cccc cccc cccc cccc cccc cccc cccc cccc"),
+      (4L, "qz qz")
+    ).toDF("doc_id", "text")
+    val trained = UnigramLm.train(docs, "text", maxPieceLen = 4,
+      seedMinCount = 2L, targetSize = 6, emRounds = 2, pruneFrac = 0.9)
+    val rows = trained.select("piece", "count", "logp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the pruned-piece word was re-covered through its chars
+    assert(rows("q")._1 === 2L, s"q count: ${rows.get("q")}")
+    assert(rows("z")._1 === 2L)
+    // no -Inf anywhere in the published artifact (encode must be able
+    // to route through every coverage char)
+    assert(rows.values.forall { case (_, lp) =>
+      !lp.isNegInfinity && !lp.isNaN })
+    // and encode over the trained vocab still covers the word
+    val enc = UnigramLm.encode(docs.filter(col("doc_id") === 4L),
+        "doc_id", "text", trained, maxPieceLen = 4)
+      .head().getAs[scala.collection.Seq[String]]("pieces")
+    assert(enc === Seq("q", "z", "q", "z"))
+  }
 }
