@@ -177,7 +177,8 @@ object NearDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxBucketSize: Int = 0
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -197,9 +198,30 @@ object NearDedup {
     // and carrying it measured ~3× the shuffle volume of joining the
     // small candidate set back to the checkpointed sig frame.
     val bandArr = bandStructs(col("__sig"), bands, rowsPerBand)
-    val banded = withSig
+    val bandedAll = withSig
       .select(col("__id"), explode(bandArr).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.bandHash"))
+
+    // Optional hot-bucket cap (0 = uncapped, the exact-semantics
+    // default the oracle queries rely on): a bucket of m rows emits
+    // m²/2 candidate pairs, so one degenerate band value — an
+    // exact-duplicate class, an empty-text class — turns the join
+    // quadratic no matter how good the banding is. The documented
+    // at-scale recipe is exact-dedup FIRST (collapse identical
+    // content, which removes all-band-identical classes), then cap
+    // the stragglers like the simhash path's [[simHashPairs]] guard:
+    // dropped buckets trade recall for survival, and their members
+    // usually still meet through their other, colder bands.
+    val banded =
+      if (maxBucketSize <= 0) bandedAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandHash"))
+        bandedAll
+          .withColumn("__bcount", count(lit(1)).over(w))
+          .filter(col("__bcount") <= maxBucketSize)
+          .drop("__bcount")
+      }
 
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -315,4 +315,62 @@ object SimilarityQueries {
         dim = 64, k = 5, planes = 2)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** q174 — PQ exactness gate (the q171/q172 discipline for the third
+    * ANN family): with the re-rank shortlist sized to cover the WHOLE
+    * corpus, [[Similarity.pqTopK]]'s two-stage pipeline (codebook
+    * train → encode → ADC scan → exact cosine re-rank) must reproduce
+    * brute force exactly, independent of codebook quality — encode
+    * plumbing, shortlist routing, the re-rank kernel and its
+    * tie-breaks are all driver-verified. The query side is bounded to
+    * every-100th vector because an all-corpus shortlist is O(n) PER
+    * QUERY by construction — the full-query-side operating point with
+    * a tight shortlist stays q73 + SimilaritySpec recall pins.
+    */
+  def qPqExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count()
+    Similarity
+      .pqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16,
+        rerank = ((n + 4) / 5).toInt + 1)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** q175 — IVF-PQ exactness gate: all nlist lists probed AND the
+    * re-rank shortlist covering the corpus ⇒ the coarse+residual
+    * composition must equal brute force exactly (the q174 rationale
+    * applied to the fourth family; residual ADC scores become
+    * routing-only when everything survives to the exact re-rank).
+    * With q171/q172/q174 this puts a hash-exact driver gate on ALL
+    * FOUR ANN families; approximate operating points stay q31/q39/
+    * q73/q79 + spec recall pins.
+    */
+  def qIvfPqExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count()
+    Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", queries, "vec_id",
+        "embedding", dim = 64, k = 5, nlist = 16, nprobe = 16, m = 8,
+        ksub = 16, rerank = ((n + 4) / 5).toInt + 1)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Oracle for q174/q175: exact top-5 restricted to the every-100th
+    * query subset (the q30 SQL with the same query-side predicate).
+    */
+  val qSubsetTopKSql: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+      |      c.vec_id ASC) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= 5""".stripMargin
 }

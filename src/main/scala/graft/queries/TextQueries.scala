@@ -868,7 +868,7 @@ object TextQueries {
     * materializes WITHOUT whole-stage codegen; a sig variant in that
     * form went 0.3s → 28s).
     */
-  private def md5Sigs(input: DataFrame): DataFrame =
+  private[graft] def md5Sigs(input: DataFrame): DataFrame =
     input
       .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
       .localCheckpoint(true)
@@ -887,14 +887,44 @@ object TextQueries {
     sigs.select(cols :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
   }
 
-  /** Banding → distinct candidate pairs (ids only, for clustering). */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
+  /** Banding → distinct candidate pairs (ids only). Emits the full
+    * per-bucket clique — required when individual pairs are verified
+    * downstream (q36's agreement column, q68's containment). For
+    * components-only consumers use [[bandStarEdges]].
+    */
+  private[graft] def bandCandidates(sigs: DataFrame): DataFrame = {
     val bands = bandedSigs(sigs, withSig = false)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Banding → candidate EDGES for clustering, star-reduced per
+    * bucket: within one (band, bv) bucket every member is a mutual
+    * candidate (a clique), so for a connected-components consumer the
+    * (bucket-min ↔ member) star preserves connectivity EXACTLY while
+    * emitting m−1 edges instead of m(m−1)/2. This is the difference
+    * between a 10M-row duplicate class (web crawls are full of them:
+    * empty docs, boilerplate pages — and every band of an exact-dup
+    * class collides) costing 10M edges and costing 5·10¹³ — the
+    * standard LSH-dedup edge-generation trick at corpus scale.
+    * Components over the star-union equal components over the
+    * clique-union (each bucket's vertex set stays connected either
+    * way), so the q38/q87/q142 oracles — recursive-CTE closure over
+    * ALL-pairs candidates — are unchanged by construction. One
+    * shuffle on (band, bv), the same key the clique join used; the
+    * hottest bucket costs O(m log m) in its window sort, never m².
+    */
+  private[graft] def bandStarEdges(sigs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bv"))
+    bandedSigs(sigs, withSig = false)
+      .withColumn("__hub", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("doc_id").as("id_b"))
       .distinct()
   }
 
@@ -980,17 +1010,20 @@ object TextQueries {
       |FROM reach GROUP BY id""".stripMargin
 
   /** q38 — END-TO-END corpus dedup, oracle-exact: md5-minhash
-    * signatures → LSH band candidate pairs → connected components →
-    * per-group summary (canonical survivor + member count). The whole
-    * distributed pipeline (kernel signatures, banded self-join,
+    * signatures → star-reduced band edges ([[bandStarEdges]] — m−1
+    * edges per bucket, not the m²/2 clique; components unchanged by
+    * construction) → connected components → per-group summary
+    * (canonical survivor + member count). The whole distributed
+    * pipeline (kernel signatures, banded edge generation,
     * label-propagation components) is hash-checked against DuckDB
     * computing the same signatures in SQL and the components by
-    * recursive-CTE transitive closure.
+    * recursive-CTE transitive closure over the full clique pairs —
+    * which is exactly the equivalence the star reduction claims.
     */
   def qDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val input = corpusWithCopies(spark, dir)
     val comps = graft.operators.GraphOps.connectedComponents(
-      spark, bandCandidates(md5Sigs(input)), "id_a", "id_b",
+      spark, bandStarEdges(md5Sigs(input)), "id_a", "id_b",
       nodes = Some(input.select(col("doc_id"))))
     graft.operators.GraphOps.dedupGroups(comps)
   }
@@ -1067,7 +1100,7 @@ object TextQueries {
     // "yesterday's" persisted state: base signatures, band index, labels
     val baseSigs = md5Sigs(docs)
     val baseComps = graft.operators.GraphOps.connectedComponents(
-      spark, bandCandidates(baseSigs), "id_a", "id_b",
+      spark, bandStarEdges(baseSigs), "id_a", "id_b",
       nodes = Some(docs.select(col("doc_id"))))
     val baseBands = bandedSigs(baseSigs, withSig = false)
     // today's batch: hash ITSELF only, then probe the band index
@@ -1102,7 +1135,7 @@ object TextQueries {
   def qDedupBest(spark: SparkSession, dir: String): DataFrame = {
     val input = corpusWithCopies(spark, dir)
     val comps = graft.operators.GraphOps.connectedComponents(
-      spark, bandCandidates(md5Sigs(input)), "id_a", "id_b",
+      spark, bandStarEdges(md5Sigs(input)), "id_a", "id_b",
       nodes = Some(input.select(col("doc_id"))))
     graft.operators.GraphOps.dedupGroupsBest(comps,
       input.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")

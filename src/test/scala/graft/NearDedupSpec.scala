@@ -43,6 +43,50 @@ class NearDedupSpec extends SparkSpecBase {
     assert(!pairs.contains((4L, 5L)) || pairs((4L, 5L)) < 0.3)
   }
 
+  test("minHashCandidates hot-bucket cap drops only oversized buckets") {
+    import spark.implicits._
+    // 12 identical docs = every band bucket has 12 members; two
+    // unrelated near-dup docs stay in small buckets
+    val corpus = ((1L to 12L).map(i => (i, "the same exact text body " +
+      "repeated for the degenerate class")) ++ Seq(
+      (100L, "completely different content about spark shuffles"),
+      (101L, "completely different content about spark shuffle"))).toDF(
+      "doc_id", "text")
+    // capped at 8: the 12-member buckets die, the pair in small
+    // buckets survives
+    val capped = NearDedup
+      .minHashCandidates(corpus, "doc_id", "text", maxBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"degenerate-class pairs must be dropped, got $capped")
+    assert(capped.contains((100L, 101L)))
+    // default (0) stays uncapped: the full clique of the degenerate
+    // class is present — 12·11/2 pairs plus the survivor pair
+    val uncapped = NearDedup
+      .minHashCandidates(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 12 * 11 / 2 + 1)
+  }
+
+  test("star edges give the same components as clique candidates (q38 path)") {
+    import spark.implicits._
+    val input = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sigs = graft.queries.TextQueries.md5Sigs(input)
+    val nodes = Some(input.select(col("doc_id")))
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      graft.operators.GraphOps
+        .connectedComponents(spark, edges, "id_a", "id_b", nodes = nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaClique =
+      labels(graft.queries.TextQueries.bandCandidates(sigs))
+    val viaStar =
+      labels(graft.queries.TextQueries.bandStarEdges(sigs))
+    assert(viaStar === viaClique)
+    assert(viaStar.nonEmpty)
+  }
+
   test("minhash signature estimates jaccard within tolerance") {
     val est = NearDedup
       .minHashCandidates(docs, "doc_id", "text", numHashes = 128, bands = 32)

@@ -196,6 +196,24 @@ class SimilaritySpec extends SparkSpecBase {
       .select("query_id", "rank", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(lshAll === exact)
+    // PQ / IVF-PQ (q174/q175 contract): shortlist covering the corpus
+    // ⇒ the exact re-rank must reproduce brute force, independent of
+    // codebook quality
+    val n = emb.count()
+    val pqAll = Similarity
+      .pqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, m = 8, ksub = 16,
+        rerank = ((n + 4) / 5).toInt + 1)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pqAll === exact)
+    val ivfPqAll = Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16,
+        rerank = ((n + 4) / 5).toInt + 1)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfPqAll === exact)
   }
 
   test("IVF top-k recall against the exact baseline") {
