@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed suffix-array ranking by prefix doubling — the backbone
+  * of EXACT substring deduplication (the "dedup training data by
+  * removing repeated spans" pipeline; the repo's winnowing/dup-span
+  * operators are its sampled approximations). Every (doc, position)
+  * gets the dense rank of its suffix truncated to `depth` characters,
+  * ordered lexicographically across the WHOLE corpus — equal ranks ⇔
+  * identical depth-length spans, so repeated-substring detection
+  * becomes a plain aggregate on the rank column.
+  *
+  * Scale shape (Manber–Myers prefix doubling, re-expressed in
+  * DataFrame ops): log₂(depth) rounds, each one = a per-document
+  * `lead(rank, k)` window (documents are the partition key — no
+  * global window) + a dense re-rank of the (rank, rank@+k) pairs.
+  * The dense rank itself follows the [[Blocking]] discipline: range-
+  * partitioned sort of the DISTINCT keys + `zipWithIndex`, never a
+  * single-partition window, so every round is O(n) rows through
+  * shuffles with no skew pivot. Nothing is ever quadratic in corpus
+  * size and no driver state grows with it — the classic suffix-array
+  * construction, which is inherently sequential in its textbook form,
+  * becomes 5 rounds of joins at depth 32.
+  *
+  * Determinism: ranks are dense ranks of truncated suffixes under
+  * binary string order — a pure function of the corpus, so an
+  * external SQL engine reproduces them exactly (the q176 oracle:
+  * DENSE_RANK over substr). A suffix shorter than the truncation
+  * depth sorts before every suffix it prefixes (the rank-0 sentinel
+  * in the doubling pair mirrors "shorter string first").
+  */
+object SuffixRank {
+
+  /** Append `rankCol` = 1-based dense rank of `keyCols` under their
+    * ascending order. Distinct keys are range-sorted and indexed with
+    * zipWithIndex (one extra count job), then joined back — the
+    * scalable dense rank, O(distinct) rows through the sort and no
+    * single-partition stage.
+    */
+  private[graft] def denseRank(
+      df: DataFrame,
+      keyCols: Seq[String],
+      rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    val distinct = df.select(keys: _*).distinct()
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = StructType(
+      distinct.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      distinct.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      schema)
+    df.join(ranked, keyCols)
+  }
+
+  /** (id, pos, rank) for every character position of every document:
+    * `rank` = dense rank (1-based) of the suffix starting at 1-based
+    * `pos`, truncated to `depth` chars, over the whole corpus.
+    * `depth` must be a power of two (the doubling ladder lands on it
+    * exactly, which is what makes the rank oracle-reproducible as
+    * DENSE_RANK over substr(text, pos, depth)).
+    *
+    * `initChars` seeds the ladder with a direct dense rank of
+    * initChars-length substrings instead of single characters —
+    * fewer rounds for short-string shuffle bytes. At the default 8,
+    * depth 32 is 3 dense ranks (8 → 16 → 32) instead of 6; the
+    * doubling rounds are what keep DEEP truncations feasible (depth
+    * 256+ would otherwise shuffle 256-byte keys per corpus
+    * CHARACTER, while a doubling round always shuffles two longs).
+    */
+  def rank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      depth: Int,
+      initChars: Int = 8): DataFrame = {
+    require(depth >= 1 && (depth & (depth - 1)) == 0,
+      s"depth=$depth must be a power of two")
+    require(initChars >= 1 && (initChars & (initChars - 1)) == 0,
+      s"initChars=$initChars must be a power of two")
+    val init = math.min(initChars, depth)
+    // one row per (doc, pos) with its init-length prefix — the seed keys
+    val base = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)))).as("__p"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("__p").cast("long").as("pos"),
+        substr(col("__t"), col("__p"), lit(init)).as("__s"))
+    // each round's input is referenced twice by denseRank (distinct +
+    // join back) — checkpoint the INPUT so the window/explode work
+    // runs once, not per reference
+    var cur = denseRank(base.localCheckpoint(true), Seq("__s"), "r")
+      .drop("__s")
+    var k = init
+    while (k < depth) {
+      // rank of the 2k-prefix = dense rank of (rank_k(i), rank_k(i+k));
+      // a missing i+k (suffix shorter than k remaining) takes sentinel
+      // 0 — strictly below every real rank, exactly "shorter string
+      // sorts first". The lead window partitions by DOCUMENT, so the
+      // sort is per-doc — no global-order window anywhere.
+      val w = Window.partitionBy("id").orderBy("pos")
+      val paired = cur
+        .withColumn("__rn", lead(col("r"), k, 0L).over(w))
+        .localCheckpoint(true)
+      cur = denseRank(paired, Seq("r", "__rn"), "__r2")
+        .drop("r", "__rn")
+        .withColumnRenamed("__r2", "r")
+      k *= 2
+    }
+    cur.select(col("id"), col("pos"), col("r").as("rank"))
+  }
+}

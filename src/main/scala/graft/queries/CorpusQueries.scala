@@ -654,4 +654,65 @@ object CorpusQueries {
         (c, n) => wordNgramsKernel(c, n), lm)
       .orderBy("doc_id")
   }
+
+  /** q176 — distributed suffix-array ranking
+    * ([[graft.operators.SuffixRank]]): every character position of the
+    * every-10th-doc subcorpus gets the dense rank of its 32-char
+    * truncated suffix over the whole subcorpus — 5 prefix-doubling
+    * rounds of per-doc lead windows + range-sort dense re-ranks, the
+    * exact-substring-dedup backbone (q68's sampled word-gram profile
+    * is this operator's approximation). Rank is a pure function of the
+    * corpus, so the oracle reproduces it as DENSE_RANK over
+    * substr(text, pos, 32). Subcorpus because the output is one row
+    * per CHARACTER — the gate stays ~15k/150k rows at sf0.01/sf0.1.
+    */
+  def qSuffixRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixRank
+      .rank(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", depth = 32)
+      .select(col("id").as("doc_id"), col("pos"), col("rank"))
+
+  private val suffixRankCte: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |u AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |  FROM c),
+      |p AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    substr(text, CAST(pos AS INT), 32) AS s
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    CAST(DENSE_RANK() OVER (ORDER BY s) AS BIGINT) AS rank
+      |  FROM p)""".stripMargin
+
+  val qSuffixRankSql: String =
+    s"""$suffixRankCte
+       |SELECT doc_id, pos, rank FROM r""".stripMargin
+
+  /** q177 — repeated exact spans from the suffix ranks: equal rank ⇔
+    * identical 32-char span, so duplicated-substring mining collapses
+    * to one aggregate over q176's output (occurrence count, distinct
+    * docs, first location per span class). The consumer shape of the
+    * Lee-et-al. exact dedup pipeline: these span classes are what a
+    * remove-repeated-spans pass would cut.
+    */
+  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixRank
+      .rank(Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", depth = 32)
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("min_doc"),
+        min(col("pos")).as("min_pos"))
+      .filter(col("n_occ") > 1)
+
+  val qRepeatedSpansSql: String =
+    s"""$suffixRankCte
+       |SELECT rank, COUNT(*) AS n_occ,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MIN(pos) AS min_pos
+       |FROM r GROUP BY rank HAVING COUNT(*) > 1""".stripMargin
 }
