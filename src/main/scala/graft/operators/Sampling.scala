@@ -136,4 +136,45 @@ object Sampling {
     df.withColumn("rank_in_group", row_number().over(w).cast("long"))
       .withColumn("kept", col("rank_in_group") <= n)
   }
+
+  /** Training-shard layout — the last mile of a data pipeline: a
+    * DETERMINISTIC global shuffle (md5-keyed order, reproducible
+    * across runs and engines) plus fixed-size shard assignment, so a
+    * trainer's data order is a pure function of (corpus, seed,
+    * shardSize) — re-runs, resumes and audits all see byte-identical
+    * shard manifests. Appends `shard` and `pos_in_shard`.
+    *
+    * Scale shape: the global order comes from a range-partitioned sort
+    * on the md5 key + `zipWithIndex` (the [[Blocking]] rank
+    * discipline — no single-partition window, one extra count job);
+    * shard/pos are integer arithmetic on that rank. The md5 key is
+    * uniform, so range partitions are balanced no matter how skewed
+    * the id space is.
+    */
+  def trainShards(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      shardSize: Long): DataFrame = {
+    require(shardSize > 0, s"shardSize=$shardSize must be positive")
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("__k",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      // md5 collisions are cryptographically negligible but the id
+      // tiebreak makes the order TOTAL by construction, not by luck
+      .repartitionByRange(col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+
+        org.apache.spark.sql.types.StructField("__idx",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+        keyed.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }, schema)
+      .withColumn("shard", floor(col("__idx") / shardSize).cast("long"))
+      .withColumn("pos_in_shard", col("__idx") % shardSize)
+      .drop("__k", "__idx")
+  }
 }

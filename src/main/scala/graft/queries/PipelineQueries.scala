@@ -371,4 +371,29 @@ object PipelineQueries {
         col("e._2").as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** q178 — training-shard layout ([[Sampling.trainShards]]): the
+    * corpus in a deterministic md5-keyed global shuffle, cut into
+    * 128-row shards with in-shard positions — the reproducible
+    * data-order manifest a trainer consumes (re-runs and resumes see
+    * byte-identical order; the md5 key is uniform, so shards are
+    * balanced regardless of id-space skew). Global rank via
+    * range-sort + zipWithIndex, never a single-partition window; the
+    * oracle reproduces it as ROW_NUMBER over the same md5 order.
+    */
+  def qTrainShards(spark: SparkSession, dir: String): DataFrame =
+    Sampling
+      .trainShards(Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", seed = "sh1", shardSize = 128L)
+      .select("doc_id", "shard", "pos_in_shard")
+
+  val qTrainShardsSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id,
+      |    ROW_NUMBER() OVER (
+      |      ORDER BY md5('sh1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      - 1 AS idx
+      |  FROM documents)
+      |SELECT doc_id, idx // 128 AS shard, idx % 128 AS pos_in_shard
+      |FROM ranked""".stripMargin
 }

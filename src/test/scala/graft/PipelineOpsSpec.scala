@@ -112,6 +112,36 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("trainShards: deterministic balanced layout, partitioning-independent") {
+    val df = (1L to 300L).map(i => Tuple1(i)).toDF("id")
+    val out = Sampling.trainShards(df, "id", seed = "s", shardSize = 64L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard"))).toMap
+    // every row assigned exactly once; shard/pos form a bijection with
+    // 0..n-1 (no gaps, no dup slots)
+    assert(out.size === 300)
+    val slots = out.values.map { case (s, p) => s * 64 + p }.toSeq.sorted
+    assert(slots === (0L until 300L))
+    // shards are full except the last
+    val bySize = out.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySize === Map(0L -> 64, 1L -> 64, 2L -> 64, 3L -> 64, 4L -> 44))
+    // order is a pure function of (corpus, seed): re-run and a
+    // different physical partitioning give the identical layout
+    val again = Sampling
+      .trainShards(df.repartition(13), "id", seed = "s", shardSize = 64L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard"))).toMap
+    assert(again === out)
+    // a different seed is a different permutation
+    val other = Sampling.trainShards(df, "id", seed = "t", shardSize = 64L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard"))).toMap
+    assert(other !== out)
+  }
+
   // --- DataManifest.applyChanges ------------------------------------
 
   test("incremental manifest equals full recompute, deletes included") {
