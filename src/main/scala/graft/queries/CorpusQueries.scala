@@ -715,4 +715,129 @@ object CorpusQueries {
        |  COUNT(DISTINCT doc_id) AS n_docs,
        |  MIN(doc_id) AS min_doc, MIN(pos) AS min_pos
        |FROM r GROUP BY rank HAVING COUNT(*) > 1""".stripMargin
+
+  /** The q179/q180 corpus: the q176 subcorpus plus exact copies of
+    * its every-3rd member (ids +1,000,000) — repeated full 32-char
+    * spans exist BY CONSTRUCTION (the naturally-occurring repeated
+    * suffix classes in the synthetic corpus are all shorter than a
+    * full window, which would leave the cut list vacuously empty).
+    */
+  private def spanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 30 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** Shared CTE tail for the q179/q180 oracles: duplicate-occurrence
+    * positions → interval union (gaps and islands) → cut list, the
+    * SQL mirror of [[graft.operators.SpanDedup.cutIntervals]]. All
+    * integer window arithmetic — both engines agree bit-for-bit.
+    */
+  private val cutsCte: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 30 = 0),
+      |u AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |  FROM c),
+      |p AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    substr(text, CAST(pos AS INT), 32) AS s
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    CAST(DENSE_RANK() OVER (ORDER BY s) AS BIGINT) AS rank
+      |  FROM p),
+      |lens AS (SELECT doc_id, length(text) AS len FROM c),
+       |f AS (
+       |  SELECT r.doc_id, r.pos, r.rank,
+       |    r.doc_id * 100000 + r.pos AS key
+       |  FROM r JOIN lens USING (doc_id)
+       |  WHERE r.pos <= len - 31),
+       |d AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, key,
+       |      COUNT(*) OVER (PARTITION BY rank) AS n,
+       |      MIN(key) OVER (PARTITION BY rank) AS fk
+       |    FROM f)
+       |  WHERE n > 1 AND key <> fk),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |    MAX(pos + 31) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM d),
+       |j AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM i),
+       |cuts AS (
+       |  SELECT doc_id, MIN(pos) AS cut_start, MAX(pos) + 31 AS cut_end
+       |  FROM j GROUP BY doc_id, isl)""".stripMargin
+
+  /** q179 — exact repeated-span cut list
+    * ([[graft.operators.SpanDedup.cutIntervals]]): for the q176
+    * subcorpus, the maximal character runs covered by non-canonical
+    * occurrences of corpus-duplicated 32-char spans — what the Lee
+    * et al. dedup transform deletes. One window over the rank class
+    * (hottest class costs its member count) + the gaps-and-islands
+    * interval union per doc; oracle mirrors it in pure integer SQL.
+    */
+  def qCutIntervals(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup
+      .cutIntervals(spanCorpus(spark, dir), "doc_id", "text",
+        spanLen = 32)
+      .select(col("id").as("doc_id"), col("cut_start"), col("cut_end"))
+
+  val qCutIntervalsSql: String =
+    s"""$cutsCte
+       |SELECT doc_id, cut_start, cut_end FROM cuts""".stripMargin
+
+  /** q180 — repeated-span REMOVAL end-to-end
+    * ([[graft.operators.SpanDedup.removeSpans]]): the q179 cut list
+    * applied — every document of the subcorpus re-emitted with its
+    * covered runs deleted, verified byte-for-byte via length +
+    * sha256 against the oracle reassembling the uncovered segments
+    * with string_agg. The full Lee-et-al. exact-dedup transform,
+    * driver-verified including the actual output text.
+    */
+  def qRemoveSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup
+      .removeSpans(spanCorpus(spark, dir), "doc_id", "text",
+        spanLen = 32)
+      .select(col("id").as("doc_id"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        sha2(col("clean_text"), 256).as("clean_sha"))
+
+  val qRemoveSpansSql: String =
+    s"""$cutsCte,
+       |seg AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(cut_end) OVER (PARTITION BY doc_id
+       |      ORDER BY cut_start), 0) + 1 AS a,
+       |    cut_start - 1 AS b
+       |  FROM cuts
+       |  UNION ALL
+       |  SELECT m.doc_id, m.me + 1 AS a, length(c2.text) AS b
+       |  FROM (SELECT doc_id, MAX(cut_end) AS me
+       |        FROM cuts GROUP BY doc_id) m
+       |  JOIN c c2 USING (doc_id)),
+       |cleaned AS (
+       |  SELECT s.doc_id,
+       |    COALESCE(string_agg(
+       |      CASE WHEN s.b >= s.a THEN
+       |        substr(c2.text, CAST(s.a AS INT),
+       |          CAST(s.b - s.a + 1 AS INT)) END,
+       |      '' ORDER BY s.a), '') AS ct
+       |  FROM seg s JOIN c c2 USING (doc_id)
+       |  GROUP BY s.doc_id)
+       |SELECT c.doc_id,
+       |  CAST(length(COALESCE(cl.ct, c.text)) AS BIGINT) AS clean_len,
+       |  sha256(COALESCE(cl.ct, c.text)) AS clean_sha
+       |FROM c LEFT JOIN cleaned cl USING (doc_id)""".stripMargin
 }
