@@ -32,9 +32,21 @@ object Bench {
     require(unknown.isEmpty,
       s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
         s"${unknown.toSeq.sorted.mkString(", ")}")
+    // Exactness-GATE queries whose physical plan duplicates work the
+    // suite already times: the exhaustive-probe ANN gates are the q30
+    // brute-force scan by construction, and q179's plan is a strict
+    // prefix of q180's. They stay in the CORRECTNESS gate (Verify runs
+    // the full registry); skipping their duplicate timings keeps the
+    // full-suite bench wall-clock flat as the gate count grows.
+    // Explicit query args still bench them (dev loop), and
+    // SPARK_GRAFT_BENCH_ALL=1 restores the full set.
+    val gateTwins = Set("q171_ivf_exact", "q172_lsh_exact",
+      "q174_pq_exact", "q175_ivfpq_exact", "q179_cut_intervals")
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter(kv => args.contains(kv._1))
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries
+      else SparkEntry.queries.filterNot(kv => gateTwins.contains(kv._1))
     val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
