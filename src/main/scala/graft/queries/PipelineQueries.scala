@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{BpeVocab, CrossDedup, PhraseSearch, QualityClassifier, Sampling, Tokenize}
+import graft.operators.{BpeVocab, CrossDedup, Packing, PhraseSearch, QualityClassifier, Sampling, Tokenize}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -396,4 +396,68 @@ object PipelineQueries {
       |  FROM documents)
       |SELECT doc_id, idx // 128 AS shard, idx % 128 AS pos_in_shard
       |FROM ranked""".stripMargin
+
+  /** q181 — sequence packing ([[Packing.packSequences]]): lay the
+    * corpus out in md5-seeded order, append one EOS per doc, cut every
+    * 2048 tokens; per doc the global token offset and the sequence span
+    * it occupies. Offsets come from the two-pass distributed prefix
+    * sum (never a single-partition window); the oracle reproduces them
+    * as an exclusive window cumsum over the same md5 order.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    Packing
+      .packSequences(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", seqLen = 2048L, seed = "pk1")
+      .select("doc_id", "tok_offset", "seq_start", "seq_end", "n_seqs")
+
+  private val packedSqlCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END
+      |      AS n_tok
+      |  FROM documents),
+      |weighted AS (
+      |  SELECT doc_id, n_tok + 1 AS w,
+      |    md5('pk1:' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM toks),
+      |packed AS (
+      |  SELECT doc_id, w,
+      |    CAST(COALESCE(SUM(w) OVER (ORDER BY k, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS tok_offset
+      |  FROM weighted)""".stripMargin
+
+  val qPackSequencesSql: String =
+    packedSqlCte + "\n" +
+      """SELECT doc_id, tok_offset,
+        |  tok_offset // 2048 AS seq_start,
+        |  (tok_offset + w - 1) // 2048 AS seq_end,
+        |  (tok_offset + w - 1) // 2048 - tok_offset // 2048 + 1
+        |    AS n_seqs
+        |FROM packed""".stripMargin
+
+  /** q182 — per-sequence packing stats ([[Packing.sequenceStats]]):
+    * docs touching each 2048-token sequence and docs ENDING in it (the
+    * attention-reset points a packed loader masks on). The explode
+    * fan-out is ceil(w/2048)+1 rows per doc; the only shuffle is the
+    * final groupBy(seq).
+    */
+  def qPackStats(spark: SparkSession, dir: String): DataFrame =
+    Packing.sequenceStats(qPackSequences(spark, dir))
+
+  val qPackStatsSql: String =
+    packedSqlCte + "\n" +
+      """, spans AS (
+        |  SELECT doc_id,
+        |    (tok_offset + w - 1) // 2048 AS seq_end,
+        |    unnest(range(tok_offset // 2048,
+        |                 (tok_offset + w - 1) // 2048 + 1)) AS seq
+        |  FROM packed)
+        |SELECT seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN seq = seq_end THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_doc_ends
+        |FROM spans GROUP BY seq""".stripMargin
 }
