@@ -40,8 +40,14 @@ object Bench {
     // full-suite bench wall-clock flat as the gate count grows.
     // Explicit query args still bench them (dev loop), and
     // SPARK_GRAFT_BENCH_ALL=1 restores the full set.
+    // q183 is a strict plan prefix of q184 (sketch vs sketch+merge);
+    // q186–q189 time the BPE argmax / unigram EM loops on forced
+    // 3-4-word dictionaries — pure correctness gates; q127/q139/
+    // q161/q162 already time the real trainers.
     val gateTwins = Set("q171_ivf_exact", "q172_lsh_exact",
-      "q174_pq_exact", "q175_ivfpq_exact", "q179_cut_intervals")
+      "q174_pq_exact", "q175_ivfpq_exact", "q179_cut_intervals",
+      "q183_hll_registers", "q186_bpe_forced", "q187_bpe_encode_forced",
+      "q188_unigram_forced", "q189_unigram_encode_forced")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
+import graft.operators.PortableHll
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -152,6 +153,105 @@ object CorpusQueries {
         sum(when(col("ratio") < 0.3, 1L).otherwise(0L))
           .as("n_high_redundancy"))
       .orderBy("source")
+
+  /** q183 — portable-HLL register table ([[PortableHll.sketch]]) per
+    * source over the md5-60 5-gram stream: the sketch STATE is pure
+    * integer arithmetic on the hash, so unlike q72's engine-internal
+    * `approx_count_distinct` the whole machinery (hash → register
+    * split → rank → max-merge) is oracle hash-exact; the float
+    * estimator half stays spec-pinned (HllSpec). Shuffle is capped at
+    * |sources| × 256 rows by map-side partials — corpus-size-free.
+    */
+  def qHllRegisters(spark: SparkSession, dir: String): DataFrame =
+    PortableHll.sketch(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(md5Grams60Udf(col("text"), lit(5))).as("h")),
+      Seq("source"), col("h"), p = 8)
+
+  private val hllRemSqlCte: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+      |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+      |  FROM toks),
+      |h AS (
+      |  SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      |  FROM g),
+      |rr AS (
+      |  SELECT source, h >> 52 AS register,
+      |    h % 4503599627370496 AS rem
+      |  FROM h)""".stripMargin
+
+  val qHllRegistersSql: String =
+    hllRemSqlCte + "\n" +
+      """SELECT source, register,
+        |  CAST(MAX(CASE WHEN rem = 0 THEN 53
+        |                ELSE 53 - length(bin(rem)) END) AS BIGINT)
+        |    AS max_rho
+        |FROM rr GROUP BY source, register""".stripMargin
+
+  /** q184 — HLL merge identity ([[PortableHll.merge]]): the global
+    * register table obtained by MERGING the per-source sketches must
+    * exactly equal the sketch of the whole stream — max is
+    * associative, so sketch-then-merge loses nothing. The oracle
+    * computes the global table directly; Spark goes through the
+    * per-source detour, pinning the merge path cross-engine.
+    */
+  def qHllMerge(spark: SparkSession, dir: String): DataFrame =
+    PortableHll.merge(
+      Seq(qHllRegisters(spark, dir).select("register", "max_rho")),
+      Seq.empty)
+
+  val qHllMergeSql: String =
+    hllRemSqlCte + "\n" +
+      """SELECT register,
+        |  CAST(MAX(CASE WHEN rem = 0 THEN 53
+        |                ELSE 53 - length(bin(rem)) END) AS BIGINT)
+        |    AS max_rho
+        |FROM rr GROUP BY register""".stripMargin
+
+  /** q185 — deflate-gate calibration through the REAL codec (the q152
+    * id-class trick applied to q74's rows-only kernel): per doc a
+    * payload whose compressibility CLASS is pure id arithmetic —
+    * class 0 a single repeated char (ratio ≈ 0.01), class 1 an
+    * md5-chain hex string (≥ 4 bits/char of entropy, deflate cannot
+    * get under ≈ 0.5), class 2 a repeated 27-char phrase (≈ 0.03).
+    * The 0.3 redundancy threshold must therefore fire on exactly
+    * classes {0, 2} — the deflate kernel's discrimination is
+    * oracle-checked without ever comparing codec bytes cross-engine.
+    */
+  def qDeflateClasses(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      (id % 3) match {
+        case 0 => "a" * 2048
+        case 1 =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (0 until 16).map { i =>
+            md.digest(s"$id:$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+          }.mkString
+        case _ => "lorem ipsum dolor sit amet " * 80
+      }
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        deflateRatioUdf(synth(col("doc_id"))).as("ratio"))
+      .groupBy((col("doc_id") % 3).as("cls"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ratio") < 0.3, 1L).otherwise(0L))
+          .as("n_compressible"))
+  }
+
+  val qDeflateClassesSql: String =
+    """SELECT doc_id % 3 AS cls, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 3 IN (0, 2) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_compressible
+      |FROM documents GROUP BY doc_id % 3""".stripMargin
 
   val qLangTrigramsSql: String =
     """WITH g AS (

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import graft.operators.{BpeVocab, CountMinSketch, GraphOps, JoinDiscovery, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, CountMinSketch, GraphOps, JoinDiscovery, NearDedup, QualityRules, Tokenize}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -370,6 +370,88 @@ object CurationQueries {
     BpeVocab.train(spark, words, "w", "cnt", merges = 8)
   }
 
+  /** q186 — forced-merge BPE trainer gate (the q152/q185 id-class trick
+    * applied to q127's rows-only justification): per doc_id-mod-4 class
+    * a fixed word (`aaaa`/`aabb`/`abab`/`bbba`) weighted by a 1000×/
+    * 100×/10×/1× count tier, so every one of the 8 merge rounds has a
+    * tier-separated argmax and the WINNING pair sequence — including
+    * one deliberate count tie broken by the UTF-8 pair-key order
+    * (round 7: `(b,a)` vs `(bb,b)`, both t3) — is hand-derivable. The
+    * oracle recomputes each rule's frequency from the class counts
+    * (e.g. step 1 `(a,a)` = 3·t0 + t1), so the distributed pair-count
+    * aggregate, the argmax ordering, the greedy leftmost merge AND the
+    * tie-break are all hash-exact cross-engine; q127 (real corpus)
+    * keeps exercising the trainer at vocabulary scale.
+    */
+  def qBpeForced(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .groupBy((col("doc_id") % 4).as("cls")).agg(count(lit(1)).as("n"))
+      .select(
+        when(col("cls") === 0, "aaaa").when(col("cls") === 1, "aabb")
+          .when(col("cls") === 2, "abab").otherwise("bbba").as("w"),
+        (col("n") * when(col("cls") === 0, 1000L)
+          .when(col("cls") === 1, 100L).when(col("cls") === 2, 10L)
+          .otherwise(1L)).as("cnt"))
+    BpeVocab.train(spark, words, "w", "cnt", merges = 8)
+  }
+
+  val qBpeForcedSql: String =
+    """WITH c AS (
+      |  SELECT doc_id % 4 AS cls, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT
+      |  MAX(CASE WHEN cls = 0 THEN n END) * 1000 AS t0,
+      |  MAX(CASE WHEN cls = 1 THEN n END) * 100 AS t1,
+      |  MAX(CASE WHEN cls = 2 THEN n END) * 10 AS t2,
+      |  MAX(CASE WHEN cls = 3 THEN n END) AS t3 FROM c)
+      |SELECT 1 AS step, 'a' AS "left", 'a' AS "right", 3 * t0 + t1 AS freq FROM t
+      |UNION ALL SELECT 2, 'aa', 'aa', t0 FROM t
+      |UNION ALL SELECT 3, 'b', 'b', t1 + 2 * t3 FROM t
+      |UNION ALL SELECT 4, 'aa', 'bb', t1 FROM t
+      |UNION ALL SELECT 5, 'a', 'b', 2 * t2 FROM t
+      |UNION ALL SELECT 6, 'ab', 'ab', t2 FROM t
+      |UNION ALL SELECT 7, 'b', 'a', t3 FROM t
+      |UNION ALL SELECT 8, 'bb', 'ba', t3 FROM t""".stripMargin
+
+  /** q187 — forced-merge BPE ENCODE gate (the q186 corpus at 5 merges,
+    * where the classes segment differently): rules 1–5 leave class-0/1
+    * words as 1 token, class 2 as `[ab, ab]` (2) and class 3 as
+    * `[bb, b, a]` (3), so the rank-greedy encoder's per-class token
+    * counts are pure id arithmetic the oracle reproduces — gating
+    * [[graft.operators.Tokenize.encodeCountsUdf]]'s rank selection and
+    * greedy-leftmost application cross-engine (q139's real-corpus
+    * encode stays rows-only on top of this).
+    */
+  def qBpeEncodeForced(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .groupBy((col("doc_id") % 4).as("cls")).agg(count(lit(1)).as("n"))
+      .select(
+        when(col("cls") === 0, "aaaa").when(col("cls") === 1, "aabb")
+          .when(col("cls") === 2, "abab").otherwise("bbba").as("w"),
+        (col("n") * when(col("cls") === 0, 1000L)
+          .when(col("cls") === 1, 100L).when(col("cls") === 2, 10L)
+          .otherwise(1L)).as("cnt"))
+    val rules = BpeVocab.train(spark, words, "w", "cnt", merges = 5)
+      .orderBy("step").collect() // bounded: exactly 5 rule rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Tokenize.encodeCountsUdf(rules)
+    docs
+      .select((col("doc_id") % 4).as("cls"),
+        enc(when(col("doc_id") % 4 === 0, "aaaa")
+          .when(col("doc_id") % 4 === 1, "aabb")
+          .when(col("doc_id") % 4 === 2, "abab").otherwise("bbba")).as("e"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_docs"), sum(col("e._2")).as("n_tokens"))
+  }
+
+  val qBpeEncodeForcedSql: String =
+    """SELECT doc_id % 4 AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) * CASE WHEN doc_id % 4 IN (0, 1) THEN 1
+      |                       WHEN doc_id % 4 = 2 THEN 2
+      |                       ELSE 3 END AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY doc_id % 4""".stripMargin
+
   /** q128 — count-min sketch build + probe ([[CountMinSketch]]): term
     * frequencies sketched into a 4×256 table, top-20 true terms probed
     * back. Estimates can only overcount, and because the md5-60 hash
@@ -715,6 +797,83 @@ object CurationQueries {
         concat_ws(" ", col("pieces")).as("segmented"))
       .orderBy("doc_id")
   }
+
+  /** The q188/q189 forced corpus: per doc_id-mod-3 class a synthetic
+    * text whose word-frequency TIER comes from in-doc repetition
+    * (`de`×100 / `fgh`×10 / `gf`×1), with all-distinct chars per word
+    * so no split of a word can out-score its full piece (a k≥2-piece
+    * Viterbi path multiplies k probabilities < 1). The EM/prune trace
+    * is then fully forced at (maxPieceLen=3, targetSize=7,
+    * emRounds=3, pruneFrac=0.5): round 1 keeps {de, fgh, gf}, round 2
+    * prunes `gf` (keepN = max(7−5 chars, ⌈3·0.5⌉) = 2), round 3
+    * re-routes `gf` through its coverage chars — so the final
+    * (piece, count, rank) table is pure class-count arithmetic.
+    * Derivation pinned single-machine in CurationSpec.
+    */
+  private def unigramForcedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 3).as("cls"))
+      .withColumn("text",
+        when(col("cls") === 0, lit(Seq.fill(100)("de").mkString(" ")))
+          .when(col("cls") === 1, lit(Seq.fill(10)("fgh").mkString(" ")))
+          .otherwise(lit("gf")))
+
+  /** q188 — forced unigram-LM trainer gate (the q186 trick for the EM
+    * family): seeds, three E-step Viterbi segmentations, both prune
+    * rounds and the final (−count, piece) rank order are hand-derived
+    * on the forced corpus, so the whole trainer — MINUS the
+    * transcendental logp column, which stays spec-pinned — is oracle
+    * hash-exact. q161 (real corpus) keeps exercising it at scale.
+    */
+  def qUnigramForced(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm
+      .train(unigramForcedCorpus(spark, dir).select(col("text")), "text",
+        maxPieceLen = 3, seedMinCount = 2L, targetSize = 7,
+        emRounds = 3, pruneFrac = 0.5)
+      .select(col("piece"), col("count"), col("rank"))
+
+  val qUnigramForcedSql: String =
+    """WITH c AS (
+      |  SELECT doc_id % 3 AS cls, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT
+      |  MAX(CASE WHEN cls = 0 THEN n END) AS n0,
+      |  MAX(CASE WHEN cls = 1 THEN n END) AS n1,
+      |  MAX(CASE WHEN cls = 2 THEN n END) AS n2 FROM c)
+      |SELECT 'de' AS piece, 100 * n0 AS "count",
+      |  CAST(1 AS BIGINT) AS "rank" FROM t
+      |UNION ALL SELECT 'fgh', 10 * n1, 2 FROM t
+      |UNION ALL SELECT 'f', n2, 3 FROM t
+      |UNION ALL SELECT 'g', n2, 4 FROM t
+      |UNION ALL SELECT 'd', 0, 5 FROM t
+      |UNION ALL SELECT 'e', 0, 6 FROM t
+      |UNION ALL SELECT 'h', 0, 7 FROM t""".stripMargin
+
+  /** q189 — forced unigram ENCODE gate: segmenting the forced corpus
+    * under the q188 vocabulary gives 100/10/2 pieces per doc by class
+    * (class 2's `gf` piece was pruned in round 2, so it must route
+    * through the coverage chars) — [[graft.operators.UnigramLm.encode]]'s
+    * Viterbi + fallback path is oracle-gated; q162 stays rows-only on
+    * the real corpus.
+    */
+  def qUnigramEncodeForced(spark: SparkSession, dir: String): DataFrame = {
+    val docs = unigramForcedCorpus(spark, dir)
+    val vocab = graft.operators.UnigramLm
+      .train(docs.select(col("text")), "text", maxPieceLen = 3,
+        seedMinCount = 2L, targetSize = 7, emRounds = 3, pruneFrac = 0.5)
+    graft.operators.UnigramLm
+      .encode(docs, "doc_id", "text", vocab, maxPieceLen = 3)
+      .join(docs.select(col("doc_id"), col("cls")), Seq("doc_id"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("n_pieces"))
+  }
+
+  val qUnigramEncodeForcedSql: String =
+    """SELECT doc_id % 3 AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) * CASE WHEN doc_id % 3 = 0 THEN 100
+      |                       WHEN doc_id % 3 = 1 THEN 10
+      |                       ELSE 2 END AS BIGINT) AS n_pieces
+      |FROM documents GROUP BY doc_id % 3""".stripMargin
 
   /** q165 — CCNet-style boilerplate removal
     * ([[graft.operators.Boilerplate.flagBoilerplate]]): pages are built

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BpeVocab, CountMinSketch, GraphOps, NearDedup, QualityRules}
+import graft.operators.{BpeVocab, CountMinSketch, GraphOps, NearDedup, QualityRules, Tokenize}
 import graft.queries.CurationQueries
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,28 @@ class CurationSpec extends SparkSpecBase {
     val got = BpeVocab.train(spark, Seq(("ab", 3L)).toDF("w", "cnt"),
       "w", "cnt", merges = 5).collect()
     assert(got.length === 1) // after merging 'a b' the word is one symbol
+  }
+
+  test("q186 forced-merge derivation matches the single-machine trainer") {
+    // the q186 oracle's hand-derived rule sequence, with n0..n3 = 1 —
+    // the derivation is class-size-free as long as tiers dominate
+    val wc = Seq(("aaaa", 1000L), ("aabb", 100L), ("abab", 10L), ("bbba", 1L))
+    val got = BpeVocab.trainLocal(wc, merges = 8)
+    val want = Seq(
+      (1, "a", "a", 3 * 1000L + 100L),
+      (2, "aa", "aa", 1000L),
+      (3, "b", "b", 100L + 2 * 1L),
+      (4, "aa", "bb", 100L),
+      (5, "a", "b", 2 * 10L),
+      (6, "ab", "ab", 10L),
+      (7, "b", "a", 1L), // count tie vs (bb,b) — UTF-8 pair-key order
+      (8, "bb", "ba", 1L))
+    assert(got === want)
+    // and the q187 5-rule encode segmentation per class word
+    val rank = want.take(5).map(t => (t._2, t._3)).zipWithIndex.toMap
+    val toks = Seq("aaaa", "aabb", "abab", "bbba")
+      .map(w => Tokenize.encodeWord(w, rank).length)
+    assert(toks === Seq(1, 1, 2, 3))
   }
 
   test("q127 merge rules on the corpus are deterministic across runs") {

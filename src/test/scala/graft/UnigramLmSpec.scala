@@ -132,4 +132,23 @@ class UnigramLmSpec extends SparkSpecBase {
       .head().getAs[scala.collection.Seq[String]]("pieces")
     assert(enc === Seq("q", "z", "q", "z"))
   }
+
+  test("q188 forced-corpus EM/prune trace matches the hand derivation") {
+    import spark.implicits._
+    // 2 docs per class (so the `gf` seed clears seedMinCount=2); the
+    // q188 oracle values at n0=n1=n2=2. Round 2 must prune `gf`
+    // (keepN = max(7-5, ceil(3*0.5)) = 2), round 3 must re-route it
+    // through the coverage chars f and g.
+    val docs = Seq(
+      Seq.fill(100)("de").mkString(" "), Seq.fill(100)("de").mkString(" "),
+      Seq.fill(10)("fgh").mkString(" "), Seq.fill(10)("fgh").mkString(" "),
+      "gf", "gf").toDF("text")
+    val got = UnigramLm.train(docs, "text", maxPieceLen = 3,
+      seedMinCount = 2L, targetSize = 7, emRounds = 3, pruneFrac = 0.5)
+      .select("piece", "count", "rank")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    val want = Seq(("de", 200L, 1L), ("fgh", 20L, 2L), ("f", 2L, 3L),
+      ("g", 2L, 4L), ("d", 0L, 5L), ("e", 0L, 6L), ("h", 0L, 7L))
+    assert(got.toSeq === want)
+  }
 }
