@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   * Reference analog: the reference counts distincts exactly in memory
   * (etl/tasks count summaries); at corpus scale that becomes this
   * sketch.
+  *
+  * Streaming: [[sketch]] is select + groupBy + max — an algebraic
+  * aggregate Structured Streaming maintains natively, so the same
+  * call on a streaming frame (Complete/Update mode) is a live
+  * distinct-count monitor with state hard-bounded at
+  * |groups| × 2^p rows (StreamingSpec pins streamed == batch across
+  * micro-batches).
   */
 object PortableHll {
 

@@ -458,4 +458,119 @@ object AnalyticsQueries {
       |    AS DOUBLE) AS sum_after
       |FROM e JOIN b USING (event_type)
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
+  /** The q190–q192 synthetic annotation table: the event stream read
+    * as a labeling exercise (item = event_id mod 400, annotator =
+    * user_id mod 5, label = event_type), resolved to one deterministic
+    * vote per (item, annotator) via [[graft.operators.Annotation.resolveVotes]].
+    */
+  private def annotationVotes(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotation.resolveVotes(
+      Tables.events(spark, dir)
+        .select((col("event_id") % 400).as("item"),
+          (col("user_id") % 5).as("annotator"),
+          col("event_type").as("lbl")),
+      "item", "annotator", "lbl")
+
+  private val annotationVotesSqlCte: String =
+    """WITH v AS (
+      |  SELECT event_id % 400 AS item, user_id % 5 AS annotator,
+      |    MIN(event_type) AS label
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q190 — majority-vote label adjudication
+    * ([[graft.operators.Annotation.majorityVote]]): per item the
+    * winning label (ties to the smallest label), its votes and the
+    * item's annotator count — the resolution step downstream of the
+    * chart-review / Label Studio flow (labelstudio.py push → human
+    * labels → this). Grouped integer aggregation; the window runs
+    * over (item × label) rows, never raw votes.
+    */
+  def qMajorityVote(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotation
+      .majorityVote(annotationVotes(spark, dir), "item", "label")
+
+  val qMajorityVoteSql: String =
+    annotationVotesSqlCte + ",\n" +
+      """c AS (
+        |  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM v GROUP BY 1, 2),
+        |r AS (
+        |  SELECT item, label, votes,
+        |    CAST(SUM(votes) OVER (PARTITION BY item) AS BIGINT)
+        |      AS n_annotators,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY item ORDER BY votes DESC, label ASC) AS rn
+        |  FROM c)
+        |SELECT item, label, votes, n_annotators FROM r WHERE rn = 1""".stripMargin
+
+  /** q191 — Cohen's kappa between annotators 0 and 1
+    * ([[graft.operators.Annotation.cohenKappa]]): inter-annotator
+    * agreement in the exact integer form
+    * `(agree·n − Σ na·nb) / (n² − Σ na·nb)` — numerator/denominator
+    * BIGINTs plus ONE double division, so the statistic itself is
+    * hash-exact cross-engine (the q167 z-test discipline, with even
+    * the intermediates integral).
+    */
+  def qCohenKappa(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotation.cohenKappa(
+      annotationVotes(spark, dir), "item", "annotator",
+      col("label"), lit(0L), lit(1L))
+
+  val qCohenKappaSql: String =
+    annotationVotesSqlCte + ",\n" +
+      """p AS (
+        |  SELECT a.item, a.label AS la, b.label AS lb
+        |  FROM v a JOIN v b USING (item)
+        |  WHERE a.annotator = 0 AND b.annotator = 1),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree FROM p),
+        |m AS (
+        |  SELECT l, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM (
+        |    SELECT la AS l, 1 AS ca, 0 AS cb FROM p
+        |    UNION ALL SELECT lb, 0, 1 FROM p) GROUP BY l),
+        |pe AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT)
+        |  AS pe_num FROM m)
+        |SELECT n_items, agree, pe_num,
+        |  agree * n_items - pe_num AS kappa_num,
+        |  n_items * n_items - pe_num AS kappa_den,
+        |  CAST(agree * n_items - pe_num AS DOUBLE)
+        |    / CAST(n_items * n_items - pe_num AS DOUBLE) AS kappa
+        |FROM base, pe""".stripMargin
+
+  /** q192 — Fleiss' kappa over items rated by exactly 5 annotators
+    * ([[graft.operators.Annotation.fleissKappa]]): multi-rater
+    * agreement, same exact-integer discipline —
+    * `((S2 − Nn)·Nn − Se(n−1)) / ((Nn)²(n−1) − Se(n−1))` with one
+    * double division at the edge.
+    */
+  def qFleissKappa(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Annotation
+      .fleissKappa(annotationVotes(spark, dir), "item", "label", n = 5)
+
+  val qFleissKappaSql: String =
+    annotationVotesSqlCte + ",\n" +
+      """cells AS (
+        |  SELECT item, label, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM v GROUP BY 1, 2),
+        |ok AS (SELECT item FROM cells GROUP BY item HAVING SUM(nij) = 5),
+        |q AS (SELECT cells.* FROM cells JOIN ok USING (item)),
+        |s AS (
+        |  SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items,
+        |    CAST(COALESCE(SUM(nij * nij), 0) AS BIGINT) AS s2 FROM q),
+        |e AS (
+        |  SELECT CAST(COALESCE(SUM(cs * cs), 0) AS BIGINT) AS se FROM (
+        |    SELECT SUM(nij) AS cs FROM q GROUP BY label)),
+        |k AS (
+        |  SELECT n_items, s2, se, n_items * 5 AS nn FROM s, e)
+        |SELECT n_items, s2, se,
+        |  (s2 - nn) * nn - se * 4 AS kappa_num,
+        |  nn * nn * 4 - se * 4 AS kappa_den,
+        |  CAST((s2 - nn) * nn - se * 4 AS DOUBLE)
+        |    / CAST(nn * nn * 4 - se * 4 AS DOUBLE) AS kappa
+        |FROM k""".stripMargin
 }

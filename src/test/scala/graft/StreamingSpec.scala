@@ -303,6 +303,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(all.agg(max("seq")).head().getLong(0) >= 2L)
   }
 
+  test("portable HLL: streamed register table equals the batch sketch") {
+    // PortableHll.sketch is select + groupBy + max — an algebraic
+    // (commutative, idempotent) aggregate Structured Streaming
+    // maintains natively, so the SAME operator body is the live
+    // distinct-count monitor: in Complete mode the final register
+    // table must equal the batch sketch bit-for-bit no matter how the
+    // stream is micro-batched. State is hard-bounded at
+    // |groups| × 2^p rows — constant in stream length.
+    val dir = Files.createTempDirectory("hll-stream").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("source"),
+      explode(graft.functions.TextFunctions
+        .md5Grams60Udf(col("text"), lit(5))).as("h"))
+    val q = graft.operators.PortableHll
+      .sketch(grams(stream), Seq("source"), col("h"), p = 8)
+      .writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("hll_stream_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.PortableHll
+      .sketch(grams(spark.read.parquet(dir)), Seq("source"), col("h"), p = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("heavy hitters: tight capacity keeps the hitter within bounds") {
     // 500×hot + 100 singletons through 4 counters: the classic
     // SpaceSaving guarantees, order-independent — the hitter (freq >
