@@ -954,6 +954,103 @@ object TextQueries {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** q193 — LSH operating-point evaluation: the banded candidate set
+    * (the q36 4×2 md5-minhash pipeline) scored against EXACT 3-gram
+    * Jaccard ≥ 0.5 ground truth as integer confusion counts
+    * (tp/fp/fn) plus single-division precision/recall — so the
+    * quality of the approximation is itself driver-verified, the
+    * dedup-family analog of the q104 retrieval eval and the
+    * q171/q172 ANN exactness gates. The Jaccard threshold is integer
+    * cross-multiplied (J ≥ 1/2 ⟺ 3·|A∩B| ≥ |A|+|B|), so truth
+    * membership is exact on both engines.
+    *
+    * Eval-harness contract: the exact-truth stage joins docs sharing
+    * a gram — cost ∝ Σ_gram df(gram)², quadratic in the hottest
+    * gram's document frequency — so the evaluation runs on a
+    * deterministic 20% id-sample plus its copies (the standard
+    * recipe: measure the operating point on a sample, trust LSH at
+    * corpus scale). The candidate side is the real banded pipeline.
+    */
+  def qLshEval(spark: SparkSession, dir: String): DataFrame = {
+    val input = Tables.withIdCopies(
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0),
+      "doc_id", 7, 1000000L)
+    val cands = bandCandidates(md5Sigs(input))
+    val grams = input.select(col("doc_id"),
+      explode(NearDedup.distinctGramsUdf(col("text"), lit(3))).as("gr"))
+      .localCheckpoint(true) // feeds the pair join twice + the sizes
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gr") === col("b.gr") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("i") * 3 >= col("na") + col("nb"))
+      .select(col("id_a"), col("id_b"))
+    val tp = col("c").isNotNull && col("t").isNotNull
+    val fp = col("c").isNotNull && col("t").isNull
+    val fn = col("c").isNull && col("t").isNotNull
+    cands.withColumn("c", lit(true))
+      .join(truth.withColumn("t", lit(true)),
+        Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(tp, 1L).otherwise(0L)).as("tp"),
+        sum(when(fp, 1L).otherwise(0L)).as("fp"),
+        sum(when(fn, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")))
+  }
+
+  val qLshEvalSql: String =
+    s"""WITH input AS (
+       |  SELECT * FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 = 0),
+       |${md5SigCtesSql("input")},
+       |bands AS (
+       |  SELECT doc_id, r.i AS band,
+       |    sig[2*r.i+1] || '|' || sig[2*r.i+2] AS bv
+       |  FROM sigs CROSS JOIN range(0, 4) r(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |ge AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+       |sz AS (SELECT doc_id, len(grams) AS n FROM g),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM ge a JOIN ge b ON a.gr = b.gr AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE i * 3 >= sa.n + sb.n),
+       |m AS (
+       |  SELECT c.id_a IS NOT NULL AS isc, t.id_a IS NOT NULL AS ist
+       |  FROM cand c FULL OUTER JOIN truth t
+       |    ON c.id_a = t.id_a AND c.id_b = t.id_b)
+       |SELECT CAST(COUNT(*) FILTER (isc) AS BIGINT) AS n_candidates,
+       |  CAST(COUNT(*) FILTER (ist) AS BIGINT) AS n_truth,
+       |  CAST(COUNT(*) FILTER (isc AND ist) AS BIGINT) AS tp,
+       |  CAST(COUNT(*) FILTER (isc AND NOT ist) AS BIGINT) AS fp,
+       |  CAST(COUNT(*) FILTER (NOT isc AND ist) AS BIGINT) AS fn,
+       |  CAST(COUNT(*) FILTER (isc AND ist) AS DOUBLE)
+       |    / CAST(COUNT(*) FILTER (isc) AS DOUBLE) AS precision,
+       |  CAST(COUNT(*) FILTER (isc AND ist) AS DOUBLE)
+       |    / CAST(COUNT(*) FILTER (ist) AS DOUBLE) AS recall
+       |FROM m""".stripMargin
+
   /** q37 — near-dup clustering: connected components over a pair graph
     * (copy links + same-lang adjacency chains), labeled by min member
     * id — the grouping stage that turns LSH candidate PAIRS into dedup
