@@ -82,7 +82,11 @@ object Annotation {
       .select(col(itemCol).as("__i"), labelCol.as("la"))
     val b = votes.filter(col(annotatorCol) === annotatorB)
       .select(col(itemCol).as("__i"), labelCol.as("lb"))
-    val pairs = a.join(b, "__i")
+    // materialized: the pair frame feeds BOTH the agreement aggregate
+    // and the marginal products, and its upstream (the vote resolution
+    // over the raw annotation stream) is the expensive pass — without
+    // this the plan resolves votes twice. Item-cardinality rows only.
+    val pairs = a.join(b, "__i").localCheckpoint(true)
     val base = pairs.agg(
       count(lit(1)).as("n_items"),
       sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("agree"))
@@ -123,9 +127,13 @@ object Annotation {
       labelCol: String,
       n: Int): DataFrame = {
     require(n >= 2, s"fleissKappa needs n >= 2 raters, got $n")
+    // materialized: cells feeds the qualifying-item filter AND both
+    // statistic aggregates (via q) — without this the vote resolution
+    // upstream runs once per consumer. (item × label)-cardinality.
     val cells = votes
       .groupBy(col(itemCol), col(labelCol))
       .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
     val qualifying = cells
       .groupBy(col(itemCol))
       .agg(sum(col("nij")).as("ni"))
