@@ -68,6 +68,21 @@ object Bm25 {
     * @return (query id, rank 1..k, doc id, score); docs sharing no term
     *         with the query never appear
     */
+  /** Corpus stats (N docs, total tokens) as a one-row frame — ONE full
+    * scan+agg of the text column. Callers issuing several [[topK]]
+    * passes over the SAME corpus (the RM3 loop: rank → feedback →
+    * re-rank; any multi-query-set workload) should compute this once
+    * and pass it to every call — at corpus scale the stats scan is a
+    * full read, and re-deriving it per pass is a redundant 100 TB scan.
+    */
+  def corpusStats(
+      docs: DataFrame,
+      textCol: String,
+      tokenize: Column => Column): DataFrame =
+    docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(tokenize(col(textCol))).cast("long")).as("__t"))
+
   def topK(
       docs: DataFrame,
       idCol: String,
@@ -78,14 +93,14 @@ object Bm25 {
       queryIdCol: String,
       termCol: String,
       k: Int,
-      logIdf: Boolean = true
+      logIdf: Boolean = true,
+      precomputedStats: Option[DataFrame] = None
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val stats = docs.agg(
-      count(lit(1)).as("__n"),
-      sum(size(tokenize(col(textCol))).cast("long")).as("__t"))
+    val stats = precomputedStats
+      .getOrElse(corpusStats(docs, textCol, tokenize))
     val qt = queries
       .select(col(queryIdCol).as("__qid"), col(termCol).as("__term"))
       .distinct()

@@ -345,7 +345,14 @@ object RetrievalQueries {
     * excluded, top-5 kept. The oracle recomputes the whole chain
     * (ranking → feedback tokens → counts → exclusion → rank) in SQL.
     */
-  def qPrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+  /** The q117 chain with an optional shared corpus-stats frame (the
+    * RM3 loop runs two BM25 passes over the SAME corpus — q118 passes
+    * the stats in so the full stats scan happens once, not per pass).
+    */
+  private def prfExpansionWith(
+      spark: SparkSession,
+      dir: String,
+      stats: Option[DataFrame]): DataFrame = {
     import spark.implicits._
     val queries = querySet.toDF("query_id", "term")
     val docs = Tables.documents(spark, dir)
@@ -353,11 +360,14 @@ object RetrievalQueries {
       docs, "doc_id", "text",
       TextFunctions.tokens, TextFunctions.tokensLocal,
       queries, "query_id", "term",
-      k = 10, logIdf = false)
+      k = 10, logIdf = false, precomputedStats = stats)
     Prf.expansionTerms(ranked, "query_id", "doc_id", "rank",
       docs, "doc_id", "text", TextFunctions.tokens,
       queries, "query_id", "term", fbDocs = 10, nTerms = 5)
   }
+
+  def qPrfExpansion(spark: SparkSession, dir: String): DataFrame =
+    prfExpansionWith(spark, dir, None)
 
   val qPrfExpansionSql: String =
     s"""WITH $bm25CtesSql,
@@ -398,14 +408,22 @@ object RetrievalQueries {
   def qPrfSecondPass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val queries = querySet.toDF("query_id", "term")
+    val docs = Tables.documents(spark, dir)
+    // ONE corpus-stats scan shared by both BM25 passes (materialized:
+    // it is a one-row frame referenced from two plan subtrees, and
+    // Spark does not share aggregate subplans — without this the
+    // stats scan, a FULL corpus read at deployment scale, runs twice)
+    val stats = Bm25.corpusStats(docs, "text", TextFunctions.tokens)
+      .localCheckpoint(true)
     val expanded = queries
-      .unionByName(qPrfExpansion(spark, dir).select("query_id", "term"))
+      .unionByName(prfExpansionWith(spark, dir, Some(stats))
+        .select("query_id", "term"))
       .distinct()
     Bm25.topK(
-      Tables.documents(spark, dir), "doc_id", "text",
+      docs, "doc_id", "text",
       TextFunctions.tokens, TextFunctions.tokensLocal,
       expanded, "query_id", "term",
-      k = 10, logIdf = false)
+      k = 10, logIdf = false, precomputedStats = Some(stats))
   }
 
   val qPrfSecondPassSql: String =
