@@ -83,6 +83,36 @@ object PortableHll {
       .groupBy(groupCols.map(col) :+ col("register"): _*)
       .agg(max(col("max_rho")).as("max_rho"))
 
+  /** Pairwise overlap estimate between two sketches over the same p,
+    * by inclusion–exclusion on the estimator: est(A∩B) = est(A) +
+    * est(B) − est(A∪B), where the union sketch is the exact
+    * [[merge]] — so the only approximation is the estimator itself
+    * (each term carries the standard ~1.04/√m rsd; the intersection
+    * difference compounds them, which is the known accuracy limit of
+    * sketch intersection — fine for the "which sources duplicate each
+    * other" corpus analysis this serves, wrong for exact joins).
+    * Returns one row: (est_a, est_b, est_union, est_intersection,
+    * jaccard_est). Float estimates → spec-pinned, not oracle-hashed;
+    * the underlying register tables stay oracle-exact (q183/q184).
+    */
+  def estimateOverlap(
+      sketchA: DataFrame,
+      sketchB: DataFrame,
+      p: Int): DataFrame = {
+    def est(df: DataFrame, name: String): DataFrame =
+      estimate(df.withColumn("__g", lit(1)), Seq("__g"), p)
+        .select(col("estimate").as(name))
+    val u = merge(Seq(sketchA, sketchB), Seq.empty)
+    est(sketchA, "est_a")
+      .crossJoin(broadcast(est(sketchB, "est_b")))
+      .crossJoin(broadcast(est(u, "est_union")))
+      .withColumn("est_intersection",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+      .withColumn("jaccard_est",
+        when(col("est_union") <= 0.0, lit(0.0))
+          .otherwise(col("est_intersection") / col("est_union")))
+  }
+
   /** HLL estimate per group from a register table (registers absent
     * from the table count as rho = 0). Harmonic-mean estimator with
     * the standard small-range linear-counting correction; doubles and

@@ -64,6 +64,28 @@ class PortableHllSpec extends SparkSpecBase {
     }
   }
 
+  test("overlap estimate recovers a known 50% intersection within rsd bounds") {
+    val p = 8
+    val rsd = 1.04 / math.sqrt(1 << p)
+    // |A| = |B| = 8000, |A∩B| = 4000 (true Jaccard 1/3)
+    val a = ((1 to 4000).map(i => h60(s"shared$i")) ++
+      (1 to 4000).map(i => h60(s"onlyA$i"))).toDF("h")
+    val b = ((1 to 4000).map(i => h60(s"shared$i")) ++
+      (1 to 4000).map(i => h60(s"onlyB$i"))).toDF("h")
+    val r = PortableHll.estimateOverlap(
+      PortableHll.sketch(a, Nil, col("h"), p),
+      PortableHll.sketch(b, Nil, col("h"), p), p).head()
+    // inclusion-exclusion compounds three estimator errors: allow
+    // 3 sketches x 3 rsd each on the intersection, 3 rsd on the sets
+    assert(math.abs(r.getAs[Double]("est_a") - 8000) / 8000 <= 3 * rsd)
+    assert(math.abs(r.getAs[Double]("est_b") - 8000) / 8000 <= 3 * rsd)
+    assert(math.abs(r.getAs[Double]("est_union") - 12000) / 12000 <= 3 * rsd)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 4000) / 4000
+      <= 9 * rsd)
+    assert(r.getAs[Double]("jaccard_est") > 0.2 &&
+      r.getAs[Double]("jaccard_est") < 0.5)
+  }
+
   test("null hashes are ignored; register table never exceeds 2^p rows per group") {
     val df = ((1 to 500).map(i => Some(h60(i.toString))) :+
       (None: Option[Long])).toDF("h").withColumn("g", lit(1))
