@@ -169,6 +169,54 @@ object CorpusQueries {
           explode(md5Grams60Udf(col("text"), lit(5))).as("h")),
       Seq("source"), col("h"), p = 8)
 
+  /** q194 — HLL estimator ACCURACY gate (the recall-gate pattern from
+    * q171/q172 applied to the estimator half that q183/q184 leave
+    * spec-pinned): per source, the [[PortableHll.estimate]] of the
+    * md5-60 5-gram stream must land within 3× the theoretical rsd
+    * (1.04/√256 ≈ 6.5%) of the EXACT distinct count. Spark emits the
+    * integer exact count and the boolean verdict; the oracle
+    * recomputes the exact count and pins the verdict TRUE — the
+    * estimate is deterministic (fixed hash family), so if the
+    * estimator ever degrades this row goes red at the driver, not
+    * just in a spec. The exact countDistinct is gate-scale work by
+    * design (the production path uses the sketch precisely to avoid
+    * it).
+    */
+  def qHllAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val p = 8
+    val bound = 3.0 * 1.04 / math.sqrt((1 << p).toDouble)
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(md5Grams60Udf(col("text"), lit(5))).as("h"))
+      .localCheckpoint(true) // feeds the sketch AND the exact count
+    val est = PortableHll.estimate(
+      PortableHll.sketch(grams, Seq("source"), col("h"), p),
+      Seq("source"), p)
+    val exact = grams.groupBy("source")
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    est.join(exact, "source")
+      .select(col("source"), col("exact_distinct"),
+        (abs(col("estimate") - col("exact_distinct").cast("double")) <=
+          lit(bound) * col("exact_distinct").cast("double"))
+          .as("within_bound"))
+  }
+
+  val qHllAccuracySql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+      |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+      |  FROM toks),
+      |h AS (
+      |  SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      |  FROM g)
+      |SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct,
+      |  TRUE AS within_bound
+      |FROM h GROUP BY source""".stripMargin
+
   private val hllRemSqlCte: String =
     """WITH toks AS (
       |  SELECT source, string_split_regex(trim(text), '\s+') AS t
