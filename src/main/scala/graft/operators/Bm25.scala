@@ -48,6 +48,21 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Corpus stats (N docs, total tokens) as a one-row frame — ONE full
+    * scan+agg of the text column. Callers issuing several [[topK]]
+    * passes over the SAME corpus (the RM3 loop: rank → feedback →
+    * re-rank; any multi-query-set workload) should compute this once
+    * and pass it to every call — at corpus scale the stats scan is a
+    * full read, and re-deriving it per pass is a redundant 100 TB scan.
+    */
+  def corpusStats(
+      docs: DataFrame,
+      textCol: String,
+      tokenize: Column => Column): DataFrame =
+    docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(tokenize(col(textCol))).cast("long")).as("__t"))
+
   /** Top-k docs per query by BM25.
     *
     * The query table is collected to the driver (it is the SMALL side by
@@ -68,21 +83,6 @@ object Bm25 {
     * @return (query id, rank 1..k, doc id, score); docs sharing no term
     *         with the query never appear
     */
-  /** Corpus stats (N docs, total tokens) as a one-row frame — ONE full
-    * scan+agg of the text column. Callers issuing several [[topK]]
-    * passes over the SAME corpus (the RM3 loop: rank → feedback →
-    * re-rank; any multi-query-set workload) should compute this once
-    * and pass it to every call — at corpus scale the stats scan is a
-    * full read, and re-deriving it per pass is a redundant 100 TB scan.
-    */
-  def corpusStats(
-      docs: DataFrame,
-      textCol: String,
-      tokenize: Column => Column): DataFrame =
-    docs.agg(
-      count(lit(1)).as("__n"),
-      sum(size(tokenize(col(textCol))).cast("long")).as("__t"))
-
   def topK(
       docs: DataFrame,
       idCol: String,

@@ -52,19 +52,21 @@ object SpanDedup {
       textCol: String,
       spanLen: Int = 32,
       initChars: Int = 8): DataFrame = {
-    val ranked = SuffixRank.rank(docs, idCol, textCol, spanLen, initChars)
     val lens = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         length(col(textCol)).cast("long").as("__len"))
-    val full = ranked.join(lens, "id")
-      .filter(col("pos") <= col("__len") - (spanLen - 1))
-      .withColumn("__key", col("id") * PosBound + col("pos"))
     // the (doc, pos) total order as one integer so "globally first
-    // occurrence" is MIN in any engine; guarded, not assumed
+    // occurrence" is MIN in any engine; guarded, not assumed — and
+    // checked BEFORE the (eager, expensive) ranking pass so a
+    // contract violation fails fast instead of after the suffix sort
     val guard = lens.filter(col("__len") >= PosBound).limit(1).collect()
     require(guard.isEmpty,
       s"document longer than $PosBound chars aliases the position key")
+    val ranked = SuffixRank.rank(docs, idCol, textCol, spanLen, initChars)
+    val full = ranked.join(lens, "id")
+      .filter(col("pos") <= col("__len") - (spanLen - 1))
+      .withColumn("__key", col("id") * PosBound + col("pos"))
     val wc = Window.partitionBy("rank")
     val dups = full
       .withColumn("__n", count(lit(1)).over(wc))

@@ -415,8 +415,8 @@ object PipelineQueries {
   private val packedSqlCte: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    CASE WHEN trim(text) = '' THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END
+      |    COALESCE(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END, 0)
       |      AS n_tok
       |  FROM documents),
       |weighted AS (
