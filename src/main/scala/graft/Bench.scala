@@ -9,6 +9,45 @@ import org.apache.spark.sql.SparkSession
   * amortizes away, which is the regime the baseline describes.
   */
 object Bench {
+
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work load calibration: every core spins the same constant
+    * iteration count and the WALL time is reported. On an idle host
+    * this is a hardware constant (~0.25s here); under external load
+    * the wall time stretches with scheduling contention — exactly the
+    * distortion that stretches the query timings. Emitting it
+    * before/during/after the run makes the artifact self-interpreting:
+    * a BENCH_rN whose cal values sit 2–4× above the ~1.0s idle
+    * constant is announcing its absolute numbers carry that multiplier
+    * (r7's artifact recorded etl.incr_s=29.1 vs 7.1s idle on the SAME
+    * tree with no way to tell — that gap motivated this).
+    */
+  def loadCal(threads: Int): Double = {
+    val iters = 400000000L
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { t =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + t
+        var i = 0L
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        blackhole ^= x
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1-minute system load average (−1 where the JVM can't read it) —
+    * the cheap external-load witness beside [[loadCal]]'s direct one.
+    */
+  def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +92,10 @@ object Bench {
       else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries
       else SparkEntry.queries.filterNot(kv => gateTwins.contains(kv._1))
+    val calThreads = cpus.toInt
+    val calPre = loadCal(calThreads)
+    val avgPre = loadAvg()
+    System.err.println(f"[bench] load cal pre=$calPre%.2fs loadavg=$avgPre%.1f")
     val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -106,28 +149,49 @@ object Bench {
     // scale (100k patients / 200k observations, the r3 baseline shape:
     // 37.4s cold / 21.4s incremental) unless the full suite isn't
     // being run (dev subsets skip it) or SPARK_GRAFT_ETL_BENCH=0.
+    val calMid = loadCal(calThreads)
+    System.err.println(f"[bench] load cal mid=$calMid%.2fs")
+    // min-of-2 per ETL component: r7's recorded incr_s was 4.2× its
+    // idle-host value (ambient load during the single sample); a second
+    // sample tightens the min the same way the query loop's does
     val etlJson: String =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_ETL_BENCH").contains("0"))
         ""
       else {
         try {
-          val t = EtlBench.runOnce(spark,
-            sys.env.getOrElse("SPARK_GRAFT_ETL_PATIENTS", "100000").toInt,
-            sys.env.getOrElse("SPARK_GRAFT_ETL_OBS", "200000").toInt)
+          val etlRuns =
+            sys.env.getOrElse("SPARK_GRAFT_ETL_RUNS", "2").toInt
+          val ts = (1 to math.max(1, etlRuns)).map { _ =>
+            EtlBench.runOnce(spark,
+              sys.env.getOrElse("SPARK_GRAFT_ETL_PATIENTS", "100000").toInt,
+              sys.env.getOrElse("SPARK_GRAFT_ETL_OBS", "200000").toInt)
+          }
+          val t = EtlBench.EtlTimings(ts.head.rows,
+            ts.map(_.coldS).min, ts.map(_.incrS).min, ts.map(_.tinyS).min)
           System.err.println(f"[bench] etl cold=${t.coldS}%.1fs " +
-            f"incr=${t.incrS}%.1fs tiny=${t.tinyS}%.1fs rows=${t.rows}")
-          f""","etl":{"rows":${t.rows},"cold_s":${t.coldS}%.1f,"incr_s":${t.incrS}%.1f,"tiny_s":${t.tinyS}%.1f}"""
+            f"incr=${t.incrS}%.1fs tiny=${t.tinyS}%.1fs rows=${t.rows} " +
+            s"(min of $etlRuns)")
+          f""","etl":{"rows":${t.rows},"cold_s":${t.coldS}%.1f,"incr_s":${t.incrS}%.1f,"tiny_s":${t.tinyS}%.1f,"runs":$etlRuns}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] etl bench failed: ${e.getMessage}")
             ",\"etl\":\"failed\""
         }
       }
+    val calPost = loadCal(calThreads)
+    val avgPost = loadAvg()
+    System.err.println(
+      f"[bench] load cal post=$calPost%.2fs loadavg=$avgPost%.1f")
+    // idle-host constant for this hardware is ~1.0s (documented in
+    // PERF.md); cal values well above it flag ambient load, making the
+    // artifact self-interpreting instead of silently distorted
+    val loadJson =
+      f""","load":{"cal_pre_s":$calPre%.2f,"cal_mid_s":$calMid%.2f,"cal_post_s":$calPost%.2f,"loadavg_pre":$avgPre%.1f,"loadavg_post":$avgPost%.1f}"""
     def compactLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val m = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson$loadJson,"sf":"$sfDir"}"""
     }
     // capture window 2000 chars minus sbt's trailing "[success] ..."
     // line (~80) and slack for a stray WARN — budget 1800
@@ -140,7 +204,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson$etlJson,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson$etlJson$loadJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // read-only CWD is fine
     spark.stop()
   }
