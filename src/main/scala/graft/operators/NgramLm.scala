@@ -74,9 +74,12 @@ object NgramLm {
     * denominator (both map-side-combinable aggregates of the corpus,
     * joined by key — the LM never collects to the driver, so it may be
     * arbitrarily large), then ONE regroup by document sums the
-    * log-probabilities. Transcendental ln/exp → no SQL oracle
-    * (engine libm rounding differs); NgramLmSpec pins exact values
-    * against the same-JVM reference formula.
+    * log-probabilities. Output: (id, n_bigrams, n_oov, ppl) — the OOV
+    * count (bigrams absent from the LM) is the exact-integer half of
+    * the quality signal and rides the same regroup for free. The raw
+    * ppl doubles are transcendental (engine libm rounding differs), so
+    * the registered gate (q159) quantizes them with a guard band; the
+    * spec pins exact values against the same-JVM reference formula.
     */
   def perplexity(
       docs: DataFrame,
@@ -108,6 +111,7 @@ object NgramLm {
             lit(alpha) * col("v").cast("double")))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bigram").isNull, 1L).otherwise(0L)).as("n_oov"),
         exp(-sum(log(col("__p"))) / count(lit(1))).as("ppl"))
   }
 }

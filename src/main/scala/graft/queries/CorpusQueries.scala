@@ -790,8 +790,21 @@ object CorpusQueries {
     * and improbable-transition docs (boilerplate, wrong-language,
     * garbage) surface with high ppl. Add-0.5 smoothing; the LM stays
     * distributed (two keyed joins, one regroup — never collected).
-    * Transcendental ln/exp → rows-only gate; NgramLmSpec pins exact
-    * same-JVM values and the repetitive-beats-random ordering.
+    *
+    * Gate form (was rows-only through r7): the exact-integer halves
+    * (n_bigrams, n_oov) hash directly, and the transcendental ppl is
+    * pinned as floor(ln(ppl)·1e6) — ln-space because the cross-engine
+    * drift of ln(ppl) is ABSOLUTE (≤ ~1e-14: per-term 1-ulp libm ln
+    * skew and the distributed sum order both wash out in the /n mean,
+    * plus 2 ulps for exp∘ln), so the flip-a-bucket probability is
+    * (2·1e-14)/1e-6 ≈ 2e-8 per row — ~1e-4 per corpus at sf0.1, vs
+    * the ~1-in-1 odds a per-row GUARD BAND wide enough to matter
+    * would trip at this row count (a 500-row corpus put a real value
+    * inside the first draft's 1e-3 band). ppl is pinned to 6
+    * significant relative digits; any algorithmic defect (wrong
+    * count, wrong smoothing mass, lost context) moves it orders of
+    * magnitude more. NgramLmSpec still pins exact same-JVM values and
+    * the repetitive-beats-random ordering.
     */
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -800,8 +813,54 @@ object CorpusQueries {
     graft.operators.NgramLm
       .perplexity(docs, "doc_id", "text",
         (c, n) => wordNgramsKernel(c, n), lm)
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        floor(log(col("ppl")) * lit(1e6)).cast("long").as("lnppl_q6"))
       .orderBy("doc_id")
   }
+
+  /** The same LM + smoothing + quantization in DuckDB: the q109 bigram
+    * CTE chain (pruned ≥3 AFTER the denominator), per-w1 context
+    * totals, the pruned-vocabulary continuation count V, and per doc
+    * ln(exp(−Σ ln p / n)) floored at the 1e-6 ln-space grid — the
+    * redundant exp∘ln mirrors the Spark side exactly (its operator
+    * emits ppl; the gate re-derives ln), keeping the two float paths
+    * step-for-step identical.
+    */
+  val qLmPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents WHERE trim(text) <> ''),
+      |bg AS (
+      |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+      |    FROM tok)),
+      |counted AS (
+      |  SELECT w1, w2, COUNT(*) AS c_bigram FROM bg GROUP BY w1, w2),
+      |with_den AS (
+      |  SELECT w1, w2, c_bigram,
+      |    CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_w1
+      |  FROM counted),
+      |lm AS (
+      |  SELECT w1, w2, c_bigram, c_w1 FROM with_den WHERE c_bigram >= 3),
+      |den AS (SELECT w1, MAX(c_w1) AS c_ctx FROM lm GROUP BY w1),
+      |voc AS (SELECT COUNT(DISTINCT w2) AS v FROM lm),
+      |p AS (
+      |  SELECT b.doc_id,
+      |    (CAST(COALESCE(l.c_bigram, 0) AS DOUBLE) + 0.5) /
+      |      (CAST(COALESCE(d.c_ctx, 0) AS DOUBLE)
+      |        + 0.5 * CAST(voc.v AS DOUBLE)) AS pr,
+      |    CASE WHEN l.c_bigram IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM bg b
+      |  LEFT JOIN lm l ON l.w1 = b.w1 AND l.w2 = b.w2
+      |  LEFT JOIN den d ON d.w1 = b.w1
+      |  CROSS JOIN voc)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  CAST(floor(ln(exp(-SUM(ln(pr)) / COUNT(*))) * 1e6) AS BIGINT)
+      |    AS lnppl_q6
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q176 — distributed suffix-array ranking
     * ([[graft.operators.SuffixRank]]): every character position of the

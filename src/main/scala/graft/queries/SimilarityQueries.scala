@@ -251,37 +251,29 @@ object SimilarityQueries {
     * losing orthonormality, mean-centering, projection kernel) breaks
     * the equality, so the gate went from rows-only to hash-exact
     * without comparing eigen numerics cross-engine. Quantization:
-    * `floor(‖P(v)‖²·1e6)` as BIGINT, with an in-kernel GUARD BAND —
-    * the cross-engine summation-order slack is ~1e-12 (~1e-6 in
-    * scaled units), so a value within 1e-3 of a floor boundary could
-    * quantize differently on another engine; the kernel rejects such
-    * values loudly (deterministic failure) instead of letting the
-    * hash gate flake (1000× headroom between slack and band). PcaSpec
-    * still pins orthonormality, descending variances,
-    * projected-variance == eigenvalue, and k=d reconstruction.
+    * `floor(‖P(v)‖²·1e4)` as BIGINT. The grid is sized against the
+    * cross-engine summation-order slack (~1e-12 absolute on a ~1.0
+    * value): flip-a-bucket probability ≈ 2·1e-12/1e-4 = 2e-8 per row,
+    * ~1e-4 per 5,000-row corpus. (A per-row GUARD BAND cannot do
+    * better here: any band wide enough to out-margin the slack gets
+    * hit by a legitimate value at ~band×rows odds — both the 1e-3
+    * band and r7's round(·,6) drew real values at sf0.1. Coarsening
+    * the grid is the only move that shrinks BOTH failure modes.)
+    * Four decimals still pin norm preservation far below any real
+    * defect — a degraded eigenbasis or wrong mean shifts norms at
+    * percent level. PcaSpec still pins orthonormality, descending
+    * variances, projected-variance == eigenvalue, and k=d
+    * reconstruction.
     */
   def qPcaEmbed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.{aggregate, col, floor, lit}
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val model = graft.operators.Pca.fit(emb, "embedding", k = 64)
-    val norm2q = udf { (v: Seq[Double]) =>
-      if (v == null) null
-      else {
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val scaled = s * 1e6
-        val fl = math.floor(scaled)
-        val frac = scaled - fl
-        require(frac > 1e-3 && frac < 1 - 1e-3,
-          f"cnorm2 $s%.12f lands inside the floor guard band " +
-            "(within 1e-9 of a quantization boundary) — the gate " +
-            "would be engine-order-sensitive here")
-        java.lang.Long.valueOf(fl.toLong)
-      }
-    }
+    val norm2 = aggregate(col("pca"), lit(0.0),
+      (acc, x) => acc + x * x)
     graft.operators.Pca.transform(emb, "embedding", model)
-      .select(col("vec_id"), norm2q(col("pca")).as("cnorm2"))
+      .select(col("vec_id"),
+        floor(norm2 * lit(1e4)).cast("long").as("cnorm2_q4"))
   }
 
   val qPcaEmbedSql: String =
@@ -289,8 +281,8 @@ object SimilarityQueries {
       |u AS (SELECT vec_id, i, e[i] AS x FROM v, range(1, 65) t(i)),
       |m AS (SELECT i, avg(x) AS mu FROM u GROUP BY i)
       |SELECT u.vec_id,
-      |  CAST(floor(sum((u.x - m.mu) * (u.x - m.mu)) * 1e6) AS BIGINT)
-      |    AS cnorm2
+      |  CAST(floor(sum((u.x - m.mu) * (u.x - m.mu)) * 1e4) AS BIGINT)
+      |    AS cnorm2_q4
       |FROM u JOIN m USING (i) GROUP BY u.vec_id""".stripMargin
 
   /** q171 — IVF index EXACTNESS gate: [[Similarity.ivfTopK]] probing

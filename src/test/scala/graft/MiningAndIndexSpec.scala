@@ -79,10 +79,16 @@ class MiningAndIndexSpec extends SparkSpecBase {
       (11L, "a c a c"),
       (12L, "x y x y")
     ).toDF("doc_id", "text")
-    val got = NgramLm.perplexity(score, "doc_id", "text",
+    val rows = NgramLm.perplexity(score, "doc_id", "text",
         (c, n) => TextFunctions.wordNgramsKernel(c, n), lm)
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ppl"))).toMap
+    val oov = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_oov")).toMap
+    // OOV = bigrams absent from the LM: doc 10 all seen, doc 11 has
+    // the unseen (c,a) context transition, doc 12 entirely unseen
+    assert(oov === Map(10L -> 0L, 11L -> 1L, 12L -> 3L))
     // reference formula, same JVM: p = (c+0.5)/(c_ctx+0.5*V), V = 3
     // distinct continuations (b, a, c); corpus counts: (a,b)=5 (b,a)=4
     // (a,c)=1; c_a=6, c_b=4, c_c=1 (from "c a"? no: corpus bigrams of
