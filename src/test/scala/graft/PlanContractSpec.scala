@@ -68,6 +68,49 @@ class PlanContractSpec extends SparkSpecBase {
       s"q6_filter_agg: no non-empty PushedFilters in:\n$p")
   }
 
+  test("headline pipelines stay within their shuffle budgets") {
+    // every Exchange is a full materialize-and-repartition of its
+    // input — at 100 TB each one is the dominant cost, so a refactor
+    // that silently adds one must fail the suite the way a
+    // CartesianProduct already does. Ceilings are the measured counts
+    // of the current plans (sf0.001, AQE-final). Note the LSH/dedup
+    // queries run their connected-components rounds EAGERLY during
+    // DataFrame construction (localCheckpointed, separate jobs), so
+    // this counts the final visible plan — the per-round CC shuffle
+    // discipline is pinned by GraphOpsSpec instead.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def countShuffles(n: SparkPlan): Int = {
+      val self = n match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(countShuffles).sum
+    }
+    val budgets = Seq(
+      "q38_dedup_corpus" -> 1, // band edges → final component agg
+      "q87_dedup_best" -> 1, // same chain, windowed-argmax survivor
+      "q135_cross_dedup" -> 5, // probe join + admission + maintenance
+      "q148_setsim_join" -> 2, // prefix-token join + pair verification
+      "q65_asof_join" -> 3 // bucket explode + sort + merge
+    )
+    for ((name, budget) <- budgets) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.count()
+      val got = countShuffles(df.queryExecution.executedPlan)
+      assert(got <= budget,
+        s"$name: $got shuffle exchanges in the final plan, budget " +
+          s"$budget — a new exchange crept in:\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("as-of and interval joins never degrade to nested-loop scans") {
     // the bucketed equi-join re-expression is the whole point of
     // these operators; a planner fallback to BroadcastNestedLoopJoin
