@@ -1,0 +1,265 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{GraphOps, PortableHll, SetSimJoin, SpanDedup,
+  SuffixRank, TemporalJoins}
+import graft.queries.TextQueries
+
+/** Scaling measurement: the 100× claim as data instead of argument
+  * (VERDICT r7 #2). Inflates the sf0.1 corpus IN-ENGINE by factors
+  * 1/10/100 and times the most expensive operator families at each
+  * point, so PERF.md can show measured scaling curves instead of
+  * design prose.
+  *
+  * Inflation model — horizontal growth, constant structure: replica
+  * `k` of `documents` prefixes every token with `r<k>` (replicas share
+  * NO grams, so candidate structure never blows up quadratically
+  * across replicas) and keeps the per-replica duplicate structure the
+  * gates use (mod-7 exact copies for the dedup chain, mod-30 copies
+  * of the every-10th subcorpus for repeated spans); replica `k` of
+  * `events` shifts user ids (new users, same per-user event density —
+  * how a real workload grows). Inflated tables are written to tmp
+  * parquet ONCE per (factor, testdata generation) so the timed region
+  * reads from storage like the real pipeline would.
+  *
+  * Expected shapes (what the curves should show):
+  *  - LSH dedup / PPJoin / HLL / as-of: ~linear (candidates bounded by
+  *    banding/prefix-df; sketch shuffle corpus-size-free; as-of is one
+  *    bucketed sort-merge);
+  *  - suffix ranking: n·log-ish (3–5 dense re-ranks, each a
+  *    range-sort of one row per character);
+  *  - incremental CC fold: linear in the BATCH, flat-ish in the base
+  *    (the fold never re-reads base pairs).
+  *
+  * Usage: `runMain graft.ScaleBench [family...]`; factors via
+  * SPARK_GRAFT_SCALE_FACTORS (default "1,10,100").
+  */
+object ScaleBench {
+
+  private final case class Res(family: String, factor: Int,
+      seconds: Double, rows: Long, metrics: Map[String, Long])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = Seq("lsh_dedup", "incr_fold", "ppjoin", "suffix_rank",
+      "span_dedup", "hll", "asof")
+    val families = if (args.nonEmpty) args.toSeq else all
+    val unknown = families.toSet -- all.toSet
+    require(unknown.isEmpty, s"unknown families: ${unknown.mkString(",")}")
+
+    // one untimed warmup pass at the smallest factor: the first
+    // execution of each family pays JVM/codegen/scan-footer costs
+    // that would otherwise land entirely on the first timed point and
+    // flatter the curve
+    val warmDir = inflate(spark, sfDir, factors.min)
+    families.foreach(f => runFamily(spark, f, warmDir, factors.min))
+    System.err.println("[scale] warmup done")
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[Res]
+    for (factor <- factors) {
+      val base = inflate(spark, sfDir, factor)
+      val cal0 = Bench.loadCal(cpus.toInt)
+      System.err.println(f"[scale] ===== factor $factor cal=$cal0%.2fs =====")
+      // min-of-2 against ambient-load noise where affordable; the
+      // largest factor runs once (its absolute numbers are minutes —
+      // noise is proportionally small and wall-clock is not free)
+      val runs = if (factor >= 100) 1
+        else sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+      for (fam <- families) {
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val (rows, metrics) = runFamily(spark, fam, base, factor)
+          ((System.nanoTime() - t0) / 1e9, rows, metrics)
+        }
+        val (dt, rows, metrics) = samples.minBy(_._1)
+        System.err.println(f"[scale] f=$factor%-4d $fam%-12s $dt%9.2fs " +
+          s"rows=$rows ${metrics.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+        results += Res(fam, factor, dt, rows, metrics)
+      }
+    }
+    val json = results.map { r =>
+      val ms = r.metrics.map { case (k, v) => s""""$k":$v""" }
+        .mkString(",")
+      f"""{"family":"${r.family}","factor":${r.factor},"sec":${r.seconds}%.2f,"rows":${r.rows}${if (ms.nonEmpty) "," + ms else ""}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"scalebench","sf":"$sfDir","results":$json}""")
+    try Files.writeString(Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_OUT", "scalebench_latest.json")), json + "\n")
+    catch { case _: Exception => () }
+    spark.stop()
+  }
+
+  /** Inflated (documents, events) parquet dir for `factor`, built once
+    * per (factor, testdata generation) — replica token-prefixing makes
+    * cross-replica grams disjoint; per-replica id spaces are 10M
+    * (docs) / 1B-event 10M-user (events) apart.
+    */
+  private def inflate(spark: SparkSession, sfDir: String,
+      factor: Int): String = {
+    val mtime = new java.io.File(sfDir, "documents.parquet").lastModified
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir:$factor:$mtime") &
+        0xffffffffL)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-scale-$key")
+    if (!new java.io.File(dir, "_done").exists()) {
+      val t0 = System.nanoTime()
+      val reps = spark.range(factor).select(col("id").as("__rep"))
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("__rep") * lit(10000000L)).as("doc_id"),
+          when(col("__rep") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("r"), col("__rep"), lit("$1")))).as("text"),
+          col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      docs.repartition(32).write.mode("overwrite")
+        .parquet(new java.io.File(dir, "documents.parquet").getPath)
+      val events = graft.tables.Tables.events(spark, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") + col("__rep") * lit(1000000000L))
+            .as("event_id"),
+          col("ts"),
+          (col("user_id") + col("__rep") * lit(10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      events.repartition(32).write.mode("overwrite")
+        .parquet(new java.io.File(dir, "events.parquet").getPath)
+      new java.io.File(dir, "_done").createNewFile()
+      System.err.println(
+        f"[scale] built factor-$factor corpus in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
+    }
+    dir.getPath
+  }
+
+  /** The q38 input shape at any factor: corpus + per-replica mod-7
+    * exact copies (constant duplicate fraction).
+    */
+  private def withCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs
+      .filter(col("doc_id") % 10000000L % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+
+  private def runFamily(spark: SparkSession, fam: String, dir: String,
+      factor: Int): (Long, Map[String, Long]) = {
+    val docs = spark.read.parquet(
+      new java.io.File(dir, "documents.parquet").getPath)
+    val events = spark.read.parquet(
+      new java.io.File(dir, "events.parquet").getPath)
+    fam match {
+      case "lsh_dedup" =>
+        // the full q38/q87 chain: signatures → banded star edges →
+        // connected components → survivor table
+        val input = withCopies(docs)
+        val comps = GraphOps.connectedComponents(
+          spark, TextQueries.bandStarEdges(TextQueries.md5Sigs(input)),
+          "id_a", "id_b", nodes = Some(input.select(col("doc_id"))))
+        val out = GraphOps.dedupGroups(comps)
+        val n = out.queryExecution.toRdd.count()
+        (n, Map.empty)
+      case "incr_fold" =>
+        // q142 shape. The family's wall time includes the base-state
+        // build (the part that grows with the CORPUS); base_ms/fold_ms
+        // split it so the curve of interest — the fold, which should
+        // scale with the BATCH — is its own series
+        val tB0 = System.nanoTime()
+        val baseSigs = TextQueries.md5Sigs(docs)
+        val baseComps = GraphOps.connectedComponents(
+          spark, TextQueries.bandStarEdges(baseSigs), "id_a", "id_b",
+          nodes = Some(docs.select(col("doc_id"))))
+          .localCheckpoint(true)
+        val baseBands = TextQueries.bandedSigs(baseSigs, withSig = false)
+          .localCheckpoint(true)
+        val baseS = ((System.nanoTime() - tB0) / 1e9 * 1000).toLong
+        val newDocs = docs.filter(col("doc_id") % 10000000L % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        val tF0 = System.nanoTime()
+        val newBands = TextQueries.bandedSigs(
+          TextQueries.md5Sigs(newDocs), withSig = false)
+        val newPairs = newBands.as("a")
+          .join(baseBands.unionByName(newBands).as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bv") === col("b.bv") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+          .distinct()
+        val folded = GraphOps.incrementalComponents(
+          spark, baseComps, newPairs, "id_a", "id_b",
+          nodes = Some(docs.select(col("doc_id"))
+            .unionByName(newDocs.select(col("doc_id")))))
+        val n = folded.queryExecution.toRdd.count()
+        val foldMs = ((System.nanoTime() - tF0) / 1e9 * 1000).toLong
+        (n, Map("base_ms" -> baseS, "fold_ms" -> foldMs))
+      case "ppjoin" =>
+        val input = withCopies(docs).select(col("doc_id"),
+          TextFunctions.md5GramSet64Udf(col("text"), lit(3)).as("grams"))
+        val tJ0 = System.nanoTime()
+        val pairs = SetSimJoin.jaccardSelfJoin(input, "doc_id", "grams",
+          tau = 0.5)
+        val n = pairs.queryExecution.toRdd.count()
+        val joinMs = ((System.nanoTime() - tJ0) / 1e9 * 1000).toLong
+        // candidate count — the quantity prefix filtering bounds —
+        // costs its own pass, so join_ms carries the curve's time and
+        // the family wall time includes both
+        val cands = SetSimJoin
+          .candidatePairs(input, "doc_id", "grams", tau = 0.5).count()
+        (n, Map("cands" -> cands, "join_ms" -> joinMs))
+      case "suffix_rank" =>
+        val sub = docs.filter(col("doc_id") % 10 === 0)
+        val ranked = SuffixRank.rank(sub, "doc_id", "text", depth = 32)
+        val n = ranked.queryExecution.toRdd.count()
+        (n, Map.empty)
+      case "span_dedup" =>
+        // the q179 corpus shape: every-10th subcorpus + per-replica
+        // mod-30 exact copies so full-window repeated spans exist
+        val sub = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        val corpus = sub.unionByName(
+          sub.filter(col("doc_id") % 10000000L % 30 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        val cuts = SpanDedup.cutIntervals(corpus, "doc_id", "text")
+        val n = cuts.queryExecution.toRdd.count()
+        (n, Map.empty)
+      case "hll" =>
+        val grams = docs.select(col("source"),
+          explode(TextFunctions.md5Grams60Udf(col("text"), lit(5)))
+            .as("h"))
+        val est = PortableHll.estimate(
+          PortableHll.sketch(grams, Seq("source"), col("h"), p = 8),
+          Seq("source"), p = 8)
+        val n = est.queryExecution.toRdd.count()
+        (n, Map.empty)
+      case "asof" =>
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value"))
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts"))
+        val joined = TemporalJoins.asOfJoinBucketed(purchases, clicks,
+          "user_id", "ts", "ts", bucketMicros = 3600L * 1000000)
+        val n = joined.queryExecution.toRdd.count()
+        (n, Map.empty)
+    }
+  }
+}

@@ -47,6 +47,40 @@ object SetSimJoin {
       idCol: String,
       tokensCol: String,
       tau: Double): DataFrame = {
+    val (sorted, cand) = prepare(docs, idCol, tokensCol, tau)
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("stoks").as("toks_a"),
+        col("n").as("n_a")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("stoks").as("toks_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+  }
+
+  /** The candidate (id_a, id_b) frame BEFORE exact verification —
+    * exposed because its cardinality is THE quantity prefix filtering
+    * bounds (Σ prefix-token df²): scaling measurements report it
+    * beside the verified-pair count to show the pruning holding (or
+    * not) as the corpus grows.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tau: Double): DataFrame = prepare(docs, idCol, tokensCol, tau)._2
+
+  /** (rarest-first-sorted records, pruned candidate pairs) — the
+    * shared front of [[jaccardSelfJoin]] and [[candidatePairs]].
+    */
+  private def prepare(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tau: Double): (DataFrame, DataFrame) = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
     // tokens ride as 64-bit longs from here on: the candidate join
     // keys on 8 bytes instead of a gram string and the verification
@@ -111,16 +145,6 @@ object SetSimJoin {
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
-      .join(sorted.select(col("id").as("id_a"), col("stoks").as("toks_a"),
-        col("n").as("n_a")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("stoks").as("toks_b"),
-        col("n").as("n_b")), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+    (sorted, cand)
   }
 }
