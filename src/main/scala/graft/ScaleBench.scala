@@ -112,7 +112,7 @@ object ScaleBench {
     * cross-replica grams disjoint; per-replica id spaces are 10M
     * (docs) / 1B-event 10M-user (events) apart.
     */
-  private def inflate(spark: SparkSession, sfDir: String,
+  private[graft] def inflate(spark: SparkSession, sfDir: String,
       factor: Int): String = {
     val mtime = new java.io.File(sfDir, "documents.parquet").lastModified
     val key = java.lang.Long.toHexString(
@@ -159,7 +159,7 @@ object ScaleBench {
       .filter(col("doc_id") % 10000000L % 7 === 0)
       .withColumn("doc_id", col("doc_id") + lit(1000000L)))
 
-  private def runFamily(spark: SparkSession, fam: String, dir: String,
+  private[graft] def runFamily(spark: SparkSession, fam: String, dir: String,
       factor: Int): (Long, Map[String, Long]) = {
     val docs = spark.read.parquet(
       new java.io.File(dir, "documents.parquet").getPath)
