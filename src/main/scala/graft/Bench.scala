@@ -48,6 +48,23 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** (steal, total) CPU jiffies from /proc/stat — the hypervisor's
+    * share of our time slices. The spin calibration is ALU-bound and
+    * misses bursty steal (measured: identical code+data ran 1.45×
+    * slower across sessions while cal read ~1.05), so the artifact
+    * also records the steal percentage over its own window — the
+    * direct witness for "the host was being robbed, not the code".
+    * (0, 0) where /proc/stat is unavailable.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val parts = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal ...
+      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,6 +110,7 @@ object Bench {
         SparkEntry.queries
       else SparkEntry.queries.filterNot(kv => gateTwins.contains(kv._1))
     val calThreads = cpus.toInt
+    val (stealPre, totalPre) = cpuJiffies()
     val calPre = loadCal(calThreads)
     val avgPre = loadAvg()
     System.err.println(f"[bench] load cal pre=$calPre%.2fs loadavg=$avgPre%.1f")
@@ -180,13 +198,19 @@ object Bench {
       }
     val calPost = loadCal(calThreads)
     val avgPost = loadAvg()
+    val (stealPost, totalPost) = cpuJiffies()
+    val stealPct =
+      if (totalPost > totalPre)
+        100.0 * (stealPost - stealPre) / (totalPost - totalPre)
+      else 0.0
     System.err.println(
-      f"[bench] load cal post=$calPost%.2fs loadavg=$avgPost%.1f")
+      f"[bench] load cal post=$calPost%.2fs loadavg=$avgPost%.1f " +
+        f"steal=$stealPct%.1f%%")
     // idle-host constant for this hardware is ~1.0s (documented in
     // PERF.md); cal values well above it flag ambient load, making the
     // artifact self-interpreting instead of silently distorted
     val loadJson =
-      f""","load":{"cal_pre_s":$calPre%.2f,"cal_mid_s":$calMid%.2f,"cal_post_s":$calPost%.2f,"loadavg_pre":$avgPre%.1f,"loadavg_post":$avgPost%.1f}"""
+      f""","load":{"cal_pre_s":$calPre%.2f,"cal_mid_s":$calMid%.2f,"cal_post_s":$calPost%.2f,"loadavg_pre":$avgPre%.1f,"loadavg_post":$avgPost%.1f,"steal_pct":$stealPct%.1f}"""
     def compactLine(entries: Seq[(String, Double)], omitted: Int): String = {
       val m = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
