@@ -60,7 +60,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = Seq("lsh_dedup", "incr_fold", "ppjoin", "suffix_rank",
-      "span_dedup", "hll", "asof")
+      "span_dedup", "hll", "asof", "ann")
     val families = if (args.nonEmpty) args.toSeq else all
     val unknown = families.toSet -- all.toSet
     require(unknown.isEmpty, s"unknown families: ${unknown.mkString(",")}")
@@ -147,6 +147,30 @@ object ScaleBench {
       new java.io.File(dir, "_done").createNewFile()
       System.err.println(
         f"[scale] built factor-$factor corpus in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
+    }
+    // embeddings arrived after docs/events (separate guard so cached
+    // factor dirs upgrade in place instead of rebuilding): replica k
+    // rotates each vector by k mod dim positions — norms preserved,
+    // directions spread, so the inflated space is not 100 copies of
+    // the same point cloud
+    if (!new java.io.File(dir, "_done_emb").exists()) {
+      val reps = spark.range(factor).select(col("id").as("__rep"))
+      val dim = 64
+      val emb = graft.tables.Tables.embeddings(spark, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") + col("__rep") * lit(10000000L)).as("vec_id"),
+          when(col("__rep") % dim === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"),
+                (col("__rep") % dim + 1).cast("int"),
+                (lit(dim) - col("__rep") % dim).cast("int")),
+              slice(col("embedding"), lit(1),
+                (col("__rep") % dim).cast("int")))).as("embedding"),
+          col("label"))
+      emb.repartition(32).write.mode("overwrite")
+        .parquet(new java.io.File(dir, "embeddings.parquet").getPath)
+      new java.io.File(dir, "_done_emb").createNewFile()
     }
     dir.getPath
   }
@@ -249,6 +273,24 @@ object ScaleBench {
           Seq("source"), p = 8)
         val n = est.queryExecution.toRdd.count()
         (n, Map.empty)
+      case "ann" =>
+        // IVF top-k over the inflated embedding space: a FIXED 100-query
+        // workload against a growing corpus, nlist scaled ~√n (the IVF
+        // sizing rule) with nprobe fixed — per-query probed work grows
+        // ~√n while the scan stays one streaming corpus pass. The
+        // brute-force twin is deliberately absent above factor 1: its
+        // broadcast cap refusing at scale is the operator's documented
+        // contract, and IVF is the scale path it names.
+        val emb = spark.read.parquet(
+          new java.io.File(dir, "embeddings.parquet").getPath)
+        val queries = emb
+          .filter(col("vec_id") < 10000000L && col("vec_id") % 20 === 0)
+        val nlist = math.max(16, 16 * math.sqrt(factor.toDouble).toInt)
+        val topk = graft.operators.Similarity.ivfTopK(
+          emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+          dim = 64, k = 5, nlist = nlist, nprobe = 4)
+        val n = topk.queryExecution.toRdd.count()
+        (n, Map("nlist" -> nlist.toLong))
       case "asof" =>
         val purchases = events.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"),
