@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the rank ladder is [[SuffixRank.rank]]; class stats
   * are one window over the rank key (the hottest class — the most
-  * duplicated span — costs its member count, linear); interval union
-  * is the classic gaps-and-islands pair of per-DOC windows; the cut
-  * application joins each doc to its own (bounded-by-length) interval
-  * list. No stage is quadratic in anything and no driver state exists.
+  * duplicated span — costs its member count, linear; the
+  * aggregate+probe-join alternative was measured slower, see the
+  * in-body note); interval union is the classic gaps-and-islands
+  * pair of per-DOC windows; the cut application joins each doc to its
+  * own (bounded-by-length) interval list. No stage is quadratic in
+  * anything and no driver state exists.
   */
 object SpanDedup {
 
@@ -67,6 +69,13 @@ object SpanDedup {
     val full = ranked.join(lens, "id")
       .filter(col("pos") <= col("__len") - (spanLen - 1))
       .withColumn("__key", col("id") * PosBound + col("pos"))
+    // ONE pass over the position table: the rank-class window (count +
+    // canonical-min over the same partition spec = a single shuffle +
+    // sort) then the duplicate filter. The tempting aggregate+probe-
+    // join rewrite was MEASURED SLOWER at 30M positions (177s vs 129s:
+    // it needs `full` twice, so a corpus-sized checkpoint write plus a
+    // second 30M-row pass outweigh the sort it saves) — keep the
+    // window.
     val wc = Window.partitionBy("rank")
     val dups = full
       .withColumn("__n", count(lit(1)).over(wc))
