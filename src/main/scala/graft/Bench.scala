@@ -215,7 +215,7 @@ object Bench {
       val m = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson$loadJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","q_runs":$runs,"queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson$loadJson,"sf":"$sfDir"}"""
     }
     // capture window 2000 chars minus sbt's trailing "[success] ..."
     // line (~80) and slack for a stray WARN — budget 1800
@@ -228,7 +228,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson$etlJson$loadJson,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","q_runs":$runs,"queries":$qs,"failed":$failedJson$etlJson$loadJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // read-only CWD is fine
     spark.stop()
   }

@@ -17,7 +17,7 @@ import graft.queries.TextQueries
   * design prose.
   *
   * Inflation model — horizontal growth, constant structure: replica
-  * `k` of `documents` prefixes every token with `r<k>` (replicas share
+  * `k` of `documents` prefixes every token with `r%03d` (replicas share
   * NO grams, so candidate structure never blows up quadratically
   * across replicas) and keeps the per-replica duplicate structure the
   * gates use (mod-7 exact copies for the dedup chain, mod-30 copies
@@ -82,7 +82,8 @@ object ScaleBench {
       // largest factor runs once (its absolute numbers are minutes —
       // noise is proportionally small and wall-clock is not free)
       val runs = if (factor >= 100) 1
-        else sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+        else math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
       for (fam <- families) {
         val samples = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -115,26 +116,50 @@ object ScaleBench {
   private[graft] def inflate(spark: SparkSession, sfDir: String,
       factor: Int): String = {
     val mtime = new java.io.File(sfDir, "documents.parquet").lastModified
+    // :v2 — replica prefix went zero-padded (prefix-free) and n_chars
+    // now measures the REWRITTEN text; salt the key so cached v1 dirs
+    // rebuild instead of silently serving the old scheme
     val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir:$factor:$mtime") &
+      scala.util.hashing.MurmurHash3.stringHash(s"$sfDir:$factor:$mtime:v2") &
         0xffffffffL)
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-scale-$key")
     if (!new java.io.File(dir, "_done").exists()) {
       val t0 = System.nanoTime()
+      val baseDocs = graft.tables.Tables.documents(spark, sfDir)
+      val baseEvents = graft.tables.Tables.events(spark, sfDir)
+      // replica id slots are 10M (docs/users; [[withCopies]] adds a
+      // +1M copy offset inside the slot) and 1B (events) wide — ids at
+      // or past slot−offset would collide ACROSS replicas and silently
+      // corrupt the duplicate structure the gates count on (the
+      // SpanDedup PosBound discipline)
+      val Seq(maxDoc, maxEvent) = Seq(
+        baseDocs.agg(max("doc_id")).head.getLong(0),
+        baseEvents.agg(max("event_id")).head.getLong(0))
+      require(maxDoc < 9000000L,
+        s"doc_id $maxDoc >= 9M would overflow its replica slot")
+      require(maxEvent < 1000000000L,
+        s"event_id $maxEvent >= 1e9 would overflow its replica slot")
       val reps = spark.range(factor).select(col("id").as("__rep"))
-      val docs = graft.tables.Tables.documents(spark, sfDir)
+      // fixed-width prefix (r001foo) is prefix-free for k<1000 — the
+      // bare r<k> form broke the "replicas share NO grams" invariant
+      // at factors >= 11 ("r1" + "1foo" == "r11" + "foo")
+      val rewritten = when(col("__rep") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(format_string("r%03d", col("__rep")), lit("$1"))))
+      val docs = baseDocs
         .crossJoin(broadcast(reps))
         .select(
           (col("doc_id") + col("__rep") * lit(10000000L)).as("doc_id"),
-          when(col("__rep") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("r"), col("__rep"), lit("$1")))).as("text"),
+          rewritten.as("text"),
           col("lang"), col("source"),
-          length(col("text")).cast("long").as("n_chars"))
+          // length of the STORED text (prefixing lengthens replicas) —
+          // length(col("text")) would bind to the input column and
+          // desync metadata from data for every k>0
+          length(rewritten).cast("long").as("n_chars"))
       docs.repartition(32).write.mode("overwrite")
         .parquet(new java.io.File(dir, "documents.parquet").getPath)
-      val events = graft.tables.Tables.events(spark, sfDir)
+      val events = baseEvents
         .crossJoin(broadcast(reps))
         .select(
           (col("event_id") + col("__rep") * lit(1000000000L))

@@ -12,11 +12,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * stages need execution memory (measured on [[SuffixRank]]: freeing
   * retired rounds cut the 22.6M-position ranking 42.5s → 26.3s).
   *
-  * Safe to call once every consumer of the frame has either finished
-  * or been re-rooted onto a SUCCESSOR checkpoint — the walk only
-  * unpersists the checkpoint RDDs reachable from this frame's plan.
+  * HARD-FAILURE CONTRACT: a localCheckpoint'ed frame's blocks are the
+  * ONLY copy of its data — the lineage was truncated at checkpoint
+  * time, so a consumer that touches the frame after free() does not
+  * recompute, it dies with "Checkpoint block not found". Call free()
+  * only when every consumer has either finished or been re-rooted
+  * onto a SUCCESSOR checkpoint (materialize the successor FIRST, then
+  * free the predecessor — the [[SuffixRank]]/[[GraphOps]] loop
+  * discipline), and never on an operator's returned root. The walk
+  * only unpersists the checkpoint RDDs reachable from this frame's
+  * plan. Kept package-private so external code can't reach a
+  * primitive whose misuse fails at a distance.
   */
-object CheckpointUtil {
+private[graft] object CheckpointUtil {
 
   def free(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
@@ -25,6 +33,6 @@ object CheckpointUtil {
       case _ => ()
     }
 
-  /** [[free]] for several frames. */
+  /** [[free]] for several frames — same hard-failure contract. */
   def free(dfs: Seq[DataFrame]): Unit = dfs.foreach(free(_))
 }

@@ -106,6 +106,13 @@ object GraphOps {
         .observe(obsEx, sum("comp").as("s"))
         .localCheckpoint(true)
       val sEx = obsEx.get("s").asInstanceOf[Long]
+      // the previous iterate is retired the moment its successor is
+      // materialized — same discipline as [[SuffixRank]] (measured
+      // −38% there): without the free, rounds × |nodes|-sized dead
+      // checkpoint blocks stack in the storage pool for the rest of
+      // the session, pressuring execution memory exactly when the
+      // downstream dedup stages need it
+      CheckpointUtil.free(labels)
       if (sEx == lastSum) {
         // exchange at fixpoint ⇒ labels are constant within each
         // component (u~v implies label(u) ≤ label(v) and vice versa), so
@@ -129,6 +136,7 @@ object GraphOps {
         // s ≤ sEx < lastSum here, so never converged this round; the
         // next exchange performs the fixpoint check
         val s = obs.get("s").asInstanceOf[Long]
+        CheckpointUtil.free(exchanged) // jumped is materialized; retire it
         labels = jumped
         lastSum = s
       }
@@ -148,6 +156,7 @@ object GraphOps {
     // materialize once (two longs per node) so the caches can be
     // released before returning
     val out = result.localCheckpoint(true)
+    CheckpointUtil.free(labels) // out is materialized; the iterate is dead
     bi.unpersist()
     e1.unpersist()
     out
@@ -342,11 +351,15 @@ object GraphOps {
         .filter(col("dist") < Unreachable)
         .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
         .groupBy("node").agg(min(col("cand")).as("cand"))
+      val prev = dist
       dist = dist.join(relaxed, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("dist"), coalesce(col("cand"), lit(Unreachable)))
             .as("dist"))
         .localCheckpoint(true)
+      // retire the predecessor round eagerly (the [[SuffixRank]]
+      // discipline) — nothing references it once `dist` materializes
+      CheckpointUtil.free(prev)
       it += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -402,6 +415,12 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * 15L / 100L) / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
+    // track the last surviving checkpoint so each one is retired as soon
+    // as its successor materializes ([[SuffixRank]] discipline): the
+    // `it < iters` guard means the loop always runs at least one more
+    // iteration after a checkpoint, so the successor never IS the
+    // tracked frame
+    var lastCp: Option[DataFrame] = None
     var it = 0
     while (it < iters) {
       val in = withDeg
@@ -412,12 +431,16 @@ object GraphOps {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(inr, 0L)) div 100")).as("rank"))
       it += 1
-      if (it % checkpointEvery == 0 && it < iters)
+      if (it % checkpointEvery == 0 && it < iters) {
         ranks = ranks.localCheckpoint(true)
+        lastCp.foreach(CheckpointUtil.free(_))
+        lastCp = Some(ranks)
+      }
     }
     // materialize the final iterate (|nodes| rows) so the three cached
     // inputs can be released instead of leaking for the session's lifetime
     val out = ranks.localCheckpoint(true)
+    lastCp.foreach(CheckpointUtil.free(_))
     e.unpersist(); nodes.unpersist(); withDeg.unpersist()
     out
   }

@@ -78,7 +78,8 @@ object NgramLm {
     * count (bigrams absent from the LM) is the exact-integer half of
     * the quality signal and rides the same regroup for free. The raw
     * ppl doubles are transcendental (engine libm rounding differs), so
-    * the registered gate (q159) quantizes them with a guard band; the
+    * the registered gate (q159) pins ppl on a coarse ln-space grid
+    * (guard bands were measured to flake — see qLmPerplexity); the
     * spec pins exact values against the same-JVM reference formula.
     */
   def perplexity(

@@ -38,6 +38,29 @@ class ScaleBenchSpec extends SparkSpecBase {
       "a 3-gram appears in more than one replica")
   }
 
+  test("gram disjointness holds at a two-digit factor") {
+    // the pre-v2 bare r<k> prefix was not prefix-free: replica 1 +
+    // digit-leading token ("r1"+"1foo") collided with replica 11
+    // ("r11"+"foo"). Factor 12 exercises exactly the two-digit regime
+    // where that broke; fixed-width r%03d is prefix-free for k<1000.
+    val dir = ScaleBench.inflate(spark, sf, 12)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val grams = docs.select(
+      (col("doc_id") / 10000000L).cast("long").as("rep"),
+      explode(graft.functions.TextFunctions
+        .md5GramSet64Udf(col("text"), lit(3))).as("g"))
+    val crossRep = grams.groupBy("g")
+      .agg(countDistinct(col("rep")).as("nrep"))
+      .filter(col("nrep") > 1)
+    assert(crossRep.count() === 0,
+      "a 3-gram appears in more than one replica at factor 12")
+    // stored n_chars must describe the stored (rewritten) text —
+    // ADVICE r8: it previously measured the INPUT text for every k>0
+    val bad = docs.filter(length(col("text")).cast("long")
+      =!= col("n_chars")).count()
+    assert(bad === 0, s"$bad rows with n_chars != length(text)")
+  }
+
   test("every family kernel runs end-to-end at factor 2") {
     val dir = ScaleBench.inflate(spark, sf, 2)
     for (fam <- Seq("lsh_dedup", "incr_fold", "ppjoin", "suffix_rank",
