@@ -98,7 +98,13 @@ class PlanContractSpec extends SparkSpecBase {
       "q87_dedup_best" -> 1, // same chain, windowed-argmax survivor
       "q135_cross_dedup" -> 5, // probe join + admission + maintenance
       "q148_setsim_join" -> 2, // prefix-token join + pair verification
-      "q65_asof_join" -> 3 // bucket explode + sort + merge
+      "q65_asof_join" -> 3, // bucket explode + sort + merge
+      // the end-to-end curation chain: stage handoffs are checkpointed
+      // (quality/exact-dedup/clean) or RDD-level range-sorts
+      // (pack/shard), so the visible plan is the mix dim joins + the
+      // final pack⋈shard manifest join; the interior CC/banding
+      // discipline is pinned by the q38 budget above
+      "q195_curation_e2e" -> 4
     )
     for ((name, budget) <- budgets) {
       val df = SparkEntry.queries(name)(spark, sf)
