@@ -26,8 +26,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 private[graft] object CheckpointUtil {
 
+  private val disabled = sys.env.get("SPARK_GRAFT_NO_FREE").contains("1")
+
   def free(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    if (!disabled) df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

@@ -380,6 +380,30 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       iters: Int = 3
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, corpusId, corpusVec, queries, queryId,
+      queryVec, k,
+      trainCoarse(corpus, corpusId, corpusVec, dim, nlist, iters), nprobe)
+
+  /** [[ivfTopK]]'s search pass with a CALLER-SUPPLIED coarse quantizer
+    * (one double vector per list, list id = array index). Two uses: a
+    * pre-trained/persisted quantizer (the production shape — indexes
+    * are trained once, searched for months), and the q196 operating-
+    * point gate, where a deterministic quantizer (the nlist lowest-id
+    * corpus vectors) makes the whole approximate result — assignment,
+    * probe choice, per-list ranking — recomputable by the DuckDB
+    * oracle, so the shipped search pass itself is hash-checked.
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int
   ): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -387,9 +411,6 @@ object Similarity {
     val ds = corpus
       .select(col(corpusId).cast("long"), col(corpusVec))
       .as[(Long, Array[Float])]
-
-    val centroids = trainCoarse(corpus, corpusId, corpusVec, dim,
-      nlist, iters)
 
     // per query: the nprobe nearest centroid ids
     val hs = centroids

@@ -365,6 +365,108 @@ object SimilarityQueries {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** q196 — IVF OPERATING-POINT gate: per-query integer confusion
+    * counts (truth/approx/tp/fn) of the shipped IVF search pass at a
+    * REAL partial-probe budget (nprobe 6 of 16 — the q39 knee) against
+    * exhaustive truth. q171 proved the machinery exact at nprobe ==
+    * nlist; this pins the approximation itself: with a DETERMINISTIC
+    * coarse quantizer (the 16 lowest-id corpus vectors — the sampled-
+    * quantizer IVF variant) the oracle recomputes list assignment
+    * (argmin L2, lowest-index ties), probe routing, the per-list
+    * ranking AND the exact truth in SQL, so recall at the shipped
+    * operating point is itself a hash-checked CORRECTNESS row, not a
+    * spec assertion. (The Lloyd-TRAINED quantizer stays engine-internal
+    * → its operating point remains q39 + SimilaritySpec.)
+    */
+  def qIvfConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val cents: Array[Array[Double]] = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id").limit(16)
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+      .map(_._2.map(_.toDouble))
+    val approx = Similarity
+      .ivfTopKWithCentroids(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5, centroids = cents, nprobe = 6)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("a"))
+    val exact = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb, "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("t"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("a").isNotNull, 1L).otherwise(0L)).as("n_approx"),
+        sum(when(col("t").isNotNull && col("a").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("t").isNotNull && col("a").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+  }
+
+  /** Full recompute of the q196 pipeline: quantizer = 16 lowest-id
+    * vectors, L2 assignment/probing (lowest-index ties), cosine
+    * ranking within probed lists, confusion vs the q30 exhaustive
+    * truth.
+    */
+  val qIvfConfusionSql: String =
+    """WITH cents AS (
+      |  SELECT embedding,
+      |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT e.vec_id, (
+      |    SELECT ci FROM cents c
+      |    ORDER BY list_distance(e.embedding::DOUBLE[],
+      |                           c.embedding::DOUBLE[]), c.ci
+      |    LIMIT 1) AS list
+      |  FROM embeddings e),
+      |probes AS (
+      |  SELECT vec_id AS query_id, ci FROM (
+      |    SELECT q.vec_id, c.ci,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.embedding::DOUBLE[],
+      |                               c.embedding::DOUBLE[]), c.ci) AS pr
+      |    FROM embeddings q CROSS JOIN cents c)
+      |  WHERE pr <= 6),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+      |          e.embedding::DOUBLE[]) DESC, e.vec_id ASC) AS rank
+      |    FROM embeddings q
+      |    JOIN probes p ON p.query_id = q.vec_id
+      |    JOIN assign a ON a.list = p.ci
+      |    JOIN embeddings e ON e.vec_id = a.vec_id
+      |    WHERE e.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+      |          c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |m AS (
+      |  SELECT COALESCE(t.query_id, a.query_id) AS query_id,
+      |    t.query_id IS NOT NULL AS ist,
+      |    a.query_id IS NOT NULL AS isa
+      |  FROM exact t FULL OUTER JOIN approx a
+      |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+      |SELECT query_id,
+      |  CAST(COUNT(*) FILTER (ist) AS BIGINT) AS n_truth,
+      |  CAST(COUNT(*) FILTER (isa) AS BIGINT) AS n_approx,
+      |  CAST(COUNT(*) FILTER (ist AND isa) AS BIGINT) AS tp,
+      |  CAST(COUNT(*) FILTER (ist AND NOT isa) AS BIGINT) AS fn
+      |FROM m GROUP BY query_id""".stripMargin
+
   /** Oracle for q174/q175: exact top-5 restricted to the every-100th
     * query subset (the q30 SQL with the same query-side predicate).
     */
