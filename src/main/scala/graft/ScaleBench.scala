@@ -60,7 +60,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = Seq("lsh_dedup", "incr_fold", "ppjoin", "suffix_rank",
-      "span_dedup", "hll", "asof", "ann")
+      "span_dedup", "hll", "asof", "ann", "etl_merge")
     val families = if (args.nonEmpty) args.toSeq else all
     val unknown = families.toSet -- all.toSet
     require(unknown.isEmpty, s"unknown families: ${unknown.mkString(",")}")
@@ -200,6 +200,83 @@ object ScaleBench {
     dir.getPath
   }
 
+  /** One synthesized Observation NDJSON line — the EtlBench fixture
+    * shape (deterministic; ids within [0, nObs) so update batches hit
+    * existing keys).
+    */
+  private def obsJson(i: Long, nObs: Long): String = {
+    val nPat = nObs / 2
+    s"""{"resourceType":"Observation","id":"obs-$i","status":"final","code":{"coding":[{"system":"http://loinc.org","code":"${1000 + i % 500}-1","display":"Test ${i % 500}"}],"text":"obs text $i"},"subject":{"reference":"Patient/pat-${i % nPat}"},"encounter":{"reference":"Encounter/enc-${i % (nPat / 2 + 1)}"},"effectiveDateTime":"2021-06-07T08:09:10Z","valueQuantity":{"value":${i % 300},"unit":"mg/dL"},"valueString":"free text $i"}"""
+  }
+
+  private[graft] final case class EtlFixture(out: String, phi: String,
+      buckets: Int, rows: Long, coldMs: Long)
+
+  /** ETL fixture at `factor` (100k·f patients, 200k·f observations as
+    * NDJSON; cold-loaded base table at 16·f buckets so bucket SIZE is
+    * factor-invariant — the production sizing rule). Built once and
+    * cached under java.io.tmpdir; the cold-load wall time is persisted
+    * in meta.json so later runs still report it. NDJSON synthesis runs
+    * THROUGH Spark (format_string projection over range) — a driver
+    * StringBuilder at 20M rows would serialize ~8 GB single-threaded.
+    */
+  private[graft] def etlMergeFixture(spark: SparkSession,
+      factor: Int): EtlFixture = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-scale-etl-v1-f$factor")
+    val inDir = new java.io.File(base, "in")
+    val outDir = new java.io.File(base, "out").getPath
+    val phiDir = new java.io.File(base, "phi").getPath
+    val meta = new java.io.File(base, "meta.json")
+    val buckets = 16 * factor
+    if (!meta.exists()) {
+      val nPat = 100000L * factor
+      val nObs = 200000L * factor
+      inDir.mkdirs()
+      def writeNdjson(df: org.apache.spark.sql.DataFrame,
+          resource: String): Unit = {
+        val staging = new java.io.File(base, s"staging-$resource").getPath
+        df.repartition(32).write.mode("overwrite").text(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val parts = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          fs.rename(p, new org.apache.hadoop.fs.Path(
+            new java.io.File(inDir, f"$resource.$i%03d.ndjson").getPath))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+      val id = col("id")
+      writeNdjson(spark.range(nPat).select(format_string(
+        """{"resourceType":"Patient","id":"pat-%d","gender":"%s","birthDate":"19%d-07-15","name":[{"family":"Fam%d","given":["G%d"]}],"address":[{"city":"City%d","state":"MA","postalCode":"%05d"}],"managingOrganization":{"reference":"Organization/org-%d"},"meta":{"lastUpdated":"2024-01-01T00:00:00Z"}}""",
+        id, when(id % 2 === 0, "female").otherwise("male"),
+        lit(50) + id % 50, id, id, id, (id * 37) % 100000, id % 100)
+        .as("line")), "Patient")
+      writeNdjson(spark.range(nObs).select(format_string(
+        """{"resourceType":"Observation","id":"obs-%d","status":"final","code":{"coding":[{"system":"http://loinc.org","code":"%d-1","display":"Test %d"}],"text":"obs text %d"},"subject":{"reference":"Patient/pat-%d"},"encounter":{"reference":"Encounter/enc-%d"},"effectiveDateTime":"2021-06-07T08:09:10Z","valueQuantity":{"value":%d,"unit":"mg/dL"},"valueString":"free text %d"}""",
+        id, lit(1000) + id % 500, id % 500, id, id % nPat,
+        id % (nPat / 2 + 1), id % 300, id).as("line")), "Observation")
+      val tasks = graft.etl.EtlPipeline.DefaultTasks
+        .filter(t => Set("Patient", "Observation").contains(t.resourceType))
+      val t0 = System.nanoTime()
+      val results = graft.etl.EtlPipeline.run(spark, inDir.getPath, outDir,
+        phiDir, tasks = tasks, groupName = "scale-cold",
+        exportTime = "2024-01-01T00:00:00Z", buckets = buckets)
+      val coldMs = ((System.nanoTime() - t0) / 1e9 * 1000).toLong
+      val rows = results.map(_.rows).sum
+      System.err.println(f"[scale] built etl factor-$factor base " +
+        f"($rows rows, $buckets buckets) cold=${coldMs / 1000.0}%.1fs")
+      Files.writeString(meta.toPath,
+        s"""{"cold_ms":$coldMs,"rows":$rows}""")
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(meta.toPath))
+    EtlFixture(outDir, phiDir, buckets,
+      node.get("rows").asLong(), node.get("cold_ms").asLong())
+  }
+
   /** The q38 input shape at any factor: corpus + per-replica mod-7
     * exact copies (constant duplicate fraction).
     */
@@ -316,6 +393,48 @@ object ScaleBench {
           dim = 64, k = 5, nlist = nlist, nprobe = 4)
         val n = topk.queryExecution.toRdd.count()
         (n, Map("nlist" -> nlist.toLong))
+      case "etl_merge" =>
+        // the FHIR headline pipeline (scrub projection P1 + bucketed
+        // merge K1), measured at growing BASE size with the bucket
+        // count scaled like a production table (16·f → bucket size
+        // stays constant). Fixture + cold base load are built ONCE per
+        // factor and cached; the per-run timed region is the
+        // INCREMENTAL path — a fixed 2000-update batch (touches
+        // ~min(2000, buckets) buckets) and a 5-update tiny batch
+        // (touches ≤5 buckets — the bucketed layout's claim is that
+        // THIS cost stays flat while the base grows 100×). Each run
+        // adds one version (+2005 rows ≈ ≤0.1% drift); versions are
+        // immutable so timings stay comparable.
+        val fx = etlMergeFixture(spark, factor)
+        val tasks = graft.etl.EtlPipeline.DefaultTasks
+          .filter(_.resourceType == "Observation")
+        val nObs = 200000L * factor
+        def updates(n: Int, tag: String): String = {
+          val d = java.nio.file.Files
+            .createTempDirectory(s"scale-etl-upd-$tag").toString
+          val step = math.max(1L, nObs / n)
+          val sb = new StringBuilder()
+          var i = 0L
+          while (i < n) { sb.append(obsJson(i * step, nObs)).append('\n'); i += 1 }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, "Observation.000.ndjson"),
+            sb.toString.getBytes("UTF-8"))
+          d
+        }
+        val incDir = updates(2000, "incr")
+        val tI0 = System.nanoTime()
+        graft.etl.EtlPipeline.run(spark, incDir, fx.out, fx.phi,
+          tasks = tasks, groupName = "scale-incr",
+          exportTime = "2024-02-01T00:00:00Z", buckets = fx.buckets)
+        val incrMs = ((System.nanoTime() - tI0) / 1e9 * 1000).toLong
+        val tinyDir = updates(5, "tiny")
+        val tT0 = System.nanoTime()
+        graft.etl.EtlPipeline.run(spark, tinyDir, fx.out, fx.phi,
+          tasks = tasks, groupName = "scale-tiny",
+          exportTime = "2024-02-02T00:00:00Z", buckets = fx.buckets)
+        val tinyMs = ((System.nanoTime() - tT0) / 1e9 * 1000).toLong
+        (fx.rows, Map("cold_ms" -> fx.coldMs, "incr_ms" -> incrMs,
+          "tiny_ms" -> tinyMs, "buckets" -> fx.buckets.toLong))
       case "asof" =>
         val purchases = events.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"),

@@ -94,7 +94,8 @@ object EtlPipeline {
       groupName: String = "",
       exportTime: String = "",
       nlpMode: Boolean = false,
-      philterEnabled: Boolean = false
+      philterEnabled: Boolean = false,
+      buckets: Int = ResourceTableBuckets
   ): Seq[TaskResult] = {
     val codebook = Codebook.loadOrCreate(phiDir)
     // ONE detection pass (first line of each file) feeds resource
@@ -178,7 +179,7 @@ object EtlPipeline {
         // same flow to Delta Lake when its jars are present)
         val table = graft.sinks.MergeTable.open(spark,
           s"$outputDir/${task.tableName}", task.mergeSpec,
-          buckets = ResourceTableBuckets)
+          buckets = buckets)
         table.merge(deduped)
 
         // Patient/Encounter reversibility side-output (SURVEY §7.4.3)

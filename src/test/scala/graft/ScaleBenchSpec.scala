@@ -64,7 +64,7 @@ class ScaleBenchSpec extends SparkSpecBase {
   test("every family kernel runs end-to-end at factor 2") {
     val dir = ScaleBench.inflate(spark, sf, 2)
     for (fam <- Seq("lsh_dedup", "incr_fold", "ppjoin", "suffix_rank",
-        "span_dedup", "hll", "asof", "ann")) {
+        "span_dedup", "hll", "asof", "ann", "etl_merge")) {
       val (rows, _) = ScaleBench.runFamily(spark, fam, dir, 2)
       assert(rows > 0, s"family $fam returned no rows")
     }
