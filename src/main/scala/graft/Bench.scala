@@ -100,10 +100,14 @@ object Bench {
     // q186–q189 time the BPE argmax / unigram EM loops on forced
     // 3-4-word dictionaries — pure correctness gates; q127/q139/
     // q161/q162 already time the real trainers.
+    // q196 re-runs the q30 brute-force scan (its truth side) plus an
+    // IVF probe pass the suite times as q39 — a pure operating-point
+    // gate, so it stays in Verify but out of the default timed set.
     val gateTwins = Set("q171_ivf_exact", "q172_lsh_exact",
       "q174_pq_exact", "q175_ivfpq_exact", "q179_cut_intervals",
       "q183_hll_registers", "q186_bpe_forced", "q187_bpe_encode_forced",
-      "q188_unigram_forced", "q189_unigram_encode_forced")
+      "q188_unigram_forced", "q189_unigram_encode_forced",
+      "q196_ivf_confusion")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))

@@ -222,8 +222,11 @@ object ScaleBench {
     */
   private[graft] def etlMergeFixture(spark: SparkSession,
       factor: Int): EtlFixture = {
+    // v2: base tables rebuilt after the counts-sidecar + write-width
+    // fixes this family surfaced (a v1 base has no counts sidecar, so
+    // its rowCount would stay on the legacy footer walk)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-scale-etl-v1-f$factor")
+      s"graft-scale-etl-v2-f$factor")
     val inDir = new java.io.File(base, "in")
     val outDir = new java.io.File(base, "out").getPath
     val phiDir = new java.io.File(base, "phi").getPath

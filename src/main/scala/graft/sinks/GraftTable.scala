@@ -54,6 +54,10 @@ final class GraftTable(
   private def latestFile = Paths.get(path, "_latest")
   private def manifestFile(v: Int) = Paths.get(path, s"manifest-v$v.json")
   private def layoutFile = Paths.get(path, "_layout.json")
+  // per-bucket row counts sidecar (the role Delta's log stats play):
+  // written incrementally by publishBuckets — O(touched buckets) footer
+  // reads per mutation — so rowCount never walks the full file set
+  private def countsFile(v: Int) = Paths.get(path, s"counts-v$v.json")
   // schema sidecar per bucketed version: a zero-row merge (init-created
   // table, §2.2 init) writes no __b partition dirs, so the schema must
   // survive outside the (absent) parquet footers
@@ -195,6 +199,10 @@ final class GraftTable(
     */
   def rowCount: Long = {
     val dirs: Seq[String] = currentVersion match {
+      case Some(v) if Files.exists(countsFile(v)) =>
+        // maintained sidecar: O(1) — the 100 TB path (10⁵ buckets would
+        // otherwise mean 10⁵ footer opens per completion record)
+        return readCounts(v).map(_.values.sum).getOrElse(0L)
       case Some(v) if Files.exists(manifestFile(v)) => bucketDirs(v)
       case Some(v) => Seq(s"$path/v$v")
       case None =>
@@ -214,6 +222,40 @@ final class GraftTable(
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     }.sum()
+  }
+
+  private def readCounts(v: Int): Option[Map[Int, Long]] =
+    if (!Files.exists(countsFile(v))) None
+    else {
+      val node = mapper.readTree(Files.readAllBytes(countsFile(v)))
+      val out = scala.collection.mutable.Map[Int, Long]()
+      node.fields().forEachRemaining(e =>
+        out(e.getKey.toInt) = e.getValue.asLong())
+      Some(out.toMap)
+    }
+
+  /** Footer record counts per bucket of ONE version dir — IO ∝ the
+    * buckets that version wrote, never the whole table.
+    */
+  private def footerRecordCounts(versionDir: String): Map[Int, Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(versionDir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+      .map { d =>
+        val b = d.getPath.getName.drop(4).toInt
+        val files = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val n = java.util.Arrays.stream(files).parallel().mapToLong { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum()
+        b -> n
+      }.toMap
   }
 
   /** All retained version numbers, oldest first. */
@@ -244,7 +286,9 @@ final class GraftTable(
         val touched = touchedBuckets(updates)
         val targetTouched = readBuckets(prev, touched)
         val merged = MergeOps.merge(targetTouched, updates, spec)
-        publishBuckets(merged, carryFrom = prev -- touched)
+        // merged rows all hash into `touched` (update keys define it)
+        publishBuckets(merged, carryFrom = prev -- touched,
+          expectedBuckets = touched.size)
     }
 
   /** K3: delete by id values (single-column DataFrame). Bucketed: only
@@ -274,7 +318,8 @@ final class GraftTable(
           .distinct().collect().map(_.getInt(0)).toSet
         val remaining = MergeOps.deleteByIds(
           readBuckets(prev, touched), spec.keys.head, keyed)
-        publishBuckets(remaining, carryFrom = prev -- touched)
+        publishBuckets(remaining, carryFrom = prev -- touched,
+          expectedBuckets = touched.size)
       }
     }
 
@@ -305,6 +350,8 @@ final class GraftTable(
           name != s"manifest-v$keep.json") Files.deleteIfExists(p)
         if (name.startsWith("schema-v") &&
           name != s"schema-v$keep.json") Files.deleteIfExists(p)
+        if (name.startsWith("counts-v") &&
+          name != s"counts-v$keep.json") Files.deleteIfExists(p)
       }
     }
   }
@@ -327,14 +374,24 @@ final class GraftTable(
   /** Write `df`'s rows into `v{next}` partitioned by bucket, publish a
     * manifest = carryFrom ++ (df's buckets → v{next}).
     */
-  private def publishBuckets(df: DataFrame, carryFrom: Map[Int, String]): Unit = {
+  /** @param expectedBuckets upper bound on how many distinct buckets
+    *   `df` writes — sizes the co-locating repartition. All rows of a
+    *   bucket hash to ONE partition at any width, so one-file-per-
+    *   bucket holds at any value; an incremental merge passing
+    *   touched.size avoids launching `effectiveBuckets` write tasks
+    *   (1595 of them empty for a 5-row batch at 1600 buckets — a
+    *   task-count cost that grows with the TABLE, not the batch).
+    */
+  private def publishBuckets(df: DataFrame, carryFrom: Map[Int, String],
+      expectedBuckets: Int = Int.MaxValue): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0)
     val dir = s"$path/v$next"
     // co-locate each bucket's rows before the partitioned write: one
     // file per bucket instead of (write tasks × buckets) small files —
     // the compaction Delta's OPTIMIZE does, done at write time
     df.withColumn("__b", bucketCol)
-      .repartition(effectiveBuckets, col("__b"))
+      .repartition(math.max(1, math.min(effectiveBuckets, expectedBuckets)),
+        col("__b"))
       .write.mode("overwrite").partitionBy("__b").parquet(dir)
     // buckets actually written = __b=K subdirs present on disk
     val written = {
@@ -348,11 +405,29 @@ final class GraftTable(
     }
     val newManifest: Map[Int, String] =
       carryFrom ++ written.map(_ -> s"v$next").toMap
+    // row-count sidecar: new buckets counted from THIS version's
+    // footers (IO ∝ touched), carried buckets inherit their previous
+    // counts. A legacy table (no previous sidecar) under a carry-
+    // forward mutation stays legacy until the next full rewrite
+    // (optimize/cold) seeds the sidecar.
+    val prevCounts: Option[Map[Int, Long]] =
+      if (carryFrom.isEmpty) Some(Map.empty)
+      else currentVersion.flatMap(readCounts)
+    val newCounts: Option[Map[Int, Long]] = prevCounts.flatMap { pc =>
+      if (!carryFrom.keys.forall(pc.contains)) None
+      else Some(carryFrom.keys.map(b => b -> pc(b)).toMap ++
+        footerRecordCounts(dir))
+    }
     val node = mapper.createObjectNode()
     newManifest.toSeq.sortBy(_._1).foreach { case (b, d) =>
       node.put(b.toString, d)
     }
     Files.createDirectories(Paths.get(path))
+    newCounts.foreach { m =>
+      val cn = mapper.createObjectNode()
+      m.toSeq.sortBy(_._1).foreach { case (b, n) => cn.put(b.toString, n) }
+      Files.write(countsFile(next), mapper.writeValueAsBytes(cn))
+    }
     if (!Files.exists(layoutFile)) {
       val layout = mapper.createObjectNode()
       layout.put("buckets", effectiveBuckets)
