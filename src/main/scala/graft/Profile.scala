@@ -18,13 +18,13 @@ object Profile {
     // warm the JVM/scan once
     graft.tables.Tables.documents(spark, sfDir).count()
 
-    (1 to 3).foreach { round =>
-      println(s"--- round $round ---")
+    val which = if (args.isEmpty) Set("dedup") else args.toSet
+
+    if (which("dedup")) (1 to 3).foreach { round =>
+      println(s"--- dedup round $round ---")
       val input = time("corpusWithCopies count") {
         val docs = graft.tables.Tables.documents(spark, sfDir)
-        val in = docs.unionByName(docs
-          .filter(col("doc_id") % 7 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        val in = graft.tables.Tables.withIdCopies(docs, "doc_id", 7, 1000000L)
         in.count(); in
       }
       val sigs = time("md5Sigs (kernel + ckpt)") {
@@ -34,39 +34,79 @@ object Profile {
               .as("sig"))
           .localCheckpoint(true)
       }
-      val cands = time("bandCandidates") {
-        val bandArr = array((0 until 4).map { b =>
-          concat_ws("|", col("sig")(2 * b), col("sig")(2 * b + 1))
-        }: _*)
-        val bands = sigs.select(col("doc_id"),
-          posexplode(bandArr).as(Seq("band", "bv")))
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-          .localCheckpoint(true)
+      val star = time("bandStarEdges count") {
+        val e = graft.queries.TextQueries.bandStarEdges(sigs)
+        println(s"[profile]   edges=${e.count()}")
+        e
       }
-      val comps = time("connectedComponents") {
+      val comps = time("connectedComponents(star)") {
         graft.operators.GraphOps.connectedComponents(
-          spark, cands, "id_a", "id_b",
+          spark, star, "id_a", "id_b",
           nodes = Some(input.select(col("doc_id"))))
       }
       time("dedupGroups + count") {
         graft.operators.GraphOps.dedupGroups(comps).count()
       }
-      time("q37 full") {
-        graft.queries.TextQueries.qDedupGroups(spark, sfDir).count()
-      }
-      time("q36 full") {
-        graft.queries.TextQueries.qBandPairs(spark, sfDir).count()
-      }
       time("q38 full") {
-        graft.queries.TextQueries.qDedupCorpus(spark, sfDir).count()
+        graft.queries.TextQueries.qDedupCorpus(spark, sfDir)
+          .queryExecution.toRdd.count()
       }
-      time("q25 full") {
-        graft.queries.TextQueries.qMinHashPairs(spark, sfDir).count()
+      time("q87 full") {
+        graft.queries.TextQueries.qDedupBest(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+    }
+
+    if (which("micro")) (1 to 3).foreach { round =>
+      println(s"--- micro round $round ---")
+      import spark.implicits._
+      val a = spark.range(5000).select(col("id"), (col("id") % 100).as("k"))
+        .localCheckpoint(true)
+      val b = spark.range(2500).select(col("id").as("k2"), col("id").as("v"))
+        .localCheckpoint(true)
+      time("join+agg+ckpt") {
+        a.join(b, col("k") === col("k2"))
+          .groupBy("k").agg(min("v").as("m"))
+          .localCheckpoint(true)
+      }
+      time("agg+ckpt") {
+        a.groupBy("k").agg(min("id").as("m")).localCheckpoint(true)
+      }
+      time("agg+observe+ckpt") {
+        val o = org.apache.spark.sql.Observation()
+        a.groupBy("k").agg(min("id").as("m"))
+          .observe(o, sum("m").as("s")).localCheckpoint(true)
+        o.get("s")
+      }
+      time("ckpt only") { a.select(col("id")).localCheckpoint(true) }
+      time("count only") { a.count() }
+      def aggCkpt(tag: String): Unit =
+        time(s"agg+ckpt [$tag]") {
+          a.groupBy("k").agg(min("id").as("m")).localCheckpoint(true)
+        }
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      aggCkpt("sp=4"); aggCkpt("sp=4 b")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      aggCkpt("aqe=off"); aggCkpt("aqe=off b")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      aggCkpt("wscg=off")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      time("agg+toRdd.count") {
+        a.groupBy("k").agg(min("id").as("m")).queryExecution.toRdd.count()
+      }
+      time("agg+rdd-ckpt") {
+        val r = a.groupBy("k").agg(min("id").as("m")).queryExecution.toRdd
+        r.localCheckpoint(); r.count()
+      }
+    }
+
+    if (which("e2e")) (1 to 3).foreach { round =>
+      println(s"--- e2e round $round ---")
+      time("q195 full") {
+        graft.queries.EndToEndQueries.qCurationE2e(spark, sfDir)
+          .queryExecution.toRdd.count()
       }
     }
     spark.stop()

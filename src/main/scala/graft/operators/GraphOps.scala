@@ -33,6 +33,33 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Partition count for iterative-loop frames, derived from the input
+    * row count instead of the session's shuffle.partitions (which is
+    * sized for corpus-wide scans): an iterate is two or three longs per
+    * row, so ~1M rows (≈50 MB with join payloads) per partition keeps
+    * tasks meaningful at every scale — a 1.3k-edge dedup graph runs its
+    * rounds in 1 task instead of ~100 near-empty ones (measured 4.2s →
+    * 1.3s for CC at sf0.1), while a 10¹¹-edge crawl graph still gets
+    * 65k-capped parallel rounds. Guide §2.2: fewer, larger partitions;
+    * scale-adaptive, not a local-mode constant.
+    */
+  private def loopPartitions(nRows: Long): Int =
+    math.max(1L, math.min(nRows / 1000000L + 1L, 65536L)).toInt
+
+  /** Run `f` with `spark.sql.shuffle.partitions` = `parts`, restoring
+    * the session value after. Iterative loops issue many tiny
+    * iterate-sized shuffles; sizing them from the data (not the
+    * session constant) is what makes the per-round fixed cost scale
+    * DOWN with the graph as well as up. AQE stays on throughout.
+    */
+  private def withLoopPartitions[T](
+      spark: SparkSession, parts: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try f
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Components of the undirected graph given by `edges` (any
     * direction, duplicates fine). Returns one row per node appearing in
     * `edges` ∪ `nodes`: (id, component) with component = min reachable
@@ -57,6 +84,10 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The count sizes the loop partitioning AND forces e1's
+    // materialization, so the two union branches below read the cache
+    // instead of racing to fill it.
+    val parts = loopPartitions(e1.count())
     val bidirect = e1.union(
       e1.select(col("dst").as("src"), col("src").as("dst")))
 
@@ -68,9 +99,20 @@ object GraphOps {
     // Iterate ONLY over edge endpoints: isolated nodes are their own
     // component by definition and would just multiply per-round work
     // (in LSH dedup graphs most of the corpus is isolated).
+    // Pre-partitioned by the join key: every round's exchange join then
+    // reuses this one persisted shuffle instead of re-shuffling the
+    // (much larger) edge side per round — the loop only ever shuffles
+    // iterates (guide: remove shuffles outright / shuffle fewer bytes).
     val bi = bidirect
       .unionByName(bidirect.select(col("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // The loop's shuffles all carry iterate-sized frames; run them at
+    // the edge-derived partition count. This sets the non-adaptive
+    // floor AND lets the exchange join zip with bi's persisted
+    // hashpartitioning(src).
+    withLoopPartitions(spark, parts) {
 
     // Round 1 needs no label join: every node's label IS its id, so the
     // first neighborhood-min exchange is a single aggregate over the
@@ -78,13 +120,23 @@ object GraphOps {
     // near-cliques, so for most inputs this one aggregate already
     // produces the final labels and the loop below exits on its first
     // convergence check — the whole CC then costs two shuffles.
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    def phase[T](label: String)(f: => T): T =
+      if (!ccDebug) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[cc]   $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        r
+      }
     val obs0 = org.apache.spark.sql.Observation()
-    var labels = bi
+    var labels = phase("round0 agg")(bi
       .select(col("dst").as("id"), col("src").as("comp"))
       .groupBy("id")
       .agg(min("comp").as("comp"))
       .observe(obs0, sum("comp").as("s"))
-      .localCheckpoint(true) // truncate the per-round doubling (class doc)
+      .localCheckpoint(true)) // truncate the per-round doubling (class doc)
     var lastSum = obs0.get("s").asInstanceOf[Long]
     var converged = false
     var iter = 0
@@ -96,7 +148,7 @@ object GraphOps {
       // verified in the formatted plan), so without materialization
       // every round paid the exchange twice.
       val obsEx = org.apache.spark.sql.Observation()
-      val exchanged = bi
+      val exchanged = phase("exchange")(bi
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
         .groupBy("id")
@@ -104,7 +156,7 @@ object GraphOps {
         // convergence sum rides the checkpoint materialization — one
         // job per round, no separate aggregate action
         .observe(obsEx, sum("comp").as("s"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       val sEx = obsEx.get("s").asInstanceOf[Long]
       // the previous iterate is retired the moment its successor is
       // materialized — same discipline as [[SuffixRank]] (measured
@@ -123,7 +175,7 @@ object GraphOps {
         // (b) pointer jumping: comp := comp(comp) — halves label depth,
         // so convergence is O(log diameter) rounds
         val obs = org.apache.spark.sql.Observation()
-        val jumped = exchanged.as("l")
+        val jumped = phase("jump")(exchanged.as("l")
           .join(
             exchanged.select(col("id").as("comp"),
               col("comp").as("comp2")).as("r"),
@@ -132,7 +184,7 @@ object GraphOps {
             least(col("comp"), coalesce(col("comp2"), col("comp")))
               .as("comp"))
           .observe(obs, sum("comp").as("s"))
-          .localCheckpoint(true) // truncate the doubling plan (class doc)
+          .localCheckpoint(true)) // truncate the doubling plan (class doc)
         // s ≤ sEx < lastSum here, so never converged this round; the
         // next exchange performs the fixpoint check
         val s = obs.get("s").asInstanceOf[Long]
@@ -142,6 +194,8 @@ object GraphOps {
       }
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$iter")
     // singletons (requested nodes that touch no edge) come back as
     // their own component — no iteration needed for them
     val result = nodes match {
@@ -155,11 +209,12 @@ object GraphOps {
     }
     // materialize once (two longs per node) so the caches can be
     // released before returning
-    val out = result.localCheckpoint(true)
+    val out = phase("final ckpt")(result.localCheckpoint(true))
     CheckpointUtil.free(labels) // out is materialized; the iterate is dead
     bi.unpersist()
     e1.unpersist()
     out
+    }
   }
 
   /** Incremental connected components: fold a batch of NEW edges into
@@ -342,6 +397,10 @@ object GraphOps {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // edge-derived loop partitioning (see [[loopPartitions]]); the
+    // count also forces e's cache before the two derived references
+    val parts = loopPartitions(e.count())
+    withLoopPartitions(edges.sparkSession, parts) {
     var dist = nodes.withColumn("dist",
       when(col("node") === source, 0L).otherwise(lit(Unreachable)))
       .localCheckpoint(true)
@@ -364,6 +423,7 @@ object GraphOps {
     }
     e.unpersist(); nodes.unpersist()
     dist
+    }
   }
 
   /** PageRank over a directed edge frame, in INTEGER micro-rank units.
@@ -422,6 +482,12 @@ object GraphOps {
     // tracked frame
     var lastCp: Option[DataFrame] = None
     var it = 0
+    // edge-derived loop partitioning (see [[loopPartitions]]): the
+    // whole loop is iters×2 shuffles of iterate-sized frames inside one
+    // job — at the session constant a 5k-node graph schedules hundreds
+    // of near-empty tasks
+    val out = withLoopPartitions(edges.sparkSession,
+      loopPartitions(math.max(n, e.count()))) {
     while (it < iters) {
       val in = withDeg
         .join(ranks, col("src") === col("node"))
@@ -439,7 +505,8 @@ object GraphOps {
     }
     // materialize the final iterate (|nodes| rows) so the three cached
     // inputs can be released instead of leaking for the session's lifetime
-    val out = ranks.localCheckpoint(true)
+    ranks.localCheckpoint(true)
+    }
     lastCp.foreach(CheckpointUtil.free(_))
     e.unpersist(); nodes.unpersist(); withDeg.unpersist()
     out
