@@ -102,8 +102,150 @@ object Profile {
       }
     }
 
+    if (which("scan")) {
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+      println(s"[profile] documents scan partitions = ${docs.rdd.getNumPartitions}")
+      val input = graft.tables.Tables.withIdCopies(docs, "doc_id", 7, 1000000L)
+      (1 to 3).foreach { round =>
+        println(s"--- scan round $round ---")
+        time("md5Sigs as-is") {
+          input.select(col("doc_id"),
+            graft.functions.TextFunctions.md5MinHash8Udf(col("text")).as("sig"))
+            .localCheckpoint(true)
+        }
+        time("md5Sigs repart32") {
+          input.repartition(32).select(col("doc_id"),
+            graft.functions.TextFunctions.md5MinHash8Udf(col("text")).as("sig"))
+            .localCheckpoint(true)
+        }
+        time("normalize+quality as-is") {
+          graft.operators.QualityRules.withQualityRules(
+            input.select(col("doc_id"), col("source"),
+              graft.functions.TextFunctions.normalizeText(col("text")).as("text")),
+            "text", minWords = 30L, maxWords = 100000L,
+            stopwords = Seq("the", "a", "and", "of", "to", "data", "value", "table"))
+            .filter(col("keep")).select("doc_id", "source", "text")
+            .localCheckpoint(true)
+        }
+        time("normalize+quality repart32") {
+          graft.operators.QualityRules.withQualityRules(
+            input.repartition(32).select(col("doc_id"), col("source"),
+              graft.functions.TextFunctions.normalizeText(col("text")).as("text")),
+            "text", minWords = 30L, maxWords = 100000L,
+            stopwords = Seq("the", "a", "and", "of", "to", "data", "value", "table"))
+            .filter(col("keep")).select("doc_id", "source", "text")
+            .localCheckpoint(true)
+        }
+        time("norm+qual nondet repart32") {
+          val pats = Seq("the", "a", "and", "of", "to", "data", "value",
+            "table").map(w =>
+            java.util.regex.Pattern.compile("\\b" + w + "\\b")).toArray
+          val statsNd = udf { (text: String) =>
+            graft.operators.QualityRules.statsLocal(text, pats)
+          }.asNondeterministic()
+          val base = input.repartition(32).select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.normalizeText(col("text")).as("text"))
+          base.withColumn("__gs", statsNd(col("text")))
+            .withColumn("keep",
+              col("__gs._1") >= 30L && col("__gs._1") <= 100000L &&
+                lit(3L) * col("__gs._1") <= col("__gs._2") &&
+                col("__gs._2") <= lit(10L) * col("__gs._1") &&
+                lit(10L) * col("__gs._3") <= col("__gs._1") &&
+                lit(10L) * col("__gs._5") <= lit(9L) * col("__gs._4") &&
+                lit(10L) * col("__gs._6") <= lit(3L) * col("__gs._4") &&
+                col("__gs._7") >= 2L)
+            .filter(col("keep")).select("doc_id", "source", "text")
+            .localCheckpoint(true)
+        }
+        time("normalize only repart32") {
+          input.repartition(32).select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.normalizeText(col("text")).as("text"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+
     if (which("e2e")) (1 to 3).foreach { round =>
       println(s"--- e2e round $round ---")
+      import graft.functions.TextFunctions.{normalizeText, tokenCount, tokens}
+      import graft.operators.{Decontaminate, GraphOps, Packing, QualityRules, Sampling}
+      val Stop = Seq("the", "a", "and", "of", "to", "data", "value", "table")
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val input = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            col("source"), concat(col("text"), lit(" qq")).as("text")))
+      val norm = input.select(col("doc_id"), col("source"),
+        normalizeText(col("text")).as("text"))
+      val quality = time("1+2 normalize+quality ckpt") {
+        QualityRules
+          .withQualityRules(norm, "text",
+            minWords = 30L, maxWords = 100000L, stopwords = Stop)
+          .filter(col("keep"))
+          .select("doc_id", "source", "text")
+          .localCheckpoint(true)
+      }
+      val exd = time("3 exact dedup ckpt") {
+        val exKeep = quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        quality
+          .join(exKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+      }
+      val nd = time("4 near dedup") {
+        val comps = GraphOps.connectedComponents(spark,
+          graft.queries.TextQueries.bandStarEdges(
+            graft.queries.TextQueries.md5Sigs(exd)), "id_a", "id_b",
+          nodes = Some(exd.select(col("doc_id"))))
+        exd.join(
+          GraphOps.dedupGroups(comps).select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      }
+      val clean = time("5 decontam ckpt") {
+        val tks = tokens(col("text"))
+        val bench = norm
+          .filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L)
+          .select(col("doc_id").as("bench_id"),
+            concat_ws(" ", slice(tks, lit(1),
+              greatest(floor(size(tks) * 0.6), lit(1)).cast("int"))).as("text"))
+        val dirty = Decontaminate
+          .contaminationReport(nd, "doc_id", "text", bench, "bench_id", "text",
+            n = 5)
+          .select("doc_id")
+        nd.join(dirty, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"),
+            tokenCount(col("text")).as("n_toks"))
+          .localCheckpoint(true)
+      }
+      time("6-8 mix+pack+shard") {
+        graft.queries.EndToEndQueries.qCurationE2e(spark, sfDir)
+        // time just the tail by rebuilding from clean
+        val src = clean.groupBy("source").agg(sum("n_toks").as("src_tokens"))
+        val totals = src.agg(sum("src_tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val admitted = clean
+          .join(broadcast(src), Seq("source"))
+          .crossJoin(broadcast(totals))
+          .withColumn("rate",
+            when(col("src_tokens") === 0L, lit(1.0))
+              .otherwise(least(lit(1.0),
+                expr("total_tokens div 5").cast("double")
+                  / col("n_sources").cast("double")
+                  / col("src_tokens").cast("double"))))
+          .filter(Sampling.hashUniform(col("doc_id"), "mix") < col("rate"))
+          .select("doc_id", "source", "n_toks")
+        val packed = Packing
+          .packSequences(admitted, "doc_id", "n_toks", seqLen = 2048L,
+            seed = "pk1")
+          .select("doc_id", "source", "n_toks", "tok_offset", "seq_start",
+            "seq_end", "n_seqs")
+        val sharded = Sampling
+          .trainShards(admitted.select(col("doc_id")), "doc_id", seed = "sh1",
+            shardSize = 128L)
+          .select("doc_id", "shard", "pos_in_shard")
+        packed.join(sharded, Seq("doc_id")).queryExecution.toRdd.count()
+      }
       time("q195 full") {
         graft.queries.EndToEndQueries.qCurationE2e(spark, sfDir)
           .queryExecution.toRdd.count()

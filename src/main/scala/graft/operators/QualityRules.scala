@@ -91,11 +91,21 @@ object QualityRules {
 
   /** Kernel as a UDF; stopword patterns compile once at plan time and ship
     * in the closure (Pattern is Serializable), not per row.
+    *
+    * Marked non-deterministic (it is in fact pure) to stop the optimizer
+    * duplicating it: a `filter(keep)` over the metric projection gets
+    * pushed below it and INLINES one copy of the kernel per metric
+    * reference — eight kernel evaluations per row in the filter plus one
+    * in the surviving projection (the expensive-UDF duplication trap,
+    * optimization guide §4.4). Measured 3.2s → 0.3s for the q195
+    * normalize+quality stage at sf0.1, identical output. The trade —
+    * other filters can no longer be pushed past the stats projection —
+    * is irrelevant here: callers filter on the stats themselves.
     */
   def statsUdf(stopwords: Seq[String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val pats = stopwords
       .map(w => java.util.regex.Pattern.compile("\\b" + w + "\\b")).toArray
-    udf { (text: String) => statsLocal(text, pats) }
+    udf { (text: String) => statsLocal(text, pats) }.asNondeterministic()
   }
 
   /** Append the metric columns plus the integer-exact `keep` verdict.

@@ -56,11 +56,13 @@ object EndToEndQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     // near-dup (not exact-dup) copies: one appended token defeats the
-    // exact stage, minhash banding must catch it
-    val input = docs.unionByName(
+    // exact stage, minhash banding must catch it. Spread before the
+    // NFC/stats kernels — the bench corpus is one unsplittable file
+    // (guide §2.5), and stages 1–2 are the chain's per-row-heaviest.
+    val input = Tables.spread(docs.unionByName(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("source"), concat(col("text"), lit(" qq")).as("text")))
+          col("source"), concat(col("text"), lit(" qq")).as("text"))))
 
     // 1+2: normalize then quality-gate; checkpoint the survivor set
     // (the exact-dedup stage references it twice: aggregate + semi-join)

@@ -869,7 +869,7 @@ object TextQueries {
     * form went 0.3s → 28s).
     */
   private[graft] def md5Sigs(input: DataFrame): DataFrame =
-    input
+    Tables.spread(input)
       .select(col("doc_id"), md5MinHash8Udf(col("text")).as("sig"))
       .localCheckpoint(true)
 

@@ -48,6 +48,24 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings")
 
+  /** Spread a narrow input across the available parallelism before a
+    * heavy per-row kernel (hash signatures, codecs, NFC): a small or
+    * unsplittable source — one parquet file at bench scale, a gzip
+    * shard in production — otherwise serializes the kernel on a
+    * handful of tasks (optimization guide §2.5, input skew: "one huge
+    * unsplittable file ... repartition immediately after the read").
+    * No-op when the source already carries enough partitions, so a
+    * production table with thousands of splits never pays the extra
+    * exchange. Round-robin keeps sort-before-repartition determinism;
+    * results are partitioning-independent for every registered query
+    * (oracle-checked).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Append an id-shifted copy of every `mod`-th row in a SINGLE scan:
     * each row explodes into itself plus (id % mod == 0) a copy at
     * id + offset. The equivalent two-branch union reads the parquet —
