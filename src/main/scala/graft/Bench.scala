@@ -138,6 +138,18 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[bench] $name%-22s $dt%8.2fs")
+          // Isolation between runs: one-shot localCheckpoint/persist
+          // frames built INSIDE a query (signature tables, candidate
+          // sets) have no release point once its action completes, so
+          // across ~400 timed runs they stack in the storage pool and
+          // pressure execution memory for every LATER query (measured:
+          // identical queries run 2-4x slower late in a session than in
+          // isolation). A real pipeline unpersists after consuming;
+          // the bench does the equivalent between runs. Each run still
+          // computes everything from the parquet inputs — this releases
+          // state, never reuses it.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           dt
         }
         name -> times.min

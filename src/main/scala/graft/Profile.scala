@@ -165,6 +165,34 @@ object Profile {
       }
     }
 
+    if (which("audio")) (1 to 3).foreach { round =>
+      println(s"--- audio round $round ---")
+      import spark.implicits._
+      import graft.multimodal.Multimodal
+      val synthUdf = udf((id: Long) => Multimodal.synthWav(id))
+      val media0 = graft.tables.Tables.spread(
+        graft.tables.Tables.documents(spark, sfDir))
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          synthUdf(col("doc_id")).as("bytes"))
+      val mediaCk = time("synthWav ckpt") { media0.localCheckpoint(true) }
+      val media = mediaCk.as[Multimodal.MediaRow]
+      time("decode only") {
+        Multimodal.decode(media).queryExecution.toRdd.count()
+      }
+      time("decode+fp") {
+        Multimodal.spectralFingerprint(Multimodal.decode(media))
+          .queryExecution.toRdd.count()
+      }
+      time("q152 full") {
+        graft.queries.NoteQueries.qAudioDedup(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      time("q130 full") {
+        graft.queries.NoteQueries.qImagePhash(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+    }
+
     if (which("e2e")) (1 to 3).foreach { round =>
       println(s"--- e2e round $round ---")
       import graft.functions.TextFunctions.{normalizeText, tokenCount, tokens}

@@ -36,6 +36,11 @@ object Verify {
         failed += name -> String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release one-shot checkpoints/persists the finished query left
+      // behind (same isolation discipline as Bench) — across ~200
+      // queries they otherwise stack in the storage pool
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,32 +33,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
-  /** Partition count for iterative-loop frames, derived from the input
-    * row count instead of the session's shuffle.partitions (which is
-    * sized for corpus-wide scans): an iterate is two or three longs per
-    * row, so ~1M rows (≈50 MB with join payloads) per partition keeps
-    * tasks meaningful at every scale — a 1.3k-edge dedup graph runs its
-    * rounds in 1 task instead of ~100 near-empty ones (measured 4.2s →
-    * 1.3s for CC at sf0.1), while a 10¹¹-edge crawl graph still gets
-    * 65k-capped parallel rounds. Guide §2.2: fewer, larger partitions;
-    * scale-adaptive, not a local-mode constant.
-    */
-  private def loopPartitions(nRows: Long): Int =
-    math.max(1L, math.min(nRows / 1000000L + 1L, 65536L)).toInt
-
-  /** Run `f` with `spark.sql.shuffle.partitions` = `parts`, restoring
-    * the session value after. Iterative loops issue many tiny
-    * iterate-sized shuffles; sizing them from the data (not the
-    * session constant) is what makes the per-round fixed cost scale
-    * DOWN with the graph as well as up. AQE stays on throughout.
-    */
+  // data-derived loop sizing — see [[Sizing]]
+  private def loopPartitions(nRows: Long): Int = Sizing.loopPartitions(nRows)
   private def withLoopPartitions[T](
-      spark: SparkSession, parts: Int)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try f
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      spark: SparkSession, parts: Int)(f: => T): T =
+    Sizing.withShufflePartitions(spark, parts)(f)
 
   /** Components of the undirected graph given by `edges` (any
     * direction, duplicates fine). Returns one row per node appearing in

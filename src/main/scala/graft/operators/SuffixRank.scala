@@ -100,6 +100,11 @@ object SuffixRank {
     // checkpoint as soon as its successor is materialized (the
     // returned frame only ever depends on the last one)
     var live = base.localCheckpoint(true)
+    // the ladder is ~4 shuffles of (id, pos, rank) longs per round;
+    // size them from the position count, not the session constant
+    // (see [[Sizing]] — rank values are partitioning-independent)
+    Sizing.withShufflePartitions(docs.sparkSession,
+      Sizing.loopPartitions(live.count())) {
     var cur = denseRank(live, Seq("__s"), "r").drop("__s")
     var k = init
     while (k < depth) {
@@ -123,5 +128,6 @@ object SuffixRank {
       k *= 2
     }
     cur.select(col("id"), col("pos"), col("r").as("rank"))
+    }
   }
 }

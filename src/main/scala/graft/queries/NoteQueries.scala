@@ -99,7 +99,8 @@ object NoteQueries {
     */
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     val media =
-      Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+      Multimodal.mediaFromDocuments(spark,
+        Tables.spread(Tables.documents(spark, dir)))
     val decoded = Multimodal.resize(Multimodal.decode(media), 256, 256)
     val emb = Multimodal.embed(decoded, dim = 32)
     media
@@ -142,7 +143,9 @@ object NoteQueries {
   def qImagePhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val synthUdf = udf((id: Long) => Multimodal.synthPng(id))
-    val media = Tables.documents(spark, dir)
+    // spread before the codec kernels: the PNG encode/decode chain is
+    // the query's whole cost and the scan is one file (guide §2.5)
+    val media = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id").as("media_id"), lit("image").as("kind"),
         synthUdf(col("doc_id")).as("bytes"))
       .as[Multimodal.MediaRow]
@@ -254,7 +257,8 @@ object NoteQueries {
   def qAudioDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val synthUdf = udf((id: Long) => Multimodal.synthWav(id))
-    val media = Tables.documents(spark, dir)
+    // spread before the codec kernels (same rationale as q130)
+    val media = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
         synthUdf(col("doc_id")).as("bytes"))
       .as[Multimodal.MediaRow]

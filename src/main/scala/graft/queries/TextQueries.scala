@@ -857,7 +857,11 @@ object TextQueries {
     * per branch, ~0.5s tax per consumer at sf0.1).
     */
   private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame =
-    Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 7, 1000000L)
+    // spread before the family's hash/gram kernels: the bench corpus is
+    // one unsplittable parquet file (guide §2.5 input skew)
+    Tables.spread(
+      Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 7,
+        1000000L))
 
   /** md5-minhash signatures (doc_id, sig array<string>), materialized
     * once: q36/q38 reference this frame on both band-join sides and
