@@ -150,6 +150,11 @@ object Bench {
           // state, never reuses it.
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // broadcast relations (every BroadcastHashJoin builds one) are
+          // only released when the ContextCleaner sees their driver-side
+          // reference collected — nudge the collector so ~400 runs of
+          // debris don't compound into later queries' measurements
+          System.gc()
           dt
         }
         name -> times.min

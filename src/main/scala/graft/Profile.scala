@@ -193,6 +193,148 @@ object Profile {
       }
     }
 
+    if (which("setsim")) (1 to 3).foreach { round =>
+      println(s"--- setsim round $round ---")
+      val docs = graft.tables.Tables.spread(graft.tables.Tables
+        .withIdCopies(graft.tables.Tables.documents(spark, sfDir),
+          "doc_id", 7, 1000000L))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .md5GramSet64Udf(col("text"), lit(3)).as("grams"))
+      val toks = time("toks build") {
+        docs.select(col("doc_id").as("id"),
+          array_distinct(col("grams")).as("toks"))
+          .filter(size(col("toks")) > 0)
+      }
+      val occ = time("occ explode ckpt") {
+        toks.select(col("id"), explode(col("toks")).as("tok"))
+          .localCheckpoint(true)
+      }
+      println(s"[profile]   occ rows=${occ.count()}")
+      val dfreq = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sorted = time("sorted collect_list ckpt") {
+        occ.join(dfreq, "tok")
+          .groupBy("id")
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .as("skeys"))
+          .select(col("id"),
+            expr("transform(skeys, k -> k.tok)").as("stoks"))
+          .withColumn("n", size(col("stoks")).cast("long"))
+          .withColumn("plen",
+            (col("n") - ceil(lit(0.5) * col("n") - lit(1e-9)) + 1).cast("int"))
+          .localCheckpoint(true)
+      }
+      val prefixes = sorted.select(Seq(col("id"), col("n")) :+
+        posexplode(expr("slice(stoks, 1, plen)")).as(Seq("pos", "tok")): _*)
+      val alpha =
+        ceil(lit(0.5 / 1.5) * (col("a.n") + col("b.n")) - lit(1e-9))
+      val cand = time("cand join+distinct") {
+        prefixes.as("a")
+          .join(prefixes.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+              col("a.n").cast("double") >= lit(0.5) * col("b.n") - lit(1e-9) &&
+              col("b.n").cast("double") >= lit(0.5) * col("a.n") - lit(1e-9) &&
+              least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+          .localCheckpoint(true)
+      }
+      println(s"[profile]   cand rows=${cand.count()}")
+      time("verify joins") {
+        cand
+          .join(sorted.select(col("id").as("id_a"), col("stoks").as("toks_a"),
+            col("n").as("n_a")), "id_a")
+          .join(sorted.select(col("id").as("id_b"), col("stoks").as("toks_b"),
+            col("n").as("n_b")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+          .orderBy("id_a", "id_b")
+          .queryExecution.toRdd.count()
+      }
+      val verif0 = sorted.select(col("id"), sort_array(col("stoks")).as("vt"),
+        col("n")).localCheckpoint(true)
+      val interDet = udf { (a: Seq[Long], b: Seq[Long]) =>
+        var i = 0; var j = 0; var n = 0L
+        while (i < a.length && j < b.length) {
+          val x = a(i); val y = b(j)
+          if (x == y) { n += 1; i += 1; j += 1 }
+          else if (x < y) i += 1 else j += 1
+        }
+        n
+      }
+      val interNd = interDet.asNondeterministic()
+      def verify(inter: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          useVt: Boolean, label: String): Unit = time(label) {
+        val side = if (useVt) verif0 else sorted.select(col("id"),
+          col("stoks").as("vt"), col("n"))
+        cand
+          .join(broadcast(side.select(col("id").as("id_a"), col("vt").as("toks_a"),
+            col("n").as("n_a"))), "id_a")
+          .join(broadcast(side.select(col("id").as("id_b"), col("vt").as("toks_b"),
+            col("n").as("n_b"))), "id_b")
+          .withColumn("inter", inter(col("toks_a")))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+          .orderBy("id_a", "id_b")
+          .queryExecution.toRdd.count()
+      }
+      verify(a => size(array_intersect(a, col("toks_b"))).cast("long"),
+        useVt = false, "verify intersect bcast")
+      verify(a => interDet(a, col("toks_b")), useVt = true,
+        "verify kernel det")
+      verify(a => interNd(a, col("toks_b")), useVt = true,
+        "verify kernel nondet")
+      time("q148 full") {
+        graft.queries.TextQueries.qSetSimJoin(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    if (which("scrub")) {
+      import graft.deid.{Codebook, DefaultScrubPolicy, ScrubCompiler}
+      val tmp = java.nio.file.Files.createTempDirectory("scrubprof").toString
+      val cb = Codebook.loadOrCreate(tmp)
+      val schema = graft.fhir.FhirSchemas.forResource("Observation")
+      val obs =
+        """{"resourceType":"Observation","id":"obs-1","status":"final","code":{"coding":[{"system":"http://loinc.org","code":"1000-1","display":"T"}],"text":"t"},"subject":{"reference":"Patient/pat-1"},"effectiveDateTime":"2021-06-07T08:09:10Z","valueQuantity":{"value":1,"unit":"mg"}}"""
+      val in = java.nio.file.Files.createTempDirectory("scrubprof-in")
+      java.nio.file.Files.write(in.resolve("Observation.000.ndjson"),
+        (1 to 5).map(_ => obs).mkString("\n").getBytes("UTF-8"))
+      (1 to 3).foreach { round =>
+        println(s"--- scrub round $round ---")
+        val raw = time("read") {
+          graft.sources.NdjsonSource.readResourceFiles(spark,
+            graft.sources.NdjsonSource.detectResourceFiles(spark,
+              in.toString).getOrElse("Observation", Nil),
+            "Observation", schema, widen = true)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val scrubbed = time("scrub build (scala)") {
+          ScrubCompiler.scrub(raw, "Observation", cb,
+            DefaultScrubPolicy.policy, false, false)
+        }
+        val qe = scrubbed.queryExecution
+        time("analyze") { qe.analyzed }
+        time("optimize") { qe.optimizedPlan }
+        time("physical") { qe.executedPlan }
+        time("execute") { qe.toRdd.count() }
+        time("execute again (new plan)") {
+          ScrubCompiler.scrub(raw, "Observation", cb,
+            DefaultScrubPolicy.policy, false, false)
+            .queryExecution.toRdd.count()
+        }
+        raw.unpersist()
+      }
+    }
+
     if (which("e2e")) (1 to 3).foreach { round =>
       println(s"--- e2e round $round ---")
       import graft.functions.TextFunctions.{normalizeText, tokenCount, tokens}

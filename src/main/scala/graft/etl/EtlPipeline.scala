@@ -110,6 +110,16 @@ object EtlPipeline {
       "tasks" -> tasks.map(_.tableName).mkString(",")
     ))
 
+    val etlDebug = sys.env.contains("GRAFT_ETL_DEBUG")
+    def phase[T](label: String)(f: => T): T =
+      if (!etlDebug) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[etl]   $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        r
+      }
     val results = tasks.map { task =>
       if (!available.contains(task.resourceType)) {
         // touch-empty-tables (etl/tasks/base.py:222-227): a selected task
@@ -123,12 +133,12 @@ object EtlPipeline {
         // nested resources dominates the cold path, so cache the parsed
         // frame for the task's duration (MEMORY_AND_DISK: spills, never
         // recomputes the parse)
-        val raw = NdjsonSource.readResourceFiles(spark,
+        val raw = phase(s"${task.tableName} read")(NdjsonSource.readResourceFiles(spark,
           filesByType.getOrElse(task.resourceType, Nil),
           task.resourceType,
           graft.fhir.FhirSchemas.forResource(task.resourceType),
           widen = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // P2/A4: dropped-extension census side-output (the report the
         // reference prints at run end, persisted as a mergeable table)
         val census = ScrubCompiler.extensionCensus(raw,
@@ -136,7 +146,7 @@ object EtlPipeline {
         // evaluate the census ONCE (it is small by definition: one row
         // per distinct dropped-extension url) — `isEmpty` + `merge`
         // would run the input aggregation twice
-        val censusRows = census.collect()
+        val censusRows = phase(s"${task.tableName} census")(census.collect())
         if (censusRows.nonEmpty)
           GraftTable(spark, s"$outputDir/etl__extension_census",
             MergeSpec(Seq("resource_type", "url"))).merge(
@@ -157,7 +167,7 @@ object EtlPipeline {
         // signal — partition ids alone don't track file order), ties
         // within a file broken by the partition-local id
         val inputFiles = NdjsonSource.listResourceFiles(spark, inputDir)
-        val deduped = MergeOps.dedupLastWins(
+        val deduped = phase(s"${task.tableName} scrub+dedup")(MergeOps.dedupLastWins(
           scrubbed.observe(scrubObs, count(lit(1)).as("n"))
             .withColumn("__file_seq", NdjsonSource.fileSeqCol(inputFiles))
             .withColumn("__seq", monotonically_increasing_id()),
@@ -171,7 +181,7 @@ object EtlPipeline {
           // per action (measured at 200k rows: cold merge 12.2s → 4.4s,
           // tiny incremental 14.5s → 3.6s). Scrub + dedup still execute
           // exactly once — this checkpoint is that execution.
-          .localCheckpoint(true)
+          .localCheckpoint(true))
 
         // bucketed incremental layout: re-runs merge only the key-hash
         // buckets their rows touch instead of rewriting the table
@@ -180,7 +190,7 @@ object EtlPipeline {
         val table = graft.sinks.MergeTable.open(spark,
           s"$outputDir/${task.tableName}", task.mergeSpec,
           buckets = buckets)
-        table.merge(deduped)
+        phase(s"${task.tableName} merge")(table.merge(deduped))
 
         // Patient/Encounter reversibility side-output (SURVEY §7.4.3)
         if (task.resourceType == "Patient" ||
@@ -188,18 +198,21 @@ object EtlPipeline {
           val mapping = codebook.mappingTable(
             raw.filter(col("resourceType") === task.resourceType),
             "id", task.resourceType)
-          GraftTable(spark, s"$phiDir/codebook-mappings",
-            MergeSpec(Seq("resource_type", "real_id"))).merge(mapping)
+          phase(s"${task.tableName} mapping")(
+            GraftTable(spark, s"$phiDir/codebook-mappings",
+              MergeSpec(Seq("resource_type", "real_id"))).merge(mapping))
         }
 
         val n = table.rowCount // footer metadata only — no table scan
-        Completion.recordTable(spark, outputDir, task.tableName,
-          groupName, exportTime)
+        phase(s"${task.tableName} completion")(
+          Completion.recordTable(spark, outputDir, task.tableName,
+            groupName, exportTime))
         // J7: Encounter rows fan out into the per-encounter completion
         // table as well (etl/tasks/basic_tasks.py:36-68)
         if (task.resourceType == "Encounter")
-          Completion.recordEncounters(spark, outputDir,
-            deduped.select("id"), groupName, exportTime)
+          phase(s"${task.tableName} enc-completion")(
+            Completion.recordEncounters(spark, outputDir,
+              deduped.select("id"), groupName, exportTime))
         raw.unpersist()
         TaskResult(task.tableName, attempted = true, rows = n,
           rowsRead = readObs.get("n").asInstanceOf[Long],

@@ -47,8 +47,38 @@ object SetSimJoin {
       idCol: String,
       tokensCol: String,
       tau: Double): DataFrame = {
-    val (sorted, cand) = prepare(docs, idCol, tokensCol, tau)
-    cand
+    val (sorted0, cand) = prepare(docs, idCol, tokensCol, tau)
+    // The verification joins re-attach the token arrays to each pair.
+    // `sorted` is a checkpoint RDD, so the planner sees no size stats
+    // and defaults to sort-merge — shuffling the candidate pairs AND
+    // the arrays twice. Supply the stat it is missing: when the sorted
+    // record table measurably fits the session's broadcast threshold
+    // (exact row/byte arithmetic off the checkpoint — one cheap count),
+    // hint broadcast, eliminating both pair shuffles (guide §3.1). At
+    // corpus scale the estimate exceeds the threshold and the
+    // sort-merge path stands.
+    val threshold = docs.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    val estBytes = sorted0
+      .select(coalesce(sum(size(col("stoks")) * 8L + 64L), lit(0L)))
+      .head.getLong(0)
+    // (A merge-count kernel UDF over value-sorted arrays was tried here
+    // and measured 10x SLOWER than ArrayIntersect — per-row array
+    // conversion into the UDF dwarfs the hash-set build it saves. The
+    // builtin stays.)
+    val bcast = threshold > 0 && estBytes < threshold
+    val sorted = if (bcast) broadcast(sorted0) else sorted0
+    // Broadcast removes the exchanges that would otherwise spread the
+    // pair stream, so the per-pair intersect work inherits cand's
+    // AQE-coalesced (byte-sized, CPU-blind) partitioning — measured
+    // single-task at bench scale. The pair set is tiny by the same
+    // proof that gated the broadcast; one cheap exchange restores
+    // parallelism. In the sort-merge regime the join shuffles cand
+    // itself and this branch never runs.
+    val pairs = if (bcast)
+      cand.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    else cand
+    pairs
       .join(sorted.select(col("id").as("id_a"), col("stoks").as("toks_a"),
         col("n").as("n_a")), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("stoks").as("toks_b"),
