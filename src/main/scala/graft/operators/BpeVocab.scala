@@ -114,6 +114,11 @@ object BpeVocab {
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // dictionary-derived loop partitioning (see [[Sizing]]): each round
+    // is an explode+aggregate over the (small) word dictionary plus a
+    // re-checkpoint; the count is cheap (state is checkpointed)
+    Sizing.withShufflePartitions(spark,
+      Sizing.loopPartitions(state.count())) {
     while (step <= merges && !exhausted) {
       val top = state
         .select(explode(pairUdf(col("syms"))).as("p"), col("cnt"))
@@ -132,6 +137,7 @@ object BpeVocab {
         prev.unpersist()
         step += 1
       }
+    }
     }
     state.unpersist()
     rules.toSeq.toDF("step", "left", "right", "freq")

@@ -51,8 +51,12 @@ object JoinDiscovery {
     require(k >= 1 && k <= 256, s"k out of range: $k")
     val hashed = columns
       .map { case (name, df, c) =>
-        df.select(col(c).cast("string").as("v"))
-          .filter(col("v").isNotNull)
+        // spread the projected column before the md5 kernel (guide
+        // §2.5): a single-file table serializes the hashing; no-op on
+        // a well-split source, and the shuffle carries ONE column
+        graft.tables.Tables.spread(
+          df.select(col(c).cast("string").as("v"))
+            .filter(col("v").isNotNull))
           .select(lit(name).as("name"),
             hexLong(digest(col("v")), 1, 15).as("h1"),
             pmod(hexLong(digest(col("v")), 16, 8), lit(1073741824L))

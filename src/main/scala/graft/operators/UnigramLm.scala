@@ -90,6 +90,11 @@ object UnigramLm {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .persist()
+    // dictionary-derived loop partitioning (see [[Sizing]]): the seed
+    // aggregate and every EM round shuffle dictionary-sized frames;
+    // the count also forces the persist before the multi-reference use
+    val sized = Sizing.loopPartitions(words.count())
+    Sizing.withShufflePartitions(spark, sized) {
     // substring seed, weighted by word count (kernel + aggregate —
     // |dict| × O(len²) pieces, never corpus-sized)
     val seed = words.flatMap { case (w, c) =>
@@ -156,6 +161,7 @@ object UnigramLm {
     spark.createDataFrame(fin.map { case (p, c, r) =>
       (p, c, math.log(math.max(1L, c) / total), r)
     }).toDF("piece", "count", "logp", "rank")
+    }
   }
 
   /** Segment each document's words under a trained vocabulary — the
@@ -183,7 +189,10 @@ object UnigramLm {
         ws.flatMap(w => viterbi(w, bc.value, mpl).getOrElse(List(w)))
       }
     }
-    docs.select(col(idCol), segUdf(col(textCol)).as("pieces"))
+    // spread before the per-doc Viterbi kernel (guide §2.5: a narrow
+    // source serializes the segmentation; no-op on a well-split one)
+    graft.tables.Tables.spread(docs)
+      .select(col(idCol), segUdf(col(textCol)).as("pieces"))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }
 }

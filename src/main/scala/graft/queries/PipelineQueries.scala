@@ -365,7 +365,9 @@ object PipelineQueries {
       .map(r => (r.getString(1), r.getString(2)))
       .toSeq
     val enc = Tokenize.encodeCountsUdf(rules)
-    docs
+    // spread before the per-doc encode kernel (guide §2.5: the bench
+    // corpus is one unsplittable file; no-op on a well-split source)
+    Tables.spread(docs)
       .select(col("doc_id"), enc(col("text")).as("e"))
       .select(col("doc_id"), col("e._1").as("n_words"),
         col("e._2").as("n_tokens"))
