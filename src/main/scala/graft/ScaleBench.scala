@@ -440,6 +440,18 @@ object ScaleBench {
           tasks = tasks, groupName = "scale-tiny",
           exportTime = "2024-02-02T00:00:00Z", buckets = fx.buckets)
         val tinyMs = ((System.nanoTime() - tT0) / 1e9 * 1000).toLong
+        // keep the cached fixture bounded across repeated invocations:
+        // drop the version dirs the runs above retired (each timed run
+        // appends one) and the update temp dirs — ADVICE r9
+        graft.sinks.GraftTable.bucketed(spark, s"${fx.out}/observation",
+          graft.operators.MergeOps.MergeSpec(Seq("id")),
+          buckets = fx.buckets).vacuum()
+        Seq(incDir, tinyDir).foreach { d =>
+          val p = java.nio.file.Paths.get(d)
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
         (fx.rows, Map("cold_ms" -> fx.coldMs, "incr_ms" -> incrMs,
           "tiny_ms" -> tinyMs, "buckets" -> fx.buckets.toLong))
       case "asof" =>

@@ -46,11 +46,13 @@ object ScrubCompiler {
     * the identical immutable tree is valid against every relation with
     * the same schema (Catalyst copies on resolution, never mutates).
     * This caches an expression TEMPLATE, never data or results; the
-    * codebook's content is keyed by its content id.
+    * codebook is part of the key by STRUCTURAL equality (salt + legacy
+    * mappings — two codebooks may share an id string but differ in
+    * content, e.g. test fixtures).
     */
   private val appliedCache = new java.util.concurrent.ConcurrentHashMap[
     (String, org.apache.spark.sql.types.StructType, ScrubPolicy, Boolean,
-      Boolean, String), (Column, Column)]()
+      Boolean, Codebook), (Column, Column)]()
 
   def scrub(
       df: DataFrame,
@@ -61,7 +63,7 @@ object ScrubCompiler {
       philterEnabled: Boolean = false
   ): DataFrame = {
     val key = (resourceType, df.schema, policy, nlpMode, philterEnabled,
-      codebook.codebookId)
+      codebook)
     val (projCol, rejCol) = appliedCache.computeIfAbsent(key, _ => {
       val ctx = Ctx(policy, codebook, nlpMode, philterEnabled, resourceType)
       val node = compileStruct(resourceType, df.schema, ctx)

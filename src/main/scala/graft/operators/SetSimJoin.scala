@@ -57,8 +57,10 @@ object SetSimJoin {
     // hint broadcast, eliminating both pair shuffles (guide §3.1). At
     // corpus scale the estimate exceeds the threshold and the
     // sort-merge path stands.
-    val threshold = docs.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").toLong
+    // SQLConf parses the byte-suffixed forms ("10m", "10485760b") the
+    // string conf API hands back raw
+    val threshold =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val estBytes = sorted0
       .select(coalesce(sum(size(col("stoks")) * 8L + 64L), lit(0L)))
       .head.getLong(0)

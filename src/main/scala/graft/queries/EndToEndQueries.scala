@@ -59,10 +59,17 @@ object EndToEndQueries {
     // exact stage, minhash banding must catch it. Spread before the
     // NFC/stats kernels — the bench corpus is one unsplittable file
     // (guide §2.5), and stages 1–2 are the chain's per-row-heaviest.
-    val input = Tables.spread(docs.unionByName(
-      docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          col("source"), concat(col("text"), lit(" qq")).as("text"))))
+    // The +1M copy-offset convention assumes BASE ids stay below 1M
+    // (ADVICE r9: ids ≥ 1M would collide copies with real docs and
+    // silently break the bench-set exclusion) — observed for free on
+    // the base branch as the first checkpoint materializes.
+    val idObs = org.apache.spark.sql.Observation()
+    val input = Tables.spread(
+      docs.observe(idObs, max(col("doc_id")).as("max_base_id"))
+        .unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("source"), concat(col("text"), lit(" qq")).as("text"))))
 
     // 1+2: normalize then quality-gate; checkpoint the survivor set
     // (the exact-dedup stage references it twice: aggregate + semi-join)
@@ -74,6 +81,12 @@ object EndToEndQueries {
       .filter(col("keep"))
       .select("doc_id", "source", "text")
       .localCheckpoint(true)
+    // the observation fired while `quality` materialized (the union's
+    // base branch flows through it); fail loudly on a collision-prone
+    // corpus instead of silently misclassifying copies
+    require(Option(idObs.get("max_base_id")).forall(
+      _.asInstanceOf[Long] < 1000000L),
+      "qCurationE2e: base doc_ids must stay below the 1M copy offset")
 
     // 3: exact dedup — min-id survivor per content hash
     val exKeep = quality.groupBy(md5(col("text")).as("h"))

@@ -856,12 +856,12 @@ object TextQueries {
     * ([[Tables.withIdCopies]]; a union form read the text column once
     * per branch, ~0.5s tax per consumer at sf0.1).
     */
+  // NOT spread here: consumers that run heavy kernels spread at the
+  // kernel site (md5Sigs, qSetSimJoin) — a blanket repartition would
+  // also ride the NON-kernel uses (e.g. q87's quality side) and add a
+  // visible exchange to plans whose budget is one
   private def corpusWithCopies(spark: SparkSession, dir: String): DataFrame =
-    // spread before the family's hash/gram kernels: the bench corpus is
-    // one unsplittable parquet file (guide §2.5 input skew)
-    Tables.spread(
-      Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 7,
-        1000000L))
+    Tables.withIdCopies(Tables.documents(spark, dir), "doc_id", 7, 1000000L)
 
   /** md5-minhash signatures (doc_id, sig array<string>), materialized
     * once: q36/q38 reference this frame on both band-join sides and
@@ -1447,7 +1447,9 @@ object TextQueries {
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame =
     graft.operators.SetSimJoin
       .jaccardSelfJoin(
-        corpusWithCopies(spark, dir).select(col("doc_id"),
+        // spread before the gram-hash kernel (guide §2.5: one
+        // unsplittable file serializes it; no-op on a split source)
+        Tables.spread(corpusWithCopies(spark, dir)).select(col("doc_id"),
           // array<long> fast path: distinct gram hashes in ONE kernel
           // pass, gram strings never materialized or shuffled
           md5GramSet64Udf(col("text"), lit(3)).as("grams")),

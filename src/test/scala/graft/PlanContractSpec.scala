@@ -97,7 +97,12 @@ class PlanContractSpec extends SparkSpecBase {
       "q38_dedup_corpus" -> 1, // band edges → final component agg
       "q87_dedup_best" -> 1, // same chain, windowed-argmax survivor
       "q135_cross_dedup" -> 5, // probe join + admission + maintenance
-      "q148_setsim_join" -> 2, // prefix-token join + pair verification
+      // prefix-token join + pair verification + the DELIBERATE r10
+      // respread of the candidate-pair set before the broadcast
+      // verification (AQE's byte-based coalescing left the per-pair
+      // intersect on one task; the respread exchange carries only
+      // 16-byte id pairs)
+      "q148_setsim_join" -> 3,
       "q65_asof_join" -> 3, // bucket explode + sort + merge
       // the end-to-end curation chain: stage handoffs are checkpointed
       // (quality/exact-dedup/clean) or RDD-level range-sorts
