@@ -100,11 +100,15 @@ object SuffixRank {
     // checkpoint as soon as its successor is materialized (the
     // returned frame only ever depends on the last one)
     var live = base.localCheckpoint(true)
-    // the ladder is ~4 shuffles of (id, pos, rank) longs per round;
-    // size them from the position count, not the session constant
-    // (see [[Sizing]] — rank values are partitioning-independent)
+    // the ladder is ~4 shuffles of (id, pos, rank) rows per round; size
+    // them from the position count, not the session constant (rank
+    // values are partitioning-independent). Unlike the CC iterate (two
+    // longs, join-bound), every ladder round RANGE-SORTS string-keyed
+    // rows — CPU-heavy per row — so the divisor is 64k rows/partition,
+    // not [[Sizing.loopPartitions]]'s 1M (measured: 1M-sizing
+    // serialized the sf0.1 ladder's sorts on one task, costing ~0.5s).
     Sizing.withShufflePartitions(docs.sparkSession,
-      Sizing.loopPartitions(live.count())) {
+      math.max(1L, math.min(live.count() / 65536L + 1L, 65536L)).toInt) {
     var cur = denseRank(live, Seq("__s"), "r").drop("__s")
     var k = init
     while (k < depth) {
