@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Run suites CONCURRENTLY inside the forked test JVM (ScalaTest's own
+// distributor): the suite is ~60 Spark suites whose jobs are mostly
+// scheduling-floor-bound on tiny fixtures, so 4 in flight back-fill one
+// another's stragglers (guide §2.6). Serial, the suite ran 31 min and
+// tripped the verification harness's test timeout (VERDICT r10 item 1);
+// SparkSpecBase sizes the shared session's task slots to match.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-P4")
 run / fork := true
 // Pass the forked main's stdout through verbatim instead of routing it
 // through sbt's logger: the driver machine-parses Bench's one-line JSON

@@ -119,8 +119,15 @@ object Bench {
     val avgPre = loadAvg()
     System.err.println(f"[bench] load cal pre=$calPre%.2fs loadavg=$avgPre%.1f")
     val failed = scala.collection.mutable.SortedSet.empty[String]
+    var sinceLoad = 0
     val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // keys persisted BEFORE this query — the cleanup below is scoped
+        // to what the query itself created (r10's blanket unpersist was
+        // flagged as a hazard against shared localCheckpoint'ed state;
+        // Bench owns its session, but scoping costs nothing and the
+        // discipline transfers to shared-session callers)
+        val preKeys = spark.sparkContext.getPersistentRDDs.keySet
         val times = (1 to math.max(1, runs)).map { _ =>
           val t0 = System.nanoTime()
           // materialize the FULL output (queryExecution.toRdd), not
@@ -138,24 +145,38 @@ object Bench {
           }
           val dt = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[bench] $name%-22s $dt%8.2fs")
-          // Isolation between runs: one-shot localCheckpoint/persist
-          // frames built INSIDE a query (signature tables, candidate
-          // sets) have no release point once its action completes, so
-          // across ~400 timed runs they stack in the storage pool and
-          // pressure execution memory for every LATER query (measured:
-          // identical queries run 2-4x slower late in a session than in
-          // isolation). A real pipeline unpersists after consuming;
-          // the bench does the equivalent between runs. Each run still
-          // computes everything from the parquet inputs — this releases
-          // state, never reuses it.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          // broadcast relations (every BroadcastHashJoin builds one) are
-          // only released when the ContextCleaner sees their driver-side
-          // reference collected — nudge the collector so ~400 runs of
-          // debris don't compound into later queries' measurements
-          System.gc()
           dt
+        }
+        // Isolation BETWEEN queries: one-shot localCheckpoint/persist
+        // frames built INSIDE a query (signature tables, candidate sets)
+        // have no release point once its action completes, so across
+        // ~400 timed runs they stack in the storage pool and pressure
+        // execution memory for every LATER query (measured: identical
+        // queries run 2-4x slower late in a session than in isolation).
+        // r10 ran this after every RUN with unpersist(blocking=false) +
+        // GC — whose ASYNC ContextCleaner work then overlapped the next
+        // timed region (VERDICT r10 flagged it as a plausible cause of
+        // uniform sub-second inflation). Now: once per QUERY, after the
+        // min-of loop, BLOCKING, before the next query's t0 — cleanup
+        // cost lands fully outside every timed region. Each run still
+        // computes everything from the parquet inputs — this releases
+        // state, never reuses it.
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !preKeys.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
+        // broadcast relations (every BroadcastHashJoin builds one) are
+        // only released when the ContextCleaner sees their driver-side
+        // reference collected — nudge the collector so ~400 runs of
+        // debris don't compound into later queries' measurements
+        System.gc()
+        // ambient-load witness every ~25 queries (VERDICT r10 item 3:
+        // per-run load capture cannot localize WHICH queries a load
+        // burst distorted) — stderr only, the JSON line stays compact
+        sinceLoad += 1
+        if (sinceLoad >= 25) {
+          sinceLoad = 0
+          System.err.println(
+            f"[bench] load mid loadavg=${loadAvg()}%.1f (after $name)")
         }
         name -> times.min
     }
@@ -230,26 +251,71 @@ object Bench {
     // idle-host constant for this hardware is ~1.0s (documented in
     // PERF.md); cal values well above it flag ambient load, making the
     // artifact self-interpreting instead of silently distorted
-    val loadJson =
+    val loadJsonFull =
       f""","load":{"cal_pre_s":$calPre%.2f,"cal_mid_s":$calMid%.2f,"cal_post_s":$calPost%.2f,"loadavg_pre":$avgPre%.1f,"loadavg_post":$avgPost%.1f,"steal_pct":$stealPct%.1f}"""
+    // compact twin for the printed line (same data, array-packed keys)
+    val loadJson =
+      f""","load":{"cal_s":[$calPre%.2f,$calMid%.2f,$calPost%.2f],"loadavg":[$avgPre%.1f,$avgPost%.1f],"steal_pct":$stealPct%.1f}"""
     def compactLine(entries: Seq[(String, Double)], omitted: Int): String = {
+      // 1-decimal values: min-of-3 timings on this host carry >±0.1s of
+      // ambient noise anyway, and the narrower entries are what let the
+      // line carry ~150 queries instead of r10's 129
       val m = entries.sortBy(_._1)
-        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.2f""" }
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + f"""\":$v%.1f""" }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","q_runs":$runs,"queries":$m,"q_omitted":$omitted,"failed":$failedShort$etlJson$loadJson,"sf":"$sfDir"}"""
     }
-    // capture window 2000 chars minus sbt's trailing "[success] ..."
-    // line (~80) and slack for a stray WARN — budget 1800
-    val bySpeed = ok.sortBy(-_._2)
-    val line = (ok.size to 0 by -1).iterator
-      .map(keep => compactLine(bySpeed.take(keep), ok.size - keep))
-      .find(_.length <= 1800)
-      .getOrElse(compactLine(Nil, ok.size))
+    // The driver captures only the LAST 2000 chars of output; sbt's
+    // trailing "[success] ..." line costs ~80, leaving ~1900 — budget
+    // 1850 with slack. 184 queries at 1-decimal need ~2180 chars, so
+    // some must be omitted — but r10's "drop the FASTEST first" rotated
+    // the omitted set with timing noise, and the PERF diff then reported
+    // phantom dropped/new queries every round (VERDICT r10 item 2).
+    // Omission is now DETERMINISTIC: this fixed list of floor-bound
+    // queries (every one timed 0.3-0.7s in r9/r10 — job-scheduling
+    // floor, not data; exactly the r10-omitted set, ordered fastest
+    // first by the r9 artifact) is dropped from the front as needed.
+    // The set printed is therefore stable run-to-run; the full map is
+    // always in bench_latest.json. Fastest-first remains only as a
+    // last-resort fallback if the suite ever outgrows the list.
+    val floorBound = Seq(
+      "q14_delete_ids", "q136_clf_score", "q66_range_count",
+      "q109_bigram_lm", "q107_linear_attrib", "q45_char_quality",
+      "q168_skyline", "q69_stratified", "q6_filter_agg",
+      "q71_attribution", "q3_topk", "q4_semi_join", "q5_anti_join",
+      "q7_window", "q8_setops", "q15_dedup_lastwins", "q16_outer_join",
+      "q27_ngram_jaccard", "q32_label_centroids", "q35_simhash_md5",
+      "q40_deid_scalars", "q41_checksum", "q42_check_system",
+      "q43_partial_dates", "q44_anon_ids", "q46_quantize_i8",
+      "q47_repetition", "q49_kmeans_assign", "q50_window_agg",
+      "q54_contamination", "q57_source_mix", "q58_seq_pack",
+      "q59_chunking", "q60_note_select", "q62_sample_notes",
+      "q63_hash_sample", "q74_compress_ratio", "q78_attr_pairs",
+      "q81_semantic_dedup", "q82_zorder", "q92_topk_agg", "q94_pivot",
+      "q95_gapfill", "q97_fuzzy_names", "q99_weighted_sample",
+      "q112_curriculum", "q114_manifest", "q115_normalize",
+      "q129_drift", "q138_source_cap", "q147_compaction",
+      "q163_k_anonymity", "q167_ab_test", "q178_train_shards",
+      "q190_majority_vote")
+    val okMap = ok.toMap
+    val deterministic = (0 to floorBound.size).iterator
+      .map { nOmit =>
+        val omit = floorBound.take(nOmit).filter(okMap.contains).toSet
+        compactLine(ok.filterNot(kv => omit.contains(kv._1)), omit.size)
+      }
+      .find(_.length <= 1850)
+    val line = deterministic.getOrElse {
+      val bySpeed = ok.sortBy(-_._2)
+      (ok.size to 0 by -1).iterator
+        .map(keep => compactLine(bySpeed.take(keep), ok.size - keep))
+        .find(_.length <= 1850)
+        .getOrElse(compactLine(Nil, ok.size))
+    }
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","q_runs":$runs,"queries":$qs,"failed":$failedJson$etlJson$loadJson,"sf":"$sfDir"}""" + "\n")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","q_runs":$runs,"queries":$qs,"failed":$failedJson$etlJson$loadJsonFull,"sf":"$sfDir"}""" + "\n")
     catch { case _: Exception => () } // read-only CWD is fine
     spark.stop()
   }

@@ -421,6 +421,94 @@ object Profile {
           .queryExecution.toRdd.count()
       }
     }
+
+    // q121/q133 phase split (VERDICT r10 item 7): is the cost the
+    // 4-table TPC-H edge build or the rank/relaxation loop?
+    if (which("graph")) (1 to 3).foreach { round =>
+      println(s"--- graph round $round ---")
+      val l = graft.tables.Tables.lineitem(spark, sfDir)
+      val o = graft.tables.Tables.orders(spark, sfDir)
+      val c = graft.tables.Tables.customer(spark, sfDir)
+      val s = graft.tables.Tables.supplier(spark, sfDir)
+      val edges = l
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .select(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
+        .distinct()
+      val edgesCk = time("edge build (4-table join)") {
+        edges.localCheckpoint(true)
+      }
+      time("pageRank loop (ckpt edges)") {
+        graft.operators.GraphOps.pageRank(edgesCk, "src", "dst", iters = 5)
+          .queryExecution.toRdd.count()
+      }
+      val wedges = l
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .groupBy(c("c_nationkey").as("src"), s("s_nationkey").as("dst"))
+        .agg(countDistinct(o("o_orderkey")).as("w"))
+      val wedgesCk = time("weighted edge build") {
+        wedges.localCheckpoint(true)
+      }
+      time("sssp loop (ckpt edges)") {
+        graft.operators.GraphOps.shortestPaths(wedgesCk, "src", "dst",
+          Some("w"), source = 0L, iters = 3)
+          .queryExecution.toRdd.count()
+      }
+      time("q121 full") {
+        graft.queries.CurationQueries.qPageRank(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      time("q133 full") {
+        graft.queries.CurationQueries.qSssp(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // q176/q177/q180 stage split: rank pass vs span-class window vs
+    // cut application
+    if (which("spans")) (1 to 3).foreach { round =>
+      println(s"--- spans round $round ---")
+      val sub = graft.tables.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = sub.unionByName(sub.filter(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      time("rank all-pos (q176 shape)") {
+        graft.operators.SuffixRank
+          .rank(sub, "doc_id", "text", depth = 32)
+          .queryExecution.toRdd.count()
+      }
+      time("rank fullWindows (q180 shape)") {
+        graft.operators.SuffixRank
+          .rank(corpus, "doc_id", "text", depth = 32,
+            fullWindowsOnly = true)
+          .queryExecution.toRdd.count()
+      }
+      time("cutIntervals") {
+        graft.operators.SpanDedup
+          .cutIntervals(corpus, "doc_id", "text", spanLen = 32)
+          .queryExecution.toRdd.count()
+      }
+      time("q176 full") {
+        graft.queries.CorpusQueries.qSuffixRank(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      time("q177 full") {
+        graft.queries.CorpusQueries.qRepeatedSpans(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      time("q180 full") {
+        graft.queries.CorpusQueries.qRemoveSpans(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

@@ -24,6 +24,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.SortedMap.empty[String, String]
     selected.foreach { case (name, fn) =>
+      val preKeys = spark.sparkContext.getPersistentRDDs.keySet
       // repartition(1), NOT coalesce(1): coalesce collapses the whole
       // final stage into one task, so a query whose projection falls
       // out of codegen re-evaluates it single-threaded (one sf0.1
@@ -38,9 +39,13 @@ object Verify {
       }
       // release one-shot checkpoints/persists the finished query left
       // behind (same isolation discipline as Bench) — across ~200
-      // queries they otherwise stack in the storage pool
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // queries they otherwise stack in the storage pool. Scoped to
+      // the RDDs THIS query created: a blanket unpersist would also
+      // destroy localCheckpoint'ed frames a shared-session caller
+      // still references (irrecoverable by design — VERDICT r10 #4)
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !preKeys.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -50,9 +50,23 @@ object ScrubCompiler {
     * mappings — two codebooks may share an id string but differ in
     * content, e.g. test fixtures).
     */
-  private val appliedCache = new java.util.concurrent.ConcurrentHashMap[
+  // Bounded LRU (ADVICE r10: the unbounded ConcurrentHashMap retained
+  // every Column tree + codebook forever under schema/codebook churn).
+  // 64 entries cover a full DefaultTasks run (20 resource types × the
+  // nlp/philter variants actually used) with room; ETL processes one
+  // schema per task, so eviction is a cold-compile (~1.9s), never a
+  // correctness event. access-order LinkedHashMap, synchronized — the
+  // compile is driver-side and rare, contention is irrelevant.
+  private val AppliedCacheMax = 64
+  private val appliedCache = new java.util.LinkedHashMap[
     (String, org.apache.spark.sql.types.StructType, ScrubPolicy, Boolean,
-      Boolean, Codebook), (Column, Column)]()
+      Boolean, Codebook), (Column, Column)](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String,
+          org.apache.spark.sql.types.StructType, ScrubPolicy, Boolean,
+          Boolean, Codebook), (Column, Column)]): Boolean =
+      size() > AppliedCacheMax
+  }
 
   def scrub(
       df: DataFrame,
@@ -64,12 +78,19 @@ object ScrubCompiler {
   ): DataFrame = {
     val key = (resourceType, df.schema, policy, nlpMode, philterEnabled,
       codebook)
-    val (projCol, rejCol) = appliedCache.computeIfAbsent(key, _ => {
-      val ctx = Ctx(policy, codebook, nlpMode, philterEnabled, resourceType)
-      val node = compileStruct(resourceType, df.schema, ctx)
-      val rowCol = struct(df.columns.map(col): _*)
-      (node.project(rowCol), node.reject(rowCol))
-    })
+    val (projCol, rejCol) = appliedCache.synchronized {
+      val hit = appliedCache.get(key)
+      if (hit != null) hit
+      else {
+        val ctx = Ctx(policy, codebook, nlpMode, philterEnabled,
+          resourceType)
+        val node = compileStruct(resourceType, df.schema, ctx)
+        val rowCol = struct(df.columns.map(col): _*)
+        val built = (node.project(rowCol), node.reject(rowCol))
+        appliedCache.put(key, built)
+        built
+      }
+    }
     df.filter(col("resourceType") === lit(resourceType))
       .filter(!rejCol)
       .select(projCol.as("__row"))

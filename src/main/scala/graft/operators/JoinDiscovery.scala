@@ -51,12 +51,13 @@ object JoinDiscovery {
     require(k >= 1 && k <= 256, s"k out of range: $k")
     val hashed = columns
       .map { case (name, df, c) =>
-        // spread the projected column before the md5 kernel (guide
-        // §2.5): a single-file table serializes the hashing; no-op on
-        // a well-split source, and the shuffle carries ONE column
-        graft.tables.Tables.spread(
-          df.select(col(c).cast("string").as("v"))
-            .filter(col("v").isNotNull))
+        // NO spread here (reverted in r11): one md5 per row is too
+        // cheap to amortize the repartition it rode behind — idle-host
+        // measurement 2.34s WITH vs 2.19s (r9) WITHOUT, and the extra
+        // per-column exchange also serialized the MIN partial-agg
+        // behind a shuffle boundary
+        df.select(col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull)
           .select(lit(name).as("name"),
             hexLong(digest(col("v")), 1, 15).as("h1"),
             pmod(hexLong(digest(col("v")), 16, 8), lit(1073741824L))

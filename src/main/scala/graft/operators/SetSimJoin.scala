@@ -129,29 +129,82 @@ object SetSimJoin {
             org.apache.spark.sql.types.LongType, _) => col(tokensCol)
       case _ => expr(s"transform($tokensCol, t -> xxhash64(t))")
     }
+    // checkpointed: the kernel output (id, token array) feeds the
+    // document-frequency aggregate AND the per-record ordering —
+    // without materialization the plan tokenizes the corpus twice.
+    // (r10 checkpointed the EXPLODED (id, tok) frame instead; the
+    // array form stores the same longs minus one id per token, so
+    // this is the same safety for strictly fewer checkpoint bytes.)
     val toks = docs
       .select(col(idCol).as("id"), array_distinct(hashed).as("toks"))
       .filter(size(col("toks")) > 0)
-    // checkpointed: occ feeds BOTH the document-frequency aggregate and
-    // the ordering join, and its upstream (tokenizer kernel + explode)
-    // is the single most expensive pass — without materialization the
-    // plan tokenizes the corpus twice
-    val occ = toks.select(col("id"), explode(col("toks")).as("tok"))
       .localCheckpoint(true)
-    val dfreq = occ.groupBy("tok").agg(count(lit(1)).as("df"))
-    // rarest-first per-record order; checkpointed because the frame
-    // feeds the prefix explode AND both verification joins (3 plan
-    // references), and the projection is primitive (codegen-safe to
-    // materialize). The 1e-9 guard keeps ceil() from rounding τ·n up
-    // a ulp past an exact integer (τ=0.5, n=52 → 26, not 27) — a too-
-    // long prefix only costs candidates, never correctness, but the
-    // guard keeps the plan at its intended size.
-    val sorted = occ.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .as("skeys"))
-      .select(col("id"),
-        expr("transform(skeys, k -> k.tok)").as("stoks"))
+    // vocabulary-sized; checkpointed because it feeds the size gate
+    // (count) and then EITHER the driver collect or the ordering join
+    val dfreq = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // rarest-first per-record order. The 1e-9 guard keeps ceil() from
+    // rounding τ·n up a ulp past an exact integer (τ=0.5, n=52 → 26,
+    // not 27) — a too-long prefix only costs candidates, never
+    // correctness, but the guard keeps the plan at its intended size.
+    //
+    // Two regimes (guide §3.1 broadcast the side that fits / §2.4
+    // remove shuffles outright):
+    //   - map-side: when the VOCABULARY fits the session broadcast
+    //     threshold (~24 bytes per distinct token, measured exactly
+    //     from the dfreq count), ship (tok → df) to every task as two
+    //     sorted primitive arrays and sort each record's tokens
+    //     in place — the corpus-sized occ⋈dfreq token shuffle AND the
+    //     corpus-sized groupBy(id) re-assembly shuffle are gone
+    //     outright; only the vocab-sized dfreq aggregate shuffles.
+    //   - join: above the gate (corpus-scale gram vocabularies), the
+    //     r9/r10 shape stands unchanged — token-keyed ordering join +
+    //     per-id collect, both partial-agg'd shuffles.
+    // The per-record sort key is (df, tok) ascending in both regimes —
+    // bit-identical output (SetSimJoinSpec pins equivalence).
+    val threshold0 =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val vocabSize = dfreq.count()
+    val mapSide = threshold0 > 0 && vocabSize * 24L < threshold0
+    val sortedBase =
+      if (mapSide) {
+        val rows = dfreq.collect()
+        val tokArr = new Array[Long](rows.length)
+        val dfArr = new Array[Long](rows.length)
+        val order = rows.sortBy(_.getLong(0))
+        var i = 0
+        while (i < order.length) {
+          tokArr(i) = order(i).getLong(0); dfArr(i) = order(i).getLong(1)
+          i += 1
+        }
+        val bcTok = docs.sparkSession.sparkContext.broadcast(tokArr)
+        val bcDf = docs.sparkSession.sparkContext.broadcast(dfArr)
+        val sortUdf = udf { (ts: Seq[Long]) =>
+          val toksA = bcTok.value; val dfsA = bcDf.value
+          val keyed = ts.map { t =>
+            val j = java.util.Arrays.binarySearch(toksA, t)
+            // every token came from the same corpus pass that built
+            // dfreq, so j >= 0 always; guard defensively anyway
+            (if (j >= 0) dfsA(j) else 0L, t)
+          }.toArray
+          scala.util.Sorting.quickSort(keyed) // total order: no equal keys
+          keyed.map(_._2)
+        }
+        toks.select(col("id"), sortUdf(col("toks")).as("stoks"))
+      } else {
+        val occ = toks.select(col("id"), explode(col("toks")).as("tok"))
+        occ.join(dfreq, "tok")
+          .groupBy("id")
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .as("skeys"))
+          .select(col("id"),
+            expr("transform(skeys, k -> k.tok)").as("stoks"))
+      }
+    // checkpointed because the frame feeds the prefix explode AND both
+    // verification joins (3 plan references), and the projection is
+    // primitive/kernel-only (codegen-safe to materialize)
+    val sorted = sortedBase
       .withColumn("n", size(col("stoks")).cast("long"))
       .withColumn("plen",
         (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int"))

@@ -28,6 +28,16 @@ private[graft] object Sizing {
     * the previous session value after. AQE stays on throughout — this
     * sets the non-adaptive floor and lets loop joins zip with frames
     * persisted at the same count.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r10): this mutates the SHARED session
+    * conf — two sized loops interleaving on one SparkSession would
+    * restore stale values, and a lazy frame built inside `f` but
+    * EXECUTED after the restore runs at the session count (the loops
+    * here avoid that by materializing eagerly — every round is a
+    * localCheckpoint/zipWithIndex action inside the block). All current
+    * callers (Bench, Verify, Profile, the query registry, tests) drive
+    * one query at a time per session; a caller that overlaps queries on
+    * one session must run sized loops on `spark.newSession()` instead.
     */
   def withShufflePartitions[T](spark: SparkSession, parts: Int)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

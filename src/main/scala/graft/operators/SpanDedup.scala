@@ -53,7 +53,10 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       spanLen: Int = 32,
-      initChars: Int = 8): DataFrame = {
+      initChars: Int = 32): DataFrame = {
+    require(initChars >= spanLen,
+      s"initChars=$initChars < spanLen=$spanLen: span classing needs " +
+        "the direct-rank regime (see SuffixRank.fullWindowsOnly)")
     val lens = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -65,9 +68,16 @@ object SpanDedup {
     val guard = lens.filter(col("__len") >= PosBound).limit(1).collect()
     require(guard.isEmpty,
       s"document longer than $PosBound chars aliases the position key")
-    val ranked = SuffixRank.rank(docs, idCol, textCol, spanLen, initChars)
-    val full = ranked.join(lens, "id")
-      .filter(col("pos") <= col("__len") - (spanLen - 1))
+    // fullWindowsOnly: the ranking itself drops short-window positions,
+    // so the corpus-sized (ranked ⋈ lens) join + filter this used to do
+    // is gone outright (guide §2.4 remove shuffles / §2.3 fewer bytes:
+    // the explode, the dense-rank key table, and every downstream
+    // shuffle shed the per-doc short-window tail). Rank VALUES differ
+    // from the all-positions ranking but the class structure — all this
+    // consumer uses — is identical (equal rank ⇔ identical span).
+    val ranked = SuffixRank.rank(docs, idCol, textCol, spanLen, initChars,
+      fullWindowsOnly = true)
+    val full = ranked
       .withColumn("__key", col("id") * PosBound + col("pos"))
     // ONE pass over the position table: the rank-class window (count +
     // canonical-min over the same partition spec = a single shuffle +
@@ -110,7 +120,7 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       spanLen: Int = 32,
-      initChars: Int = 8): DataFrame = {
+      initChars: Int = 32): DataFrame = {
     val cuts = cutIntervals(docs, idCol, textCol, spanLen, initChars)
     // disjoint intervals: sorting starts and ends independently keeps
     // them paired, so two primitive arrays beat a struct collect

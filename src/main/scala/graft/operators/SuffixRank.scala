@@ -69,28 +69,54 @@ object SuffixRank {
     *
     * `initChars` seeds the ladder with a direct dense rank of
     * initChars-length substrings instead of single characters —
-    * fewer rounds for short-string shuffle bytes. At the default 8,
-    * depth 32 is 3 dense ranks (8 → 16 → 32) instead of 6; the
-    * doubling rounds are what keep DEEP truncations feasible (depth
-    * 256+ would otherwise shuffle 256-byte keys per corpus
-    * CHARACTER, while a doubling round always shuffles two longs).
+    * fewer rounds for short-string shuffle bytes. At the default 32,
+    * depth ≤ 32 is ONE direct dense rank and the ladder never spins:
+    * a doubling round moves ~24-byte (id, pos, r, r@+k) rows through
+    * ~3 exchanges plus a per-doc lead window, so one pass over ≤32-
+    * char keys (≤ ~40 bytes through 2 exchanges) is strictly fewer
+    * bytes AND ~10 fewer shuffle jobs (measured at sf0.1: the q180
+    * pipeline 5.2s → see OPTIMIZATION_r11.md). The doubling rounds
+    * remain what keeps DEEP truncations feasible (depth 256+ would
+    * otherwise shuffle 256-byte keys per corpus CHARACTER, while a
+    * doubling round always shuffles two longs) — depth 64 ladders
+    * 32 → 64, depth 256 ladders 32 → … → 256.
+    *
+    * `fullWindowsOnly` restricts the output (and the rank's key
+    * space) to positions with a FULL depth-length window
+    * (pos ≤ len − depth + 1). Rank VALUES then differ from the
+    * all-positions ranking (dense over fewer keys), but equal-rank ⇔
+    * equal-span is preserved — which is all a span-dedup consumer
+    * ([[SpanDedup]]) uses — and the explode, every shuffle, and the
+    * dense-rank key table shrink by the short-window tail.
     */
   def rank(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       depth: Int,
-      initChars: Int = 8): DataFrame = {
+      initChars: Int = 32,
+      fullWindowsOnly: Boolean = false): DataFrame = {
     require(depth >= 1 && (depth & (depth - 1)) == 0,
       s"depth=$depth must be a power of two")
     require(initChars >= 1 && (initChars & (initChars - 1)) == 0,
       s"initChars=$initChars must be a power of two")
+    require(!fullWindowsOnly || initChars >= depth,
+      "fullWindowsOnly requires the direct-rank regime (initChars >= " +
+        "depth): a doubling round would need the short-window suffixes " +
+        "it is asked to drop")
     val init = math.min(initChars, depth)
     // one row per (doc, pos) with its init-length prefix — the seed keys
+    val posEnd =
+      if (fullWindowsOnly) length(col(textCol)) - (depth - 1)
+      else length(col(textCol))
+    // docs shorter than the window contribute no positions at all in
+    // fullWindowsOnly mode — and must be filtered BEFORE the explode:
+    // sequence(1, n) with n < 1 generates a DESCENDING sequence
+    val minLen = if (fullWindowsOnly) depth else 1
     val base = docs
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
-        explode(sequence(lit(1), length(col(textCol)))).as("__p"),
+        explode(sequence(lit(1), posEnd)).as("__p"),
         col(textCol).as("__t"))
       .select(col("id"), col("__p").cast("long").as("pos"),
         substr(col("__t"), col("__p"), lit(init)).as("__s"))

@@ -189,9 +189,12 @@ object UnigramLm {
         ws.flatMap(w => viterbi(w, bc.value, mpl).getOrElse(List(w)))
       }
     }
-    // spread before the per-doc Viterbi kernel (guide §2.5: a narrow
-    // source serializes the segmentation; no-op on a well-split one)
-    graft.tables.Tables.spread(docs)
+    // NO spread here (reverted in r11): the Viterbi kernel on these
+    // short docs is cheaper than the exchange that parallelized it —
+    // idle-host measurement 1.61s WITH vs 1.10s (r9) WITHOUT. On a
+    // production corpus the source arrives pre-split, so the revert
+    // costs nothing at scale either.
+    docs
       .select(col(idCol), segUdf(col(textCol)).as("pieces"))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
   }

@@ -98,9 +98,14 @@ object NoteQueries {
     * feature extractor.
     */
   def qMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // NO spread here (reverted in r11): this pipeline's kernels are
+    // stubs (length/sha — cheap per row), so the r10 repartition
+    // shipped the whole wide text column to buy parallelism the path
+    // doesn't need — idle-host measurement 0.82s WITH vs 0.32s (r9)
+    // WITHOUT. The heavy-codec paths (q130/q152) keep their spread.
     val media =
       Multimodal.mediaFromDocuments(spark,
-        Tables.spread(Tables.documents(spark, dir)))
+        Tables.documents(spark, dir))
     val decoded = Multimodal.resize(Multimodal.decode(media), 256, 256)
     val emb = Multimodal.embed(decoded, dim = 32)
     media

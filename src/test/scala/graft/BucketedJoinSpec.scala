@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * incremental merges (PERF.md "Why the shapes hold").
   */
 class BucketedJoinSpec extends SparkSpecBase {
-  import spark.implicits._
 
   test("equal-bucketed tables join with no shuffle exchange") {
+    // OWN session: suites run in parallel and this one must disable
+    // auto-broadcast — newSession() gives it a private SQLConf so the
+    // flip can't race another suite's plan assertions
+    val s = spark.newSession()
+    import s.implicits._
     // warehouse dir is a static conf — use the session default
-    spark.sql("DROP TABLE IF EXISTS bkt_left")
-    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    s.sql("DROP TABLE IF EXISTS bkt_left")
+    s.sql("DROP TABLE IF EXISTS bkt_right")
     try {
       Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
         .toDF("k", "v")
@@ -26,23 +30,18 @@ class BucketedJoinSpec extends SparkSpecBase {
         .mode("overwrite").saveAsTable("bkt_right")
 
       // disable broadcast so the join would otherwise shuffle
-      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val joined = spark.table("bkt_left")
-          .join(spark.table("bkt_right"), "k")
-        val plan = joined.queryExecution.executedPlan.toString
-        assert(!plan.contains("Exchange"),
-          s"bucketed join should not shuffle:\n$plan")
-        val rows = joined.select("k", "v", "w").collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-        assert(rows === Set((1L, "a", 10.0), (2L, "b", 20.0)))
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      }
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("bkt_left")
+        .join(s.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      val rows = joined.select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows === Set((1L, "a", 10.0), (2L, "b", 20.0)))
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bkt_left")
-      spark.sql("DROP TABLE IF EXISTS bkt_right")
+      s.sql("DROP TABLE IF EXISTS bkt_left")
+      s.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
 }

@@ -16,13 +16,14 @@ class MergeTableSpec extends SparkSpecBase {
   }
 
   test("open falls back to GraftTable even when Delta is requested") {
-    spark.conf.set(MergeTable.DeltaEnabledKey, "true")
-    try {
-      val t = MergeTable.open(spark,
-        java.nio.file.Files.createTempDirectory("mt").toString,
-        MergeSpec(Seq("id")))
-      assert(t.isInstanceOf[GraftTable])
-    } finally spark.conf.unset(MergeTable.DeltaEnabledKey)
+    // OWN session (parallel suites): the backend flag must not leak
+    // into a concurrently running EtlPipeline/GraftTable suite
+    val s = spark.newSession()
+    s.conf.set(MergeTable.DeltaEnabledKey, "true")
+    val t = MergeTable.open(s,
+      java.nio.file.Files.createTempDirectory("mt").toString,
+      MergeSpec(Seq("id")))
+    assert(t.isInstanceOf[GraftTable])
   }
 
   test("trait surface drives a full merge lifecycle through the fallback") {
